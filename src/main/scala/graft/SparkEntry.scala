@@ -10,7 +10,7 @@ object SparkEntry {
 
   /** All registered capabilities, by module. */
   def allDefs: Seq[QueryDef] =
-    RelationalQueries.all
+    RelationalQueries.all ++ EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

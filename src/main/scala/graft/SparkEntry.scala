@@ -10,7 +10,9 @@ object SparkEntry {
 
   /** All registered capabilities, by module. */
   def allDefs: Seq[QueryDef] =
-    RelationalQueries.all ++ EventQueries.all
+    RelationalQueries.all ++ EventQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
+      Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-data-pipeline operators (SURVEY.md §2.2 LLM
+  * ops). Everything here is built from native Catalyst expressions
+  * (`functions._` + higher-order array functions) — no Scala UDFs — so the
+  * hot paths stay inside Catalyst optimization and distribute cleanly at
+  * 100 TB: per-row, shuffle-free, no driver participation.
+  */
+object TextFns {
+
+  /** Canonical form for dedup/fingerprinting: lowercase, trim, collapse
+    * whitespace runs. */
+  def normalize(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normalize(c), " ")
+
+  /** Distinct n-token shingles ("w1 w2 w3"). Docs shorter than n tokens
+    * produce one partial shingle (concat_ws skips the nulls past the end —
+    * same out-of-bounds => NULL semantics as DuckDB list indexing). */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val t = tokens(c)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
+        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*)))
+  }
+
+  /** Jaccard similarity of two distinct-element arrays, in exact
+    * integer-milli form: floor(1000 * |a∩b| / |a∪b|). */
+  def jaccardMilli(a: Column, b: Column): Column =
+    floor(size(array_intersect(a, b)) * lit(1000.0) / size(array_union(a, b)))
+      .cast("long")
+
+  /** Polynomial rolling hash of a string (mod 2^31-1), char-at-a-time:
+    * acc = (acc * 31 + code) mod p. Reproducible in DuckDB via
+    * list_reduce over the same char codes — used as an oracle-checkable
+    * document fingerprint alongside md5. */
+  def polyHash(c: Column): Column = {
+    val codes = transform(sequence(lit(1), length(c)), i => ascii(substring(c, i, lit(1))))
+    aggregate(codes, lit(0L), (acc, code) => pmod(acc * 31 + code, lit(2147483647L)))
+  }
+
+  /** Count of matches of a BPE-ish word/number/punct pre-tokenizer regex —
+    * a cheap token-count proxy when no tokenizer model is loadable. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishCount(c: Column): Column = regexp_count(c, lit(BpeishPattern))
+
+  /** Language stopword-hit scores. The tie-break chain (en > es > de > fr >
+    * zh) is deterministic and mirrored in the SQL oracle. */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "un", "est"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有"))
+
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(array_intersect(toks, array(words.map(lit): _*))).cast("long")
+
+  /** Predicted language by max stopword hits with the deterministic
+    * tie-break order above. */
+  def langId(c: Column): Column = {
+    val t = tokens(c)
+    val scores = StopwordSets.map { case (l, ws) => (l, stopwordHits(t, ws)) }
+    // lang whose score is >= all later langs' scores, first wins
+    scores.init.zipWithIndex.foldRight(lit(scores.last._1): Column) {
+      case (((l, sc), i), els) =>
+        val laterMax = scores.drop(i + 1).map(_._2).reduce((x, y) => greatest(x, y))
+        when(sc >= laterMax, lit(l)).otherwise(els)
+    }
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Multimodal-column plumbing (SURVEY.md §2.2 LLM ops): media payloads are
+  * opaque `binary` columns plus a typed metadata struct; decode /
+  * feature-extract / frame-sample run as distributed per-partition batch
+  * transforms over those binary columns.
+  *
+  * The actual codec is STUBBED (no image/audio libs in this container):
+  * [[DecodedFrame]] values are produced by [[stubDecode]], a deterministic
+  * fake that derives "frames" from the payload bytes. Everything around the
+  * stub — schema, encoders, partitioning, batch iteration shape — is the
+  * real Spark plumbing a production decoder would drop into (swap
+  * `stubDecode` for a JNI/FFmpeg call; signature unchanged).
+  */
+object Multimodal {
+
+  /** A media asset: opaque payload + typed metadata. */
+  case class MediaAsset(
+      asset_id: Long,
+      payload: Array[Byte],
+      media_type: String,
+      n_bytes: Long)
+
+  /** One decoded "frame": fixed-size window of the payload with summary
+    * features (a real decoder would emit pixel/PCM features here). */
+  case class DecodedFrame(
+      asset_id: Long,
+      frame_no: Long,
+      frame_bytes: Long,
+      byte_sum: Long,
+      byte_min: Int,
+      byte_max: Int)
+
+  val FrameSize = 1024
+
+  /** STUB decoder: deterministic, derived only from payload bytes. Replace
+    * with a real codec; the per-partition batching (one iterator pass, no
+    * per-row setup cost) is the production shape. */
+  def stubDecode(a: MediaAsset): Iterator[DecodedFrame] =
+    a.payload.grouped(FrameSize).zipWithIndex.map { case (chunk, i) =>
+      val unsigned = chunk.map(b => b & 0xff)
+      DecodedFrame(a.asset_id, i.toLong, chunk.length.toLong,
+        unsigned.map(_.toLong).sum, unsigned.min, unsigned.max)
+    }
+
+  /** documents.text reinterpreted as binary payloads — the multimodal
+    * ingestion path (in production: spark.read.format("binaryFile") or
+    * payload columns in parquet). */
+  def assets(s: SparkSession, d: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id".as("asset_id"),
+        $"text".cast("binary").as("payload"),
+        (when($"doc_id" % 2 === 0, "image/png").otherwise("audio/wav")).as("media_type"),
+        length($"text".cast("binary")).cast("long").as("n_bytes"))
+      .as[MediaAsset]
+  }
+
+  /** Distributed decode: per-partition flatMap over the stub codec. */
+  def decodeFrames(s: SparkSession, d: String): Dataset[DecodedFrame] = {
+    import s.implicits._
+    assets(s, d).mapPartitions(_.flatMap(stubDecode))
+  }
+
+  /** Frame sampling: every k-th frame (a real video pipeline's keyframe
+    * sample), as a plain filter on the decoded stream. */
+  def sampleFrames(frames: Dataset[DecodedFrame], k: Int): Dataset[DecodedFrame] =
+    frames.filter(_.frame_no % k == 0)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ----- metadata + checksum pipeline (oracle-checkable: the fake payload
+    // is the utf-8 text, so DuckDB can recompute byte lengths + md5) --------
+    QueryDef(
+      "m01_media_metadata",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id".as("asset_id"),
+            $"text".cast("binary").as("payload"),
+            when($"doc_id" % 2 === 0, "image/png").otherwise("audio/wav").as("media_type"))
+          .select($"asset_id", $"media_type",
+            length($"payload").cast("long").as("n_bytes"),
+            md5($"payload").as("checksum"),
+            ceil(length($"payload") / lit(FrameSize.toDouble)).cast("long").as("n_frames"))
+          .orderBy($"asset_id")
+      },
+      oracle = Some(s"""
+        SELECT doc_id AS asset_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS checksum,
+               CAST(ceil(octet_length(encode(text)) / $FrameSize.0) AS BIGINT) AS n_frames
+        FROM documents
+        ORDER BY asset_id""")),
+
+    // ----- decode + per-asset frame features (stub codec => rows-only; the
+    // decode path itself is exercised and asserted in MultimodalSpec) -------
+    QueryDef(
+      "m02_media_decode_features",
+      (s, d) => {
+        import s.implicits._
+        decodeFrames(s, d)
+          .groupBy($"asset_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum($"byte_sum").as("total_byte_sum"),
+            min($"byte_min").as("min_byte"),
+            max($"byte_max").as("max_byte"))
+          .orderBy($"asset_id")
+      },
+      oracle = None))
+}

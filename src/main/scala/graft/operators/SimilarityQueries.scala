@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFns
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY.md §2.2 LLM ops).
+  *
+  * Scale design: brute-force is broadcast(queries) × corpus — embarrassingly
+  * parallel, no shuffle of the corpus, the right baseline even at 100 TB for
+  * small query sets. The sign-LSH variant buckets the corpus once (16-bit
+  * bucket = 16 hyperplane signs) and only scores candidates in matching /
+  * adjacent-hamming buckets — the classic recall/throughput trade.
+  */
+object SimilarityQueries {
+
+  private val Dim = 64
+  // 8 planes + hamming<=3 expansion: ~36% of the corpus scored per query on
+  // uniform data (vs 100% brute force) at ~0.5 recall@10 — tuned for the
+  // weak-signal random embeddings in the fixture; denser real-world
+  // neighborhoods get better recall at the same setting.
+  private val NumPlanes = 8
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ----- brute-force cosine top-k (exact; the correctness baseline) -------
+    QueryDef(
+      "s01_ann_bruteforce_topk",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val queries = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"embedding".as("q"))
+        val w = Window.partitionBy($"query_id")
+          .orderBy($"cos_milli".desc, $"vec_id")
+        e.join(broadcast(queries), $"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id",
+            VectorFns.cosineMilli($"q", $"embedding").as("cos_milli"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 10)
+          .select($"query_id", $"rank", $"vec_id", $"cos_milli")
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM t WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, t.vec_id,
+                 CAST(floor(list_dot_product(q.qe, t.e) * 1000.0 /
+                   (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(t.e, t.e)))) AS BIGINT) AS cos_milli
+          FROM q JOIN t ON t.vec_id != q.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, cos_milli,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_milli DESC, vec_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT query_id, rank, vec_id, cos_milli
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank""")),
+
+    // ----- sign-LSH bucketed ANN (scale path; recall checked in tests) ------
+    QueryDef(
+      "s02_ann_lsh_bucketed",
+      (s, d) => {
+        import s.implicits._
+        val planes = VectorFns.hyperplanes(NumPlanes, Dim)
+        val e = Tables.embeddings(s, d)
+          .withColumn("bucket", VectorFns.signLshBucket($"embedding", planes))
+        val queries = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"embedding".as("q"), $"bucket".as("qb"))
+        // candidates: bucket within hamming<=3 of the query bucket
+        val cand = e.join(broadcast(queries),
+          $"vec_id" =!= $"query_id" &&
+            bit_count($"bucket".bitwiseXOR($"qb")) <= 3)
+        val w = Window.partitionBy($"query_id")
+          .orderBy($"cos_milli".desc, $"vec_id")
+        cand
+          .select($"query_id", $"vec_id",
+            VectorFns.cosineMilli($"q", $"embedding").as("cos_milli"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 10)
+          .select($"query_id", $"rank", $"vec_id", $"cos_milli")
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = None))
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.DedupQueries
+import org.apache.spark.sql.Row
+
+/** Invariants for the dedup operators whose hashes aren't SQL-reproducible
+  * (SimHash; MinHash is additionally covered by the DuckDB oracle). */
+class DedupSpec extends SparkSpec {
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map { case Row(a: Long, b: Long) => (a, b) }.toSet
+
+  test("minhash-LSH finds exactly the exact-jaccard near-dup pairs") {
+    val exact = pairs("d02_dedup_ngram_jaccard")
+    val lsh = pairs("d03_dedup_minhash_lsh")
+    assert(exact.nonEmpty, "fixture should contain injected near-dups")
+    assert(lsh === exact)
+  }
+
+  test("simhash pairs are bag-of-words near-dups and recall injected dups") {
+    // simhash is order-insensitive: its ground truth is token-multiset
+    // similarity, not the (order-sensitive) shingle jaccard of d02
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    import spark.implicits._
+    val exact = pairs("d02_dedup_ngram_jaccard")
+    val sim = pairs("d04_dedup_simhash")
+    assert(sim.nonEmpty, "simhash should catch at least one injected near-dup")
+    assert(sim.intersect(exact).nonEmpty,
+      "simhash should recall some order-preserving near-dups too")
+    val tokenSets = Tables.documents(spark, sf)
+      .select($"doc_id", array_distinct(TextFns.tokens($"text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    sim.foreach { case (a, b) =>
+      val j = tokenSets(a).intersect(tokenSets(b)).size.toDouble /
+        tokenSets(a).union(tokenSets(b)).size
+    assert(j >= 0.5, s"simhash pair ($a,$b) has low token jaccard $j")
+    }
+  }
+
+  test("identical texts get identical minhash signatures and simhash") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different document about spark engines")).toDF("id", "text")
+    val sigs = df.select($"id",
+        DedupQueries.minhashSig(TextFns.shingles($"text", 3)).as("sig"),
+        DedupQueries.simhash(TextFns.tokens($"text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L)._1 !== sigs(3L)._1)
+  }
+}

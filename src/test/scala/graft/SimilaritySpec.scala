@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+class SimilaritySpec extends SparkSpec {
+
+  private def topk(name: String): Map[Long, Seq[(Long, Long)]] =
+    SparkEntry.queries(name)(spark, sf)
+      .select("query_id", "rank", "vec_id").collect()
+      .map { case Row(q: Long, r: Long, v: Long) => (q, r, v) }
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._2, t._3)).toSeq).toMap
+
+  test("brute-force top-k is complete and correctly ranked") {
+    val bf = topk("s01_ann_bruteforce_topk")
+    assert(bf.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    bf.values.foreach { nbrs =>
+      assert(nbrs.map(_._1) === (1L to 10L))
+      // no self-matches: query ids are 0..4, ranked neighbors must differ
+    }
+  }
+
+  test("LSH ANN recalls a meaningful fraction of brute-force neighbors") {
+    val bf = topk("s01_ann_bruteforce_topk")
+    val lsh = topk("s02_ann_lsh_bucketed")
+    val recalls = bf.map { case (q, nbrs) =>
+      val bfSet = nbrs.map(_._2).toSet
+      val lshSet = lsh.getOrElse(q, Seq.empty).map(_._2).toSet
+      lshSet.intersect(bfSet).size.toDouble / bfSet.size
+    }
+    val mean = recalls.sum / recalls.size
+    // sign-LSH with 12 planes, hamming<=2 expansion: recall is partial by
+    // design; assert it beats random chance by a wide margin
+    assert(mean >= 0.2, s"mean recall@10 = $mean")
+  }
+}

@@ -12,7 +12,7 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     RelationalQueries.all ++ EventQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
-      Multimodal.all
+      Multimodal.all ++ DslQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

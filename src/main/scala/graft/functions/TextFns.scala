@@ -41,7 +41,10 @@ object TextFns {
     * list_reduce over the same char codes — used as an oracle-checkable
     * document fingerprint alongside md5. */
   def polyHash(c: Column): Column = {
-    val codes = transform(sequence(lit(1), length(c)), i => ascii(substring(c, i, lit(1))))
+    // split("") yields the char array in one O(n) pass; indexing with
+    // substring(s, i, 1) instead is O(n) per char on UTF8 strings (O(n^2)
+    // per doc — measured 23s vs ~1s over 5000 docs at sf0.1)
+    val codes = transform(split(c, ""), ch => ascii(ch))
     aggregate(codes, lit(0L), (acc, code) => pmod(acc * 31 + code, lit(2147483647L)))
   }
 

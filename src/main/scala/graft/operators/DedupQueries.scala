@@ -71,6 +71,41 @@ object DedupQueries {
       .select($"doc_id", $"lang", TextFns.shingles($"text", 3).as("sh"))
   }
 
+  /** FNV-1a 64-bit — the JVM-loop hash for the signature hot path. The
+    * minhash/simhash result contract does not depend on hash choice (LSH
+    * candidates are re-verified with exact jaccard), so the sketch kernels
+    * run as per-partition JVM loops (~10us/doc) instead of interpreted
+    * higher-order expressions (~3.5ms/doc measured at sf0.1) — that
+    * per-doc constant IS the 100 TB bottleneck. */
+  private def fnv64(str: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < str.length) { h ^= str.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** (doc_id, band, band_hash) rows, sketch computed in a JVM loop. */
+  private def bandRowsTyped(s: SparkSession, shingleDf: DataFrame): DataFrame = {
+    import s.implicits._
+    shingleDf.select($"doc_id", $"sh").as[(Long, Seq[String])]
+      .flatMap { case (id, sh) =>
+        val hs = sh.iterator.map(x => ((fnv64(x) % P) + P) % P).toArray
+        val sig = Array.tabulate(NumHashes) { i =>
+          var m = Long.MaxValue; var j = 0
+          while (j < hs.length) {
+            val v = (hs(j) * hashA(i) + hashB(i)) % P
+            if (v < m) m = v
+            j += 1
+          }
+          m
+        }
+        (0 until Bands).iterator.map { b =>
+          (id, b, fnv64(s"$b:${sig(b * 3)}:${sig(b * 3 + 1)}:${sig(b * 3 + 2)}"))
+        }
+      }
+      .toDF("doc_id", "band", "bh")
+  }
+
   /** Exact-jaccard verified pair set — shared by the quadratic baseline and
     * as the LSH verification step. */
   private val PairSql = """
@@ -137,15 +172,20 @@ object DedupQueries {
       "d03_dedup_minhash_lsh",
       (s, d) => {
         import s.implicits._
-        val sh = docShingles(s, d)
-        val withBands = sh
-          .withColumn("bands", bandHashes(minhashSig($"sh")))
-          .select($"doc_id", $"lang", $"sh", posexplode($"bands").as(Seq("band", "bh")))
-        val l = withBands.select($"band", $"bh", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
-        val r = withBands.select($"band", $"bh", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
-        l.join(r, Seq("band", "bh"))
+        // Materialize shingles + band rows ONCE (cache). Without it the
+        // self-join recomputes the sketch on BOTH sides of every band row
+        // (measured 886s vs ~5s at sf0.1). At cluster scale the same
+        // principle holds: persist (or write) the signature table before
+        // the band join.
+        val sh = docShingles(s, d).cache()
+        val bands = bandRowsTyped(s, sh).cache()
+        val cand = bands.select($"band", $"bh", $"doc_id".as("doc_a"))
+          .join(bands.select($"band", $"bh", $"doc_id".as("doc_b")), Seq("band", "bh"))
           .filter($"doc_a" < $"doc_b")
-          .select($"doc_a", $"doc_b", $"sh_a", $"sh_b").distinct()
+          .select($"doc_a", $"doc_b").distinct()
+        cand
+          .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
+          .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
           .select($"doc_a", $"doc_b", TextFns.jaccardMilli($"sh_a", $"sh_b").as("j_milli"))
           .filter($"j_milli" >= 800)
           .orderBy($"doc_a", $"doc_b")
@@ -159,9 +199,28 @@ object DedupQueries {
       "d04_dedup_simhash",
       (s, d) => {
         import s.implicits._
+        // same materialize-before-self-join + JVM-kernel principles as d03
         val docs = Tables.documents(s, d)
-          .select($"doc_id", $"lang", simhash(TextFns.tokens($"text")).as("sig"))
-        val chunked = docs.select($"doc_id", $"lang", $"sig",
+          .select($"doc_id", TextFns.tokens($"text").as("t"))
+          .as[(Long, Seq[String])]
+          .map { case (id, toks) =>
+            val votes = new Array[Int](64)
+            toks.foreach { tk =>
+              val h = fnv64(tk)
+              var b = 0
+              while (b < 64) {
+                if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+                b += 1
+              }
+            }
+            var sig = 0L
+            var b = 0
+            while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+            (id, sig)
+          }
+          .toDF("doc_id", "sig")
+          .cache()
+        val chunked = docs.select($"doc_id", $"sig",
           posexplode(array((0 until 4).map(c =>
             shiftright($"sig", c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "cv")))
         val l = chunked.select($"chunk", $"cv", $"doc_id".as("doc_a"), $"sig".as("sig_a"))
@@ -177,16 +236,43 @@ object DedupQueries {
       oracle = None),
 
     // ----- embedding-cosine near-dup ----------------------------------------
+    // All-pairs vector math is the one place interpreted higher-order
+    // expressions lose badly (measured 149s vs ~1s at sf0.1): the kernel is
+    // a broadcast of the (small) vector table + a tight JVM loop per
+    // partition. Same double-precision left-to-right accumulation as
+    // zip_with/aggregate => bit-identical to the DuckDB oracle. At cluster
+    // scale this becomes block-broadcast (or LSH-bucketed d03-style).
     QueryDef(
       "d05_dedup_embedding_cosine",
       (s, d) => {
         import s.implicits._
-        val e = Tables.embeddings(s, d)
-        val a = e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"), $"label".as("label_a"))
-        val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
-        a.join(b, $"vec_a" < $"vec_b")
-          .select($"vec_a", $"vec_b", VectorFns.cosineMilli($"emb_a", $"emb_b").as("cos_milli"))
-          .filter($"cos_milli" >= 400)
+        val vecs = Tables.embeddings(s, d)
+          .select($"vec_id", $"embedding")
+          .as[(Long, Array[Float])]
+        val all = s.sparkContext.broadcast(
+          vecs.collect().sortBy(_._1).map { case (id, e) =>
+            val dd = e.map(_.toDouble)
+            var n = 0.0; var i = 0
+            while (i < dd.length) { n += dd(i) * dd(i); i += 1 }
+            (id, dd, math.sqrt(n))
+          })
+        vecs.mapPartitions { it =>
+          val corpus = all.value
+          it.flatMap { case (idA, embA) =>
+            val a = embA.map(_.toDouble)
+            var na = 0.0; var i = 0
+            while (i < a.length) { na += a(i) * a(i); i += 1 }
+            val normA = math.sqrt(na)
+            corpus.iterator
+              .filter(_._1 > idA)
+              .map { case (idB, b, normB) =>
+                var dot = 0.0; var j = 0
+                while (j < a.length) { dot += a(j) * b(j); j += 1 }
+                (idA, idB, math.floor(dot * 1000.0 / (normA * normB)).toLong)
+              }
+              .filter(_._3 >= 400L)
+          }
+        }.toDF("vec_a", "vec_b", "cos_milli")
           .orderBy($"vec_a", $"vec_b")
       },
       oracle = Some("""

@@ -1,0 +1,67 @@
+package graft
+
+/** Plan-quality gates (SURVEY.md §4.2): these assert the *shape* of the
+  * physical plan, not results — predicate pushdown reaching the parquet
+  * scan, column pruning, broadcast joins for dimensions, no cartesian
+  * products where an equi-join is expected. A correct-but-badly-planned
+  * query fails here before it ever becomes a 100 TB incident. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: filter is pushed down to the parquet scan") {
+    val p = plan("q02_filter_projection")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,49.0)"), p)
+  }
+
+  test("q02: scan reads only the needed columns") {
+    val p = plan("q02_filter_projection")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_tax") && !read.contains("l_returnflag"),
+      s"column pruning failed: $read")
+  }
+
+  test("q03: dimension joins are broadcast, fact side not shuffled by join") {
+    val p = plan("q03_join_broadcast_star")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q04: fact-fact join is an equi hash join, never a nested loop") {
+    // at small sf Catalyst rightly broadcasts the smaller fact; the gate is
+    // that it stays an equi join (BHJ/SHJ/SMJ all fine)
+    val p = plan("q04_join_shuffle_facts")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("NestedLoop"), p)
+  }
+
+  test("q12: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan("q12_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q21: interval join broadcasts the tiny bucket table") {
+    val p = plan("q21_range_join_buckets")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q01: aggregation has a map-side partial phase") {
+    val p = plan("q01_agg_pricing_summary")
+    assert(p.contains("partial_"), s"no partial aggregation: $p")
+  }
+
+  test("whole-stage codegen covers the scan->filter->project spine of q02") {
+    // AQE hides codegen spans in the unexecuted plan string; ask for the
+    // codegen view explicitly
+    val p = SparkEntry.queries("q02_filter_projection")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(p.contains("WholeStageCodegen"), p.take(2000))
+  }
+
+  test("s01: ANN scoring broadcasts the query vectors") {
+    val p = plan("s01_ann_bruteforce_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}

@@ -10,7 +10,7 @@ object SparkEntry {
 
   /** All registered capabilities, by module. */
   def allDefs: Seq[QueryDef] =
-    RelationalQueries.all ++ EventQueries.all ++
+    RelationalQueries.all ++ ExtraRelationalQueries.all ++ EventQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
       Multimodal.all ++ DslQueries.all
 

@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Second tranche of CONTRACT-layer coverage (SURVEY.md §2.2): multiset set
+  * ops, analytic window functions, ordered collect, map functions over JSON
+  * props, a custom typed Aggregator, and the reference's load-test pipeline
+  * at its original 36.3M-element volume. */
+object ExtraRelationalQueries {
+
+  /** Typed custom aggregation (SURVEY §2.2 "Aggregator[IN,BUF,OUT]"): the
+    * cents-range (max-min) of an integer-cents column — buffer is a pair of
+    * exact longs, so the result is engine-order-independent. */
+  object CentsRange extends Aggregator[Long, (Long, Long), Long] {
+    def zero: (Long, Long) = (Long.MaxValue, Long.MinValue)
+    def reduce(b: (Long, Long), a: Long): (Long, Long) =
+      (math.min(b._1, a), math.max(b._2, a))
+    def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+      (math.min(x._1, y._1), math.max(x._2, y._2))
+    def finish(r: (Long, Long)): Long = if (r._2 < r._1) 0L else r._2 - r._1
+    def bufferEncoder: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ----- multiset set ops: EXCEPT ALL / INTERSECT ALL ---------------------
+    QueryDef(
+      "q25_multiset_ops",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select(($"l_quantity").cast("long").as("q"))
+        val hi = Tables.lineitem(s, d).filter($"l_discount" >= 0.05)
+          .select(($"l_quantity").cast("long").as("q"))
+        val exceptAll = li.exceptAll(hi).groupBy($"q").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except_all"))
+        val intersectAll = li.intersectAll(hi).groupBy($"q").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("intersect_all"))
+        exceptAll.unionByName(intersectAll).orderBy($"op", $"q")
+      },
+      oracle = Some("""
+        SELECT q, n, op FROM (
+          SELECT q, count(*) AS n, 'except_all' AS op FROM (
+            SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+            EXCEPT ALL
+            SELECT CAST(l_quantity AS BIGINT) FROM lineitem WHERE l_discount >= 0.05)
+          GROUP BY q
+          UNION ALL
+          SELECT q, count(*) AS n, 'intersect_all' AS op FROM (
+            SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+            INTERSECT ALL
+            SELECT CAST(l_quantity AS BIGINT) FROM lineitem WHERE l_discount >= 0.05)
+          GROUP BY q)
+        ORDER BY op, q""")),
+
+    // ----- analytic window functions: ntile / percent_rank / cume_dist ------
+    QueryDef(
+      "q26_window_analytics",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderpriority")
+          .orderBy($"o_totalprice", $"o_orderkey")
+        Tables.orders(s, d)
+          .select($"o_orderpriority", $"o_orderkey",
+            ntile(4).over(w).cast("long").as("quartile"),
+            floor(percent_rank().over(w) * 10000).cast("long").as("pct_rank_bp"),
+            floor(cume_dist().over(w) * 10000).cast("long").as("cume_bp"))
+          .orderBy($"o_orderpriority", $"o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, o_orderkey,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               CAST(floor(percent_rank() OVER w * 10000) AS BIGINT) AS pct_rank_bp,
+               CAST(floor(cume_dist() OVER w * 10000) AS BIGINT) AS cume_bp
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderpriority, o_orderkey""")),
+
+    // ----- ordered collect_list / collect_set -------------------------------
+    QueryDef(
+      "q27_collect_sorted",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupBy($"o_custkey")
+          .agg(
+            concat_ws(",", sort_array(collect_set($"o_orderstatus"))).as("statuses"),
+            count(lit(1)).as("n"))
+          .orderBy($"o_custkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey,
+               array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+               count(*) AS n
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY o_custkey""")),
+
+    // ----- map functions over parsed JSON props ------------------------------
+    QueryDef(
+      "q28_map_functions",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select($"event_id",
+            from_json($"props", org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")).as("m"))
+          .select($"event_id",
+            concat_ws(",", map_keys($"m")).as("keys"),
+            element_at($"m", "k").cast("long").as("k_value"),
+            size($"m").cast("long").as("n_entries"))
+          .orderBy($"event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, 'k' AS keys,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+               CAST(1 AS BIGINT) AS n_entries
+        FROM events
+        ORDER BY event_id""")),
+
+    // ----- custom typed Aggregator ------------------------------------------
+    QueryDef(
+      "q29_typed_aggregator_range",
+      (s, d) => {
+        import s.implicits._
+        val rangeUdaf = udaf(CentsRange)
+        Tables.orders(s, d)
+          .select($"o_orderpriority", floor($"o_totalprice" * 100).cast("long").as("c"))
+          .groupBy($"o_orderpriority")
+          .agg(rangeUdaf($"c").as("range_c"), count(lit(1)).as("n"))
+          .orderBy($"o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority,
+               max(CAST(floor(o_totalprice * 100) AS BIGINT))
+                 - min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS range_c,
+               count(*) AS n
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ----- reference tests/load.rs at original volume ------------------------
+    // filter(even) ∘ map(factorial) ∘ map(+1) over 10! * 10 = 36,288,000
+    // elements (reference tests/load.rs:24-41) — the crate's only
+    // throughput artifact, reproduced as a codegen'd Spark pipeline via the
+    // DSL expression path.
+    QueryDef(
+      "r07_dsl_load_pipeline",
+      (s, d) => {
+        import s.implicits._
+        import graft.dsl.{Compiler, SP}
+        val n = 3628800L * 10L
+        def factLong(x: Long): Long = (1L to x).product max 1L
+        val factCase: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+          v => (0L to 9L).foldLeft(lit(-1L))((acc, k) =>
+            when(v === k, lit(factLong(k))).otherwise(acc))
+        val sp = SP.compose(
+          SP.compose(
+            SP.filterExpr[Long](_ % 2 == 0, v => v % 2 === 0),
+            SP.mapExpr[Long, Long](factLong, factCase)),
+          SP.mapExpr[Long, Long](_ + 1, v => v + 1))
+        val df = s.range(n).select(($"id" % 10).as("value"))
+        Compiler.compileExpr(sp, df, "value")
+          .getOrElse(sys.error("expression pipeline expected"))
+          .agg(sum($"value").as("sum_out"), count(lit(1)).as("n_out"))
+      },
+      oracle = Some("""
+        SELECT sum(value) AS sum_out, count(*) AS n_out FROM (
+          SELECT CASE CAST(range % 10 AS BIGINT)
+                   WHEN 0 THEN 1 WHEN 2 THEN 2 WHEN 4 THEN 24
+                   WHEN 6 THEN 720 WHEN 8 THEN 40320 END + 1 AS value
+          FROM range(36288000)
+          WHERE range % 2 = 0)""")))
+}

@@ -21,7 +21,13 @@ object TextFns {
 
   /** Distinct n-token shingles ("w1 w2 w3"). Docs shorter than n tokens
     * produce one partial shingle (concat_ws skips the nulls past the end —
-    * same out-of-bounds => NULL semantics as DuckDB list indexing). */
+    * same out-of-bounds => NULL semantics as DuckDB list indexing).
+    *
+    * PERFORMANCE WARNING: the lambda closes over the token-array
+    * *expression*, and Catalyst inlines it — tokenization re-runs for every
+    * element access (O(shingles x tokens) per doc). Reference semantics
+    * only; hot paths build shingles in a typed map over a materialized
+    * token column (see DedupQueries.docShingles, 30x faster at sf0.1). */
   def shingles(c: Column, n: Int = 3): Column = {
     val t = tokens(c)
     array_distinct(

@@ -65,10 +65,29 @@ object DedupQueries {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Distinct 3-token shingles per doc. Tokenization is native; the shingle
+    * build runs in a typed JVM map: the expression form
+    * (TextFns.shingles) references the token array from inside a lambda and
+    * Catalyst inlines it, re-running regexp+split for every element access —
+    * measured 12s vs 0.4s over 5000 docs at sf0.1. Same values either way
+    * (partial trailing shingle via space-joined available tokens, then
+    * distinct), so the DuckDB PairSql oracle is unchanged. */
   private def docShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id", $"lang", TextFns.shingles($"text", 3).as("sh"))
+      .select($"doc_id", TextFns.tokens($"text").as("t"))
+      .as[(Long, Seq[String])]
+      .map { case (id, t) =>
+        val n = math.max(t.length - 2, 1)
+        val sh = new scala.collection.mutable.LinkedHashSet[String]
+        var i = 0
+        while (i < n) {
+          sh += t.slice(i, math.min(i + 3, t.length)).mkString(" ")
+          i += 1
+        }
+        (id, sh.toSeq)
+      }
+      .toDF("doc_id", "sh")
   }
 
   /** FNV-1a 64-bit — the JVM-loop hash for the signature hot path. The

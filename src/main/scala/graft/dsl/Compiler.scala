@@ -64,16 +64,21 @@ object Compiler {
     }
   }
 
-  /** Expression path for `alternate(map f, map g)` over a totally-ordered
-    * stream: output i comes from branch i % 2 (reference alternation is per
-    * *emission*; for 1-in-1-out branches that is row parity). Emits a
-    * row_number + when/otherwise plan — no state machine.
+  /** Expression path for `alternate(map f, map g)` over keyed streams:
+    * within each key's seq-ordered stream, output i comes from branch i % 2
+    * (reference alternation is per *emission*; for 1-in-1-out branches that
+    * is row parity). Emits a row_number + when/otherwise plan — no state
+    * machine, and the window is partitioned by key so the plan scales: an
+    * unpartitioned `Window.orderBy` would move the whole dataset to a single
+    * task (the engine runs one rspl machine per key, SURVEY.md §7.4 #1, so
+    * per-key parity is the native semantics).
     */
   def compileAlternateExpr(
-      sp: SP[_, _], df: DataFrame, valueCol: String, orderCol: String): Option[DataFrame] =
+      sp: SP[_, _], df: DataFrame, valueCol: String, keyCol: String,
+      orderCol: String): Option[DataFrame] =
     sp match {
       case SP.Alternate(SP.Map(_, Some(e1)), SP.Map(_, Some(e2))) =>
-        val w = Window.orderBy(col(orderCol))
+        val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
         Some(df
           .withColumn("__rn", row_number().over(w))
           .withColumn(valueCol,

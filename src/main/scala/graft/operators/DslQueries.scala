@@ -57,17 +57,17 @@ object DslQueries {
         val sp = SP.alternate(
           SP.mapExpr[Double, Double](_ * 2.0, v => v * 2.0),
           SP.mapExpr[Double, Double](_ / 2.0, v => v / 2.0))
-        val df = Tables.events(s, d).select($"event_id", $"value".as("value"))
-        Compiler.compileAlternateExpr(sp, df, "value", "event_id")
+        val df = Tables.events(s, d).select($"user_id", $"event_id", $"value".as("value"))
+        Compiler.compileAlternateExpr(sp, df, "value", "user_id", "event_id")
           .getOrElse(sys.error("alternate(map,map) expected"))
-          .select($"event_id", floor($"value" * 100).cast("long").as("out_c"))
+          .select($"user_id", $"event_id", floor($"value" * 100).cast("long").as("out_c"))
           .orderBy($"event_id")
       },
       oracle = Some("""
-        SELECT event_id,
+        SELECT user_id, event_id,
                CAST(floor(CASE WHEN rn % 2 = 1 THEN value * 2.0 ELSE value / 2.0 END * 100) AS BIGINT) AS out_c
-        FROM (SELECT event_id, value,
-                     row_number() OVER (ORDER BY event_id) AS rn
+        FROM (SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
               FROM events)
         ORDER BY event_id""")),
 

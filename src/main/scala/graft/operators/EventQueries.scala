@@ -35,7 +35,7 @@ object EventQueries {
       },
       oracle = Some("""
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                count(*) AS n,
                CAST(sum(floor(value * 100)) AS BIGINT) AS value_c
         FROM events
@@ -150,7 +150,7 @@ object EventQueries {
         per_sess AS (
           SELECT user_id, sess_id, count(*) AS n_events
           FROM sess GROUP BY 1, 2)
-        SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+        SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
                max(n_events) AS max_session_events
         FROM per_sess
         GROUP BY user_id

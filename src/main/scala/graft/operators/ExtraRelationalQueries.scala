@@ -167,7 +167,7 @@ object ExtraRelationalQueries {
           .agg(sum($"value").as("sum_out"), count(lit(1)).as("n_out"))
       },
       oracle = Some("""
-        SELECT sum(value) AS sum_out, count(*) AS n_out FROM (
+        SELECT CAST(sum(value) AS BIGINT) AS sum_out, count(*) AS n_out FROM (
           SELECT CASE CAST(range % 10 AS BIGINT)
                    WHEN 0 THEN 1 WHEN 2 THEN 2 WHEN 4 THEN 24
                    WHEN 6 THEN 720 WHEN 8 THEN 40320 END + 1 AS value

@@ -249,10 +249,10 @@ object RelationalQueries {
       },
       oracle = Some("""
         SELECT l_suppkey, l_orderkey, l_linenumber,
-               sum(CAST(floor(l_quantity * 100) AS BIGINT)) OVER (
+               CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) OVER (
                  PARTITION BY l_suppkey
                  ORDER BY l_shipdate, l_orderkey, l_linenumber
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty_c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty_c
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'

@@ -110,8 +110,8 @@ object TextQueries {
       },
       oracle = Some(s"""
         SELECT lang, count(*) AS n_docs,
-               sum(len(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS total_ws_tokens,
-               sum(len(regexp_extract_all(text, '${TextFns.BpeishPattern}'))) AS total_bpeish_tokens
+               CAST(sum(len(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS BIGINT) AS total_ws_tokens,
+               CAST(sum(len(regexp_extract_all(text, '${TextFns.BpeishPattern}'))) AS BIGINT) AS total_bpeish_tokens
         FROM documents
         GROUP BY lang
         ORDER BY lang""")),

@@ -254,13 +254,12 @@ object DedupQueries {
       },
       oracle = None),
 
-    // ----- embedding-cosine near-dup ----------------------------------------
-    // All-pairs vector math is the one place interpreted higher-order
-    // expressions lose badly (measured 149s vs ~1s at sf0.1): the kernel is
-    // a broadcast of the (small) vector table + a tight JVM loop per
-    // partition. Same double-precision left-to-right accumulation as
-    // zip_with/aggregate => bit-identical to the DuckDB oracle. At cluster
-    // scale this becomes block-broadcast (or LSH-bucketed d03-style).
+    // ----- embedding-cosine near-dup: exact all-pairs correctness anchor ----
+    // Like d02, this is the *quadratic baseline*: collect + broadcast +
+    // all-pairs JVM loop, bit-identical to the DuckDB oracle (same sequential
+    // double accumulation), small-table only — benchmark=false. The 100 TB
+    // path is d06 (sign-LSH banded buckets + exact-cosine verification),
+    // which involves no driver-side collect.
     QueryDef(
       "d05_dedup_embedding_cosine",
       (s, d) => {
@@ -302,5 +301,67 @@ object DedupQueries {
         FROM t a JOIN t b ON a.vec_id < b.vec_id
         WHERE floor(list_dot_product(a.e, b.e) * 1000.0 /
                  (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) >= 400
-        ORDER BY vec_a, vec_b""")))
+        ORDER BY vec_a, vec_b"""),
+      benchmark = false), // exact quadratic anchor; d06 is the scale path
+
+    // ----- embedding near-dup, sign-LSH banded: the 100 TB scale path -------
+    // d03's MinHash pattern applied to vectors: L=8 tables x K=4 hyperplanes
+    // each; a pair is a candidate iff it shares any table's 4-bit bucket
+    // (P(candidate) = 1-(1-p^4)^8 with p = 1 - acos(cos)/pi, i.e. ~0.94 at
+    // cos 0.8, ~1 at cos 0.95). Candidates come from an equi-join on
+    // (table, bucket) — a plain shuffle join with no driver collect and no
+    // all-pairs scan — then exact-cosine verification removes LSH false
+    // positives, so emitted pairs are always a subset of the d05 anchor
+    // (asserted in DedupSpec together with recall on the fixture).
+    QueryDef(
+      "d06_dedup_embedding_lsh",
+      (s, d) => {
+        import s.implicits._
+        val planes = VectorFns.hyperplanes(LshTables * LshPlanesPerTable, EmbDim)
+        val vecs = Tables.embeddings(s, d).select($"vec_id", $"embedding").cache()
+        // (vec_id, table, bucket) rows — JVM kernel, same materialize-before-
+        // self-join principle as d03's band rows
+        val buckets = vecs.as[(Long, Array[Float])]
+          .flatMap { case (id, emb) =>
+            val a = emb.map(_.toDouble)
+            (0 until LshTables).iterator.map { t =>
+              var bucket = 0L
+              var k = 0
+              while (k < LshPlanesPerTable) {
+                val p = planes(t * LshPlanesPerTable + k)
+                var dot = 0.0; var i = 0
+                while (i < a.length) { dot += a(i) * p(i); i += 1 }
+                if (dot >= 0) bucket |= (1L << k)
+                k += 1
+              }
+              (id, t, bucket)
+            }
+          }.toDF("vec_id", "tbl", "bucket").cache()
+        val cand = buckets.select($"tbl", $"bucket", $"vec_id".as("vec_a"))
+          .join(buckets.select($"tbl", $"bucket", $"vec_id".as("vec_b")), Seq("tbl", "bucket"))
+          .filter($"vec_a" < $"vec_b")
+          .select($"vec_a", $"vec_b").distinct()
+        cand
+          .join(vecs.select($"vec_id".as("vec_a"), $"embedding".as("ea")), Seq("vec_a"))
+          .join(vecs.select($"vec_id".as("vec_b"), $"embedding".as("eb")), Seq("vec_b"))
+          .select($"vec_a", $"vec_b", $"ea", $"eb")
+          .as[(Long, Long, Array[Float], Array[Float])]
+          .map { case (idA, idB, ea, eb) =>
+            // same sequential double accumulation as the d05 anchor
+            val a = ea.map(_.toDouble); val b = eb.map(_.toDouble)
+            var na = 0.0; var nb = 0.0; var dot = 0.0; var i = 0
+            while (i < a.length) {
+              na += a(i) * a(i); nb += b(i) * b(i); dot += a(i) * b(i); i += 1
+            }
+            (idA, idB, math.floor(dot * 1000.0 / (math.sqrt(na) * math.sqrt(nb))).toLong)
+          }
+          .toDF("vec_a", "vec_b", "cos_milli")
+          .filter($"cos_milli" >= 400L)
+          .orderBy($"vec_a", $"vec_b")
+      },
+      oracle = None))
+
+  private val EmbDim = 64
+  private val LshTables = 8
+  private val LshPlanesPerTable = 4
 }

@@ -61,19 +61,31 @@ object SimilarityQueries {
         ORDER BY query_id, rank""")),
 
     // ----- sign-LSH bucketed ANN (scale path; recall checked in tests) ------
+    // The query side explodes its bucket *neighborhood* (every bucket within
+    // hamming<=3 — C(8,0..3) = 93 masks) so candidate selection is a plain
+    // equi-join on bucket: the corpus is hash-partitioned by bucket and only
+    // matching buckets are ever touched. The alternative — a
+    // bit_count(xor)<=3 *predicate* — plans as a nested-loop scan of every
+    // corpus row per query, which cuts scoring but not scanning and dies at
+    // 100 TB. Same candidate set either way (x in neighborhood(q) iff
+    // hamming(x,q)<=3), so recall is unchanged.
     QueryDef(
       "s02_ann_lsh_bucketed",
       (s, d) => {
         import s.implicits._
         val planes = VectorFns.hyperplanes(NumPlanes, Dim)
+        val neighborhood: Seq[Long] =
+          (0L until (1L << NumPlanes)).filter(java.lang.Long.bitCount(_) <= 3)
         val e = Tables.embeddings(s, d)
           .withColumn("bucket", VectorFns.signLshBucket($"embedding", planes))
         val queries = e.filter($"vec_id" < 5)
-          .select($"vec_id".as("query_id"), $"embedding".as("q"), $"bucket".as("qb"))
-        // candidates: bucket within hamming<=3 of the query bucket
-        val cand = e.join(broadcast(queries),
-          $"vec_id" =!= $"query_id" &&
-            bit_count($"bucket".bitwiseXOR($"qb")) <= 3)
+          .select($"vec_id".as("query_id"), $"embedding".as("q"),
+            explode(array(neighborhood.map(m => $"bucket".bitwiseXOR(lit(m))): _*))
+              .as("bucket"))
+        // equi-join on bucket: each corpus row lands in exactly one bucket and
+        // each (query, bucket) mask is distinct, so candidates are unique
+        val cand = e.join(broadcast(queries), Seq("bucket"))
+          .filter($"vec_id" =!= $"query_id")
         val w = Window.partitionBy($"query_id")
           .orderBy($"cos_milli".desc, $"vec_id")
         cand

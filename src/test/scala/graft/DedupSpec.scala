@@ -40,6 +40,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("LSH embedding dedup is a subset of the exact anchor with high recall") {
+    def vecPairs(name: String): Map[(Long, Long), Long] =
+      SparkEntry.queries(name)(spark, sf)
+        .select("vec_a", "vec_b", "cos_milli").collect()
+        .map { case Row(a: Long, b: Long, c: Long) => (a, b) -> c }.toMap
+    val exact = vecPairs("d05_dedup_embedding_cosine")
+    val lsh = vecPairs("d06_dedup_embedding_lsh")
+    assert(exact.nonEmpty, "fixture should contain embedding near-dups")
+    // verification step guarantees: no false positives, identical scores
+    assert(lsh.keySet.subsetOf(exact.keySet), "LSH emitted a non-near-dup pair")
+    lsh.foreach { case (k, c) => assert(c === exact(k), s"score mismatch on $k") }
+    // banding guarantees: high-cosine pairs are recalled almost surely
+    val strong = exact.filter(_._2 >= 800L).keySet
+    if (strong.nonEmpty) {
+      val strongRecall = strong.count(lsh.contains).toDouble / strong.size
+      assert(strongRecall >= 0.9, s"recall@cos>=0.8 = $strongRecall")
+    }
+    val recall = exact.keySet.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"overall recall = $recall")
+  }
+
   test("identical texts get identical minhash signatures and simhash") {
     import spark.implicits._
     import graft.functions.TextFns

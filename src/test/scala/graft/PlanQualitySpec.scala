@@ -64,4 +64,11 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("s01_ann_bruteforce_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("s02: bucketed ANN candidate selection is a hash join on bucket, not a corpus scan") {
+    val p = plan("s02_ann_lsh_bucketed")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"candidate selection fell back to a scan: $p")
+  }
 }

@@ -28,7 +28,7 @@ class SimilaritySpec extends SparkSpec {
       lshSet.intersect(bfSet).size.toDouble / bfSet.size
     }
     val mean = recalls.sum / recalls.size
-    // sign-LSH with 12 planes, hamming<=2 expansion: recall is partial by
+    // sign-LSH with 8 planes, hamming<=3 neighborhood: recall is partial by
     // design; assert it beats random chance by a wide margin
     assert(mean >= 0.2, s"mean recall@10 = $mean")
   }

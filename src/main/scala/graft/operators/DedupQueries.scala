@@ -212,8 +212,12 @@ object DedupQueries {
       oracle = Some(PairSql)),
 
     // ----- SimHash near-dup: hamming<=3 via 4x16-bit chunk pigeonhole -------
-    // xxhash64-based => not SQL-reproducible; rows-only here, invariants in
-    // SimhashSpec (subset/superset relations vs the jaccard baseline).
+    // The JVM kernel's FNV-1a is reproduced in DuckDB with HUGEINT
+    // arithmetic mod 2^64 (same trick as t04's polyHash) — so unlike
+    // xxhash64-based sketches this one IS oracle-checkable: the oracle
+    // computes per-token FNV-1a, per-bit majority votes, the 64-bit
+    // signature, and the all-pairs hamming<=3 set (the chunk-blocked join
+    // finds exactly that set by the pigeonhole guarantee).
     QueryDef(
       "d04_dedup_simhash",
       (s, d) => {
@@ -252,7 +256,37 @@ object DedupQueries {
           .filter($"hamming" <= 3)
           .orderBy($"doc_a", $"doc_b")
       },
-      oracle = None),
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+          FROM documents),
+        dt AS (SELECT DISTINCT tok FROM toks),
+        th AS (
+          SELECT tok,
+            list_reduce(
+              list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                list_transform(generate_series(1, length(tok)),
+                  i -> CAST(ascii(substring(tok, i, 1)) AS HUGEINT))),
+              (acc, c) -> (xor(acc, c) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS h
+          FROM dt),
+        votes AS (
+          SELECT t.doc_id, g.b,
+                 sum(CASE WHEN (th.h // (CAST(1 AS HUGEINT) << g.b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+          FROM toks t JOIN th ON t.tok = th.tok
+          CROSS JOIN generate_series(0, 63) g(b)
+          GROUP BY t.doc_id, g.b),
+        sigs AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
+                           THEN s - CAST(18446744073709551616 AS HUGEINT) ELSE s END AS BIGINT) AS sig
+          FROM (SELECT doc_id,
+                       sum(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << b) ELSE CAST(0 AS HUGEINT) END) AS s
+                FROM votes GROUP BY doc_id))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        ORDER BY doc_a, doc_b""")),
 
     // ----- embedding-cosine near-dup: exact all-pairs correctness anchor ----
     // Like d02, this is the *quadratic baseline*: collect + broadcast +

@@ -100,25 +100,108 @@ object ExtraRelationalQueries {
         ORDER BY o_custkey""")),
 
     // ----- map functions over parsed JSON props ------------------------------
+    // Semantic (not fixture-shaped) oracle: both sides derive the key set,
+    // entry count, and lookups from the JSON structure itself (DuckDB
+    // json_keys), and the map is widened with map_concat so the query
+    // exercises multi-key maps even though fixture props carry one key.
     QueryDef(
       "q28_map_functions",
       (s, d) => {
         import s.implicits._
+        val m = from_json($"props",
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>"))
         Tables.events(s, d)
+          .select($"event_id", $"event_type",
+            map_concat(m, map(lit("et"), $"event_type")).as("m"))
           .select($"event_id",
-            from_json($"props", org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")).as("m"))
-          .select($"event_id",
-            concat_ws(",", map_keys($"m")).as("keys"),
+            concat_ws(",", array_sort(map_keys($"m"))).as("keys"),
             element_at($"m", "k").cast("long").as("k_value"),
+            element_at($"m", "et").as("et_value"),
             size($"m").cast("long").as("n_entries"))
           .orderBy($"event_id")
       },
       oracle = Some("""
-        SELECT event_id, 'k' AS keys,
+        SELECT event_id,
+               array_to_string(list_sort(list_append(json_keys(props), 'et')), ',') AS keys,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
-               CAST(1 AS BIGINT) AS n_entries
+               event_type AS et_value,
+               CAST(len(json_keys(props)) + 1 AS BIGINT) AS n_entries
         FROM events
         ORDER BY event_id""")),
+
+    // ----- explicit GROUPING SETS (the general form behind rollup/cube) -----
+    // Disjoint single-dimension sets — the shape ROLLUP/CUBE can't express;
+    // grouping() flags disambiguate natural NULLs from subtotal NULLs.
+    QueryDef(
+      "q36_grouping_sets",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupingSets(
+            Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority")),
+            $"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(floor($"o_totalprice" * 100)).cast("long").as("total_c"),
+            grouping($"o_orderstatus").cast("long").as("g_s"),
+            grouping($"o_orderpriority").cast("long").as("g_p"))
+          .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+            coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+            $"n", $"total_c", $"g_s", $"g_p")
+          .orderBy($"status", $"priority")
+      },
+      oracle = Some("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS total_c,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_s,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_p
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY status, priority""")),
+
+    // ----- array functions: build, transform, filter, zip_with, aggregate, --
+    // explode + re-aggregate roundtrip (SURVEY §2.2 scalar array fns)
+    QueryDef(
+      "q37_array_functions",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.lineitem(s, d)
+          .groupBy($"l_orderkey")
+          .agg(sort_array(collect_list(floor($"l_quantity" * 100).cast("long"))).as("qs"))
+        // explode + re-aggregate: prove the roundtrip sums back to the array fold
+        val resum = base.select($"l_orderkey", explode($"qs").as("x"))
+          .groupBy($"l_orderkey").agg(sum($"x").as("explode_resum_c"))
+        base.join(resum, Seq("l_orderkey"))
+          .select($"l_orderkey".as("okey"),
+            size($"qs").cast("long").as("n_items"),
+            aggregate($"qs", lit(0L), (a, x) => a + x).as("qty_sum_c"),
+            array_max($"qs").as("qty_max_c"),
+            size(filter($"qs", _ > 2500L)).cast("long").as("n_big"),
+            aggregate(zip_with($"qs", reverse($"qs"), (a, b) => a + b),
+              lit(0L), (a, x) => a + x).as("palindrome_sum_c"),
+            $"explode_resum_c")
+          .orderBy($"okey")
+      },
+      oracle = Some("""
+        WITH arr AS (
+          SELECT l_orderkey,
+                 list_sort(list(CAST(floor(l_quantity * 100) AS BIGINT))) AS qs
+          FROM lineitem GROUP BY l_orderkey),
+        resum AS (
+          SELECT l_orderkey, CAST(sum(x) AS BIGINT) AS explode_resum_c
+          FROM (SELECT l_orderkey, unnest(qs) AS x FROM arr)
+          GROUP BY l_orderkey)
+        SELECT arr.l_orderkey AS okey,
+               CAST(len(qs) AS BIGINT) AS n_items,
+               CAST(list_sum(qs) AS BIGINT) AS qty_sum_c,
+               CAST(list_max(qs) AS BIGINT) AS qty_max_c,
+               CAST(len(list_filter(qs, x -> x > 2500)) AS BIGINT) AS n_big,
+               CAST(list_sum(list_transform(generate_series(1, len(qs)),
+                 i -> qs[i] + qs[len(qs) - i + 1])) AS BIGINT) AS palindrome_sum_c,
+               explode_resum_c
+        FROM arr JOIN resum ON arr.l_orderkey = resum.l_orderkey
+        ORDER BY okey""")),
 
     // ----- custom typed Aggregator ------------------------------------------
     QueryDef(

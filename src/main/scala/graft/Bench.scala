@@ -5,7 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark main (driver contract): runs the headline query set
   * (QueryDef.benchmark == true) on SPARK_GRAFT_SF_DIR and prints ONE JSON
   * line. Each query is forced end-to-end through the noop sink — a plain
-  * count() would let Catalyst prune the query down to a row count. */
+  * count() would let Catalyst prune the query down to a row count.
+  *
+  * Each query runs TWICE and the second (steady-state) time is reported:
+  * at sf0.1 the first run is dominated by whole-stage-codegen compilation
+  * + JIT (~0.5s/query of noise — enough to hide a 2x plan regression);
+  * the second run reflects the plan. The cache is cleared between runs so
+  * queries that persist intermediates (d03/d06 sketch tables) recompute
+  * them — we measure the plan, not a warm cache. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,13 +28,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: session init, codegen JIT, parquet footers
     Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
-    val results = SparkEntry.allDefs.filter(_.benchmark).map { q =>
+    def runOnce(q: QueryDef): Double = {
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.allDefs.filter(_.benchmark).map { q =>
+      runOnce(q)                    // codegen-compile + JIT warmup, untimed
+      spark.catalog.clearCache()    // drop persisted intermediates: time the plan
+      q.name -> runOnce(q)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

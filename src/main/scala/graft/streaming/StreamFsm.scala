@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.dsl.Keyed
 import org.apache.spark.sql.{Dataset, Encoder}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming execution of the DSL's stateful layer (SURVEY.md §2.1 P1-P4).
   *
@@ -28,6 +28,21 @@ object StreamFsm {
   /** Checkpointable FSM state: user state + per-key emission counter (the
     * counter preserves rspl's output-sequence numbering across batches). */
   final case class FsmState[S](userState: S, emitted: Long)
+
+  /** Pick the best available stateful runner for this session: the Spark 4
+    * `transformWithState` path when the RocksDB state store provider is
+    * configured (TWS requires it), else the `flatMapGroupsWithState`
+    * fallback (SURVEY.md §7.4 #6) — one interface, same Mealy contract. */
+  def fsmStreamAuto[S, A, B](ds: Dataset[Keyed[A]], init: S)(
+      t: (S, A) => (S, Seq[B]))(
+      implicit encLong: Encoder[Long],
+      encState: Encoder[FsmState[S]],
+      encOut: Encoder[Keyed[B]]): Dataset[Keyed[B]] = {
+    val provider = ds.sparkSession.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass").getOrElse("")
+    if (provider.contains("RocksDB")) fsmStreamTws(ds, init)(t)
+    else fsmStream(ds, init)(t)
+  }
 
   /** Run a keyed Mealy machine over a (streaming or batch) Dataset.
     * Within a micro-batch, rows are processed in `seq` order. */
@@ -97,4 +112,104 @@ object StreamFsm {
             }
           out.iterator
       }
+
+  /** Mealy machine on the Spark 4 `transformWithState` operator (state-store
+    * v2): `ValueState` holds the FSM state; requires the RocksDB state store
+    * provider. Same contract and output sequence as [[fsmStream]]. */
+  def fsmStreamTws[S, A, B](ds: Dataset[Keyed[A]], init: S)(
+      t: (S, A) => (S, Seq[B]))(
+      implicit encLong: Encoder[Long],
+      encState: Encoder[FsmState[S]],
+      encOut: Encoder[Keyed[B]]): Dataset[Keyed[B]] =
+    ds.groupByKey(_.key)
+      .transformWithState(
+        new MealyProcessor[S, A, B](init, t, encState),
+        TimeMode.None(), OutputMode.Append(), encOut)
+
+  private final class MealyProcessor[S, A, B](
+      zero: S, t: (S, A) => (S, Seq[B]), encState: Encoder[FsmState[S]])
+      extends StatefulProcessor[Long, Keyed[A], Keyed[B]] {
+    @transient private var st: ValueState[FsmState[S]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("fsm", encState, TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[Keyed[A]], tv: TimerValues): Iterator[Keyed[B]] = {
+      val st0 = Option(st.get()).getOrElse(FsmState(zero, 0L))
+      var s = st0.userState
+      var emitted = st0.emitted
+      val out = rows.toVector.sortBy(_.seq).flatMap { ka =>
+        val (s2, bs) = t(s, ka.value)
+        s = s2
+        bs.map { b => val kb = Keyed(key, emitted, b); emitted += 1; kb }
+      }
+      st.update(FsmState(s, emitted))
+      out.iterator
+    }
+  }
+
+  /** Timer-driven FSM on `transformWithState` — the faithful carrier of the
+    * reference's `EmitTimeoutAfter` capability (`examples/pelican.rs:
+    * 323-325,346-367`): the *transition itself* requests its next timeout
+    * (`armMs`), exactly like the pelican machine emitting
+    * `EmitTimeoutAfter(len)` for the driver to schedule. Native state-store
+    * timers make re-arming safe: a timer fires once at its expiry (no
+    * self-triggering livelock as with the `flatMapGroupsWithState`
+    * processing-time timeout, which re-runs on every trigger once armed) —
+    * so the pelican blink loop (timeout → emit → arm next timeout) is
+    * directly expressible.
+    *
+    * Transition contract: `(state, Some(a))` on input, `(state, None)` on
+    * timer expiry; returns `(newState, outputs, armMs)` where `armMs`
+    * schedules the next timeout that many ms ahead (replacing any pending
+    * timer) and `None` leaves timers alone. */
+  def fsmStreamWithTimersTws[S, A, B](ds: Dataset[Keyed[A]], init: S)(
+      t: (S, Option[A]) => (S, Seq[B], Option[Long]))(
+      implicit encLong: Encoder[Long],
+      encState: Encoder[FsmState[S]],
+      encOut: Encoder[Keyed[B]]): Dataset[Keyed[B]] =
+    ds.groupByKey(_.key)
+      .transformWithState(
+        new TimerMealyProcessor[S, A, B](init, t, encState),
+        TimeMode.ProcessingTime(), OutputMode.Append(), encOut)
+
+  private final class TimerMealyProcessor[S, A, B](
+      zero: S, t: (S, Option[A]) => (S, Seq[B], Option[Long]),
+      encState: Encoder[FsmState[S]])
+      extends StatefulProcessor[Long, Keyed[A], Keyed[B]] {
+    @transient private var st: ValueState[FsmState[S]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("fsm", encState, TTLConfig.NONE)
+
+    private def arm(nowMs: Long, delayMs: Option[Long]): Unit =
+      delayMs.foreach { d =>
+        getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+        getHandle.registerTimer(nowMs + d)
+      }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Keyed[A]], tv: TimerValues): Iterator[Keyed[B]] = {
+      val st0 = Option(st.get()).getOrElse(FsmState(zero, 0L))
+      var s = st0.userState
+      var emitted = st0.emitted
+      val out = rows.toVector.sortBy(_.seq).flatMap { ka =>
+        val (s2, bs, armMs) = t(s, Some(ka.value))
+        s = s2
+        arm(tv.getCurrentProcessingTimeInMs, armMs)
+        bs.map { b => val kb = Keyed(key, emitted, b); emitted += 1; kb }
+      }
+      st.update(FsmState(s, emitted))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues, info: ExpiredTimerInfo): Iterator[Keyed[B]] = {
+      val st0 = Option(st.get()).getOrElse(FsmState(zero, 0L))
+      val (s2, bs, armMs) = t(st0.userState, None)
+      var emitted = st0.emitted
+      val out = bs.map { b => val kb = Keyed(key, emitted, b); emitted += 1; kb }
+      st.update(FsmState(s2, emitted))
+      arm(tv.getCurrentProcessingTimeInMs, armMs)
+      out.iterator
+    }
+  }
 }

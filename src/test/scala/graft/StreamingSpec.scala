@@ -93,6 +93,87 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, RocksDbProvider)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState FSM over MemoryStream equals batch r05 result") {
+    withRocksDb {
+      implicit val sq = spark.sqlContext
+      val ms = MemoryStream[(Long, Long, String, Double)]
+      val keyed = ms.toDS().map { case (u, id, t, v) => Keyed(u, id, (t, v, id)) }
+      val out = StreamFsm.fsmStreamAuto(keyed, false) {
+        (st: Boolean, e: (String, Double, Long)) =>
+          e match {
+            case ("signup", _, _) => (!st, Nil)
+            case ("purchase", v, id) if st => (st, Seq((id, math.floor(v * 100).toLong)))
+            case _ => (st, Nil)
+          }
+      }
+      val q = out.writeStream.format("memory").queryName("tws_out")
+        .outputMode("append").start()
+      try {
+        val chunks = eventsTuples.grouped(math.max(1, eventsTuples.size / 3 + 1)).toSeq
+        chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+        val streamed = spark.table("tws_out").as[Keyed[(Long, Long)]]
+          .collect().map(k => (k.key, k.value._1, k.value._2)).sorted.toVector
+        val batch = SparkEntry.queries("r05_dsl_fsm_stateful")(spark, sf)
+          .as[(Long, Long, Long)].collect().sorted.toVector
+        assert(streamed === batch)
+        assert(streamed.nonEmpty)
+        // prove we actually exercised the transformWithState operator
+        assert(q.lastProgress.stateOperators
+          .exists(_.operatorName.toLowerCase.contains("transformwithstate")))
+      } finally q.stop()
+    }
+  }
+
+  test("transformWithState native timers re-arm (pelican blink-loop semantics)") {
+    withRocksDb {
+      implicit val sq = spark.sqlContext
+      val ms = MemoryStream[(Long, Long, String)]
+      val keyed = ms.toDS().map { case (k, seq, v) => Keyed(k, seq, v) }
+      // reference pelican feedback loop (examples/pelican.rs:323-325,346-367):
+      // the machine requests its own next timeout on every transition — the
+      // first input arms a timer; every expiry emits a tick and re-arms
+      val out = StreamFsm.fsmStreamWithTimersTws(keyed, 0L) {
+        (n: Long, e: Option[String]) =>
+          e match {
+            case Some(_) => (n, Nil, Some(150L))                 // arm on input
+            case None => (n + 1, Seq(s"tick_$n"), Some(150L))    // emit + re-arm
+          }
+      }
+      val q = out.writeStream.format("memory").queryName("tws_timer")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+        .start()
+      try {
+        ms.addData((1L, 0L, "go"))
+        // poll the sink: each expiry must re-arm the next one, so ticks keep
+        // arriving — the one-shot flatMapGroupsWithState path cannot do this
+        val deadline = System.currentTimeMillis() + 60000
+        var vals = Array.empty[String]
+        while (vals.length < 3 && System.currentTimeMillis() < deadline) {
+          Thread.sleep(250)
+          vals = spark.table("tws_timer").as[Keyed[String]]
+            .collect().filter(_.key == 1L).map(_.value)
+        }
+        assert(vals.length >= 3, s"expected >=3 re-armed ticks, got: ${vals.toSeq}")
+        assert(vals.take(3).toSeq === Seq("tick_0", "tick_1", "tick_2"))
+      } finally q.stop()
+    }
+  }
+
   test("fsm with processing-time timeout emits on silence (pelican P4 shape)") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[(Long, Long, String)]

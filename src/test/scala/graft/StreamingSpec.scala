@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
 /** Streaming semantics (SURVEY.md §2.2 streaming + M7): the same operators
   * produce the same results under incremental micro-batch execution as in
   * batch — windows, watermarks, stateful FSMs over MemoryStream. */
+object StreamingSpec {
+  /** Cross-executor-safe log for the foreachBatch feedback test (local
+    * mode: one JVM, but foreachBatch closures must not capture the suite). */
+  val feedbackLog = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+}
+
 class StreamingSpec extends SparkSpec {
 
   import spark.implicits._
@@ -172,6 +178,71 @@ class StreamingSpec extends SparkSpec {
         assert(vals.take(3).toSeq === Seq("tick_0", "tick_1", "tick_2"))
       } finally q.stop()
     }
+  }
+
+  test("general feedback via sink write-back into the source (P4 general cycle)") {
+    // Structured Streaming forbids cycles in one query graph; the pattern
+    // for general feedback (SURVEY §2.1 P4: write-back to a topic unioned
+    // into the source — reference pelican.rs:346-367 does it with a
+    // channel) is: interpret outputs in foreachBatch and enqueue derived
+    // events into the SAME source. MemoryStream plays the topic here: a
+    // countdown machine re-enqueues n-1 until 0, so one seed event must
+    // produce the whole chain across self-triggered micro-batches.
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long)]
+    val keyed = ms.toDS().map { case (k, seq, n) => Keyed(k, seq, n) }
+    val out = StreamFsm.fsmStream(keyed, 0L) { (tick: Long, n: Long) =>
+      (tick + 1, Seq(n))
+    }
+    val seqGen = new java.util.concurrent.atomic.AtomicLong(100L)
+    val q = out.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Keyed[Long]], _: Long) =>
+        val outs = batch.collect()
+        // the write-back edge: emit n-1 for every n > 0
+        outs.filter(_.value > 0L).foreach { k =>
+          ms.addData((k.key, seqGen.incrementAndGet(), k.value - 1))
+        }
+        outs.foreach(k => StreamingSpec.feedbackLog.add(k.value))
+      }
+      .start()
+    try {
+      StreamingSpec.feedbackLog.clear()
+      ms.addData((1L, 0L, 3L))
+      q.processAllAvailable() // drains the chained batches until quiescent
+      val got = StreamingSpec.feedbackLog.toArray(Array.empty[java.lang.Long])
+        .map(_.longValue).sorted.toVector
+      assert(got === Vector(0L, 1L, 2L, 3L), s"got: $got")
+    } finally q.stop()
+  }
+
+  test("bounded-channel backpressure: maxFilesPerTrigger caps per-batch admission") {
+    // reference OvereagerReceiver::channel(cap>0) bounds in-flight elements
+    // (overeager_receivers.rs:29-32); the Spark analogue is source-side
+    // admission control. Three input files + maxFilesPerTrigger=1 must
+    // drain in three micro-batches, never more than one file per trigger.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_backpressure").toString
+    val ckpt = Files.createTempDirectory("graft_backpressure_ckpt").toString
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"file_$i")).toDF("id", "tag")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = stream.writeStream.format("memory").queryName("bp_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("bp_out").count() === 3L)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length === 3,
+        s"expected 3 capped micro-batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows === 1L))
+    } finally q.stop()
   }
 
   test("fsm with processing-time timeout emits on silence (pelican P4 shape)") {

@@ -22,6 +22,9 @@ object DedupQueries {
   private val P = 2147483647L // 2^31 - 1
   private val NumHashes = 48
   private val Bands = 16 // x 3 rows; P(miss | j=0.8) ≈ 1e-5, j=0.9 ≈ 1e-9
+  private val EmbDim = 64
+  private val LshTables = 8
+  private val LshPlanesPerTable = 4
 
   /** Deterministic affine minhash params (fixed-seed LCG, driver-side). */
   private val (hashA, hashB): (Array[Long], Array[Long]) = {
@@ -393,9 +396,31 @@ object DedupQueries {
           .filter($"cos_milli" >= 400L)
           .orderBy($"vec_a", $"vec_b")
       },
-      oracle = None))
+      oracle = Some(d06OracleSql)))
 
-  private val EmbDim = 64
-  private val LshTables = 8
-  private val LshPlanesPerTable = 4
+  /** d06 is deterministic given the fixed-seed hyperplanes, so — like s02 —
+    * it gets a full oracle: per-table 4-bit buckets recomputed in DuckDB
+    * from literal planes (list_dot_product matches the JVM kernel's
+    * sequential double accumulation bit for bit), candidates = pairs
+    * sharing any table bucket, verified with the exact cosine. */
+  private def d06OracleSql: String = {
+    val planes = graft.functions.VectorFns.hyperplanes(LshTables * LshPlanesPerTable, EmbDim)
+    def bucket(t: Int): String = (0 until LshPlanesPerTable).map { k =>
+      s"(CASE WHEN list_dot_product(e, ${SimilarityQueries.planeLit(planes(t * LshPlanesPerTable + k))}) >= 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+    val bcols = (0 until LshTables).map(t => s"(${bucket(t)}) AS b$t").mkString(",\n               ")
+    val cond = (0 until LshTables).map(t => s"a.b$t = b.b$t").mkString(" OR ")
+    s"""
+        WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        bk AS (SELECT vec_id, e,
+               $bcols
+               FROM t)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(floor(list_dot_product(a.e, b.e) * 1000.0 /
+                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) AS cos_milli
+        FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ($cond)
+        WHERE floor(list_dot_product(a.e, b.e) * 1000.0 /
+              (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) >= 400
+        ORDER BY vec_a, vec_b"""
+  }
 }

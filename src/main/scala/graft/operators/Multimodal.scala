@@ -98,8 +98,14 @@ object Multimodal {
         FROM documents
         ORDER BY asset_id""")),
 
-    // ----- decode + per-asset frame features (stub codec => rows-only; the
-    // decode path itself is exercised and asserted in MultimodalSpec) -------
+    // ----- decode + per-asset frame features --------------------------------
+    // The codec is a stub, but it is DETERMINISTIC over the payload bytes,
+    // so the per-asset feature aggregates ARE oracle-checkable: frames
+    // partition the payload, hence total/min/max over frames equal the
+    // same statistics over all payload bytes, and n_frames =
+    // ceil(bytes/FrameSize) — all recomputable in DuckDB (fixture text is
+    // ASCII, so byte values = ascii codes). Per-frame shape is asserted in
+    // MultimodalSpec.
     QueryDef(
       "m02_media_decode_features",
       (s, d) => {
@@ -112,5 +118,18 @@ object Multimodal {
             max($"byte_max").as("max_byte"))
           .orderBy($"asset_id")
       },
-      oracle = None))
+      oracle = Some("""
+        WITH chars AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, length(text)),
+                   i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))) AS c
+          FROM documents)
+        SELECT doc_id AS asset_id,
+               CAST(ceil(count(*) / 1024.0) AS BIGINT) AS n_frames,
+               CAST(sum(c) AS BIGINT) AS total_byte_sum,
+               CAST(min(c) AS INTEGER) AS min_byte,
+               CAST(max(c) AS INTEGER) AS max_byte
+        FROM chars
+        GROUP BY doc_id
+        ORDER BY asset_id""")))
 }

@@ -23,6 +23,14 @@ object SimilarityQueries {
   // neighborhoods get better recall at the same setting.
   private val NumPlanes = 8
 
+  /** DuckDB literal for one hyperplane: Double.toString is shortest
+    * round-trip, so the oracle parses back the identical IEEE doubles and
+    * list_dot_product reproduces the JVM's sequential accumulation bit for
+    * bit — which is what makes the LSH bucket assignment (sign of the dot)
+    * and therefore the whole approximate result set oracle-checkable. */
+  private[operators] def planeLit(row: Array[Double]): String =
+    row.map(_.toString).mkString("[", ",", "]")
+
   val all: Seq[QueryDef] = Seq(
 
     // ----- brute-force cosine top-k (exact; the correctness baseline) -------
@@ -96,5 +104,33 @@ object SimilarityQueries {
           .select($"query_id", $"rank", $"vec_id", $"cos_milli")
           .orderBy($"query_id", $"rank")
       },
-      oracle = None))
+      oracle = Some(s02OracleSql)))
+
+  /** The LSH result set is deterministic given the fixed-seed hyperplanes,
+    * so it has a full oracle: the planes are embedded as SQL literals and
+    * the bucket (sign bits) + hamming<=3 candidate set + exact ranking are
+    * recomputed in DuckDB. */
+  private def s02OracleSql: String = {
+    val planes = VectorFns.hyperplanes(NumPlanes, Dim)
+    val bucketExpr = (0 until NumPlanes).map { i =>
+      s"(CASE WHEN list_dot_product(e, ${planeLit(planes(i))}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""
+        WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        b AS (SELECT vec_id, e, $bucketExpr AS bucket FROM t),
+        q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qb FROM b WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, b.vec_id,
+                 CAST(floor(list_dot_product(q.qe, b.e) * 1000.0 /
+                   (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) AS cos_milli
+          FROM q JOIN b ON b.vec_id != q.query_id AND bit_count(xor(b.bucket, q.qb)) <= 3),
+        ranked AS (
+          SELECT query_id, vec_id, cos_milli,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_milli DESC, vec_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT query_id, rank, vec_id, cos_milli
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank"""
+  }
 }

@@ -36,11 +36,15 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.allDefs.filter(_.benchmark).map { q =>
-      runOnce(q)                    // codegen-compile + JIT warmup, untimed
-      spark.catalog.clearCache()    // drop persisted intermediates: time the plan
-      q.name -> runOnce(q)
-    }
+    // optional comma-separated name filter for targeted profiling runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.allDefs
+      .filter(q => q.benchmark && only.forall(_.exists(q.name.startsWith)))
+      .map { q =>
+        runOnce(q)                    // codegen-compile + JIT warmup, untimed
+        spark.catalog.clearCache()    // drop persisted intermediates: time the plan
+        q.name -> runOnce(q)
+      }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -23,8 +23,16 @@ object DedupQueries {
   private val NumHashes = 48
   private val Bands = 16 // x 3 rows; P(miss | j=0.8) ≈ 1e-5, j=0.9 ≈ 1e-9
   private val EmbDim = 64
-  private val LshTables = 8
-  private val LshPlanesPerTable = 4
+  // 12 tables x 6 planes: measured on the fixture (uniform-ish embeddings,
+  // every near-dup pair in the weak 0.4-0.6 cosine band) this cuts
+  // candidates 2.5x vs 8x4 (sf0.1: 1.04M -> 409k of 2M possible pairs) at
+  // recall 0.59 vs 0.76. At such a low cosine threshold (theta ~ 66deg,
+  // p_collision ~ 0.63/plane) sign-LSH candidate counts are intrinsically
+  // near-quadratic — real corpora with tight dup clusters (cos >= 0.9,
+  // p ~ 0.86/plane) get >= 0.95 recall from this same config with far
+  // sparser buckets.
+  private val LshTables = 12
+  private val LshPlanesPerTable = 6
 
   /** Deterministic affine minhash params (fixed-seed LCG, driver-side). */
   private val (hashA, hashB): (Array[Long], Array[Long]) = {
@@ -342,14 +350,14 @@ object DedupQueries {
       benchmark = false), // exact quadratic anchor; d06 is the scale path
 
     // ----- embedding near-dup, sign-LSH banded: the 100 TB scale path -------
-    // d03's MinHash pattern applied to vectors: L=8 tables x K=4 hyperplanes
-    // each; a pair is a candidate iff it shares any table's 4-bit bucket
-    // (P(candidate) = 1-(1-p^4)^8 with p = 1 - acos(cos)/pi, i.e. ~0.94 at
-    // cos 0.8, ~1 at cos 0.95). Candidates come from an equi-join on
-    // (table, bucket) — a plain shuffle join with no driver collect and no
-    // all-pairs scan — then exact-cosine verification removes LSH false
-    // positives, so emitted pairs are always a subset of the d05 anchor
-    // (asserted in DedupSpec together with recall on the fixture).
+    // d03's MinHash pattern applied to vectors: L tables x K hyperplanes
+    // each; a pair is a candidate iff it shares any table's K-bit bucket
+    // (P(candidate) = 1-(1-p^K)^L with p = 1 - acos(cos)/pi). Candidates
+    // come from an equi-join on (table, bucket) — a plain shuffle join with
+    // no driver collect and no all-pairs scan — then exact-cosine
+    // verification removes LSH false positives, so emitted pairs are always
+    // a subset of the d05 anchor (asserted in DedupSpec together with
+    // recall on the fixture; see the L/K constants for the tuning data).
     QueryDef(
       "d06_dedup_embedding_lsh",
       (s, d) => {

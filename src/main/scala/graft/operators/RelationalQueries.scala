@@ -319,15 +319,23 @@ object RelationalQueries {
         ORDER BY tag, nationkey""")),
 
     // ----- distinct / multi-column count distinct ---------------------------
+    // Scale shape: multi-distinct over raw rows plans an Expand that
+    // triples the input before the shuffle. Pre-reducing to the distinct
+    // (group, partkey, suppkey) combinations first is a plain map-side-
+    // combinable hash agg; the multi-distinct then runs over the (much
+    // smaller) combination table — the standard two-level distinct
+    // pattern for large fact tables.
     QueryDef(
       "q14_count_distinct",
       (s, d) => {
         import s.implicits._
         Tables.lineitem(s, d)
+          .groupBy($"l_returnflag", $"l_partkey", $"l_suppkey")
+          .agg(count(lit(1)).as("c"))
           .groupBy($"l_returnflag")
           .agg(countDistinct($"l_partkey").as("n_parts"),
-            countDistinct($"l_partkey", $"l_suppkey").as("n_part_supp"),
-            count(lit(1)).as("n_rows"))
+            count(lit(1)).as("n_part_supp"),
+            sum($"c").cast("long").as("n_rows"))
           .orderBy($"l_returnflag")
       },
       oracle = Some("""
@@ -515,18 +523,27 @@ object RelationalQueries {
         GROUP BY b.id
         ORDER BY b.id""")),
 
-    // ----- discrete median via identical row_number logic on both engines ----
+    // ----- discrete median (exact) ------------------------------------------
+    // Scale shape: a row_number window partitioned by l_returnflag would
+    // sort ALL rows in only 3 window partitions (3 tasks at any data size).
+    // Instead: value-histogram selection — count per (group, value) with a
+    // fully parallel hash agg, then walk the tiny per-group cumulative
+    // histogram (3 groups x ~50 distinct quantities) to the (n+1)/2-th
+    // element. Exact for discrete domains; continuous domains would use
+    // percentile_approx or iterated range-partition selection instead.
     QueryDef(
       "q22_median_disc",
       (s, d) => {
         import s.implicits._
+        val hist = Tables.lineitem(s, d)
+          .groupBy($"l_returnflag", $"l_quantity")
+          .agg(count(lit(1)).as("c"))
         val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
-        val ranked = Tables.lineitem(s, d)
-          .select($"l_returnflag", $"l_quantity")
-          .withColumn("rn", row_number().over(w))
-        val counts = Tables.lineitem(s, d).groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
-        ranked.join(counts, "l_returnflag")
-          .filter($"rn" === floor(($"n" + 1) / lit(2.0)).cast("long"))
+        hist
+          .withColumn("cum", sum($"c").over(w))
+          .withColumn("n", sum($"c").over(Window.partitionBy($"l_returnflag")))
+          .withColumn("target", floor(($"n" + 1) / lit(2.0)).cast("long"))
+          .filter($"cum" >= $"target" && $"cum" - $"c" < $"target")
           .select($"l_returnflag", $"l_quantity".as("median_qty"), $"n")
           .orderBy($"l_returnflag")
       },

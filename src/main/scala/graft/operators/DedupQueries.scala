@@ -178,6 +178,30 @@ object DedupQueries {
         GROUP BY source
         ORDER BY source""")),
 
+    // ----- exact-dedup materialization: keep one doc per content group ------
+    // What a training pipeline actually runs: group by content hash, keep
+    // the smallest doc_id as canonical, emit the surviving corpus with its
+    // duplicate multiplicity. Pure hash agg — map-side combinable, one
+    // shuffle, no skew concern beyond AQE's (a giant duplicate cluster is
+    // one group row, not a join explosion).
+    QueryDef(
+      "d07_dedup_keep_canonical",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .groupBy(md5(TextFns.normalize($"text")).as("content_key"))
+          .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+          .select($"doc_id", $"content_key", $"n_copies")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        SELECT min(doc_id) AS doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_key,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY content_key
+        ORDER BY doc_id""")),
+
     // ----- n-gram Jaccard near-dup: exact quadratic baseline, lang-blocked --
     QueryDef(
       "d02_dedup_ngram_jaccard",

@@ -104,7 +104,112 @@ object SimilarityQueries {
           .select($"query_id", $"rank", $"vec_id", $"cos_milli")
           .orderBy($"query_id", $"rank")
       },
-      oracle = Some(s02OracleSql)))
+      oracle = Some(s02OracleSql)),
+
+    // ----- IVF-flat ANN: coarse quantizer + probed cells --------------------
+    // The third ANN operating point (after brute force and sign-LSH): a
+    // coarse quantizer partitions the corpus into cells (here: every 37th
+    // vector is a centroid — deterministic, so the whole query is
+    // oracle-checkable; production would run k-means and persist the
+    // centroid table), each vector is assigned to its best cell ONCE
+    // (cells table = the inverted file, built with one broadcast of the
+    // tiny centroid set), and a query scores only the nprobe=3 most
+    // promising cells — corpus work per query drops from O(N) to
+    // O(N * nprobe / n_cells). Ties broken by centroid id everywhere so
+    // both engines agree bit for bit.
+    QueryDef(
+      "s03_ann_ivf",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        // The centroid codebook is bounded small metadata (n/37 rows —
+        // k-means codebooks are KBs in production, shipped to every
+        // executor exactly like this); collecting it is not the corpus
+        // collect the brief forbids. Norms precomputed once.
+        val centRows = e.filter($"vec_id" % 37 === 0)
+          .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+          .collect().sortBy(_._1)
+          .map { case (id, emb) =>
+            val a = emb.map(_.toDouble)
+            var n = 0.0; var i = 0
+            while (i < a.length) { n += a(i) * a(i); i += 1 }
+            (id, a, math.sqrt(n))
+          }
+        val bc = s.sparkContext.broadcast(centRows)
+        // assignment kernel: one narrow pass computes each vector's top-3
+        // cells (integer-milli cosine, ties to the lower centroid id —
+        // bit-identical to the oracle's window ranking)
+        val assigned = e.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+          .mapPartitions { it =>
+            val cents = bc.value
+            it.map { case (id, emb) =>
+              val a = emb.map(_.toDouble)
+              var na = 0.0; var i = 0
+              while (i < a.length) { na += a(i) * a(i); i += 1 }
+              val normA = math.sqrt(na)
+              val topId = Array(-1L, -1L, -1L)
+              val topCs = Array(Long.MinValue, Long.MinValue, Long.MinValue)
+              cents.foreach { case (cid, c, normC) =>
+                var dot = 0.0; var j = 0
+                while (j < a.length) { dot += a(j) * c(j); j += 1 }
+                val cs = math.floor(dot * 1000.0 / (normA * normC)).toLong
+                var k = 0
+                var placed = false
+                while (k < 3 && !placed) {
+                  if (cs > topCs(k) || (cs == topCs(k) && (topId(k) < 0 || cid < topId(k)))) {
+                    var m = 2
+                    while (m > k) { topCs(m) = topCs(m - 1); topId(m) = topId(m - 1); m -= 1 }
+                    topCs(k) = cs; topId(k) = cid
+                    placed = true
+                  }
+                  k += 1
+                }
+              }
+              (id, emb, topId(0), topId(1), topId(2))
+            }
+          }.toDF("vec_id", "embedding", "c1", "c2", "c3")
+        val cells = assigned.select($"vec_id", $"embedding", $"c1".as("cell"))
+        val probes = assigned.filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"embedding".as("q"),
+            explode(array($"c1", $"c2", $"c3")).as("cell"))
+        val wRank = Window.partitionBy($"query_id").orderBy($"cos_milli".desc, $"vec_id")
+        cells.join(broadcast(probes), Seq("cell"))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id",
+            VectorFns.cosineMilli($"q", $"embedding").as("cos_milli"))
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter($"rank" <= 10)
+          .select($"query_id", $"rank", $"vec_id", $"cos_milli")
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        c AS (SELECT vec_id AS cent_id, e AS ce FROM t WHERE vec_id % 37 = 0),
+        scored AS (
+          SELECT t.vec_id, t.e, c.cent_id,
+                 CAST(floor(list_dot_product(t.e, c.ce) * 1000.0 /
+                   (sqrt(list_dot_product(t.e, t.e)) * sqrt(list_dot_product(c.ce, c.ce)))) AS BIGINT) AS cs
+          FROM t CROSS JOIN c),
+        rk AS (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rk
+          FROM scored),
+        cells AS (SELECT vec_id, e, cent_id AS cell FROM rk WHERE rk = 1),
+        probes AS (SELECT vec_id AS query_id, e AS qe, cent_id AS cell
+                   FROM rk WHERE vec_id < 5 AND rk <= 3),
+        cand AS (
+          SELECT p.query_id, cl.vec_id,
+                 CAST(floor(list_dot_product(p.qe, cl.e) * 1000.0 /
+                   (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(cl.e, cl.e)))) AS BIGINT) AS cos_milli
+          FROM probes p JOIN cells cl USING (cell)
+          WHERE cl.vec_id != p.query_id),
+        final AS (
+          SELECT query_id, vec_id, cos_milli,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_milli DESC, vec_id) AS BIGINT) AS rank
+          FROM cand)
+        SELECT query_id, rank, vec_id, cos_milli
+        FROM final WHERE rank <= 10
+        ORDER BY query_id, rank""")))
 
   /** The LSH result set is deterministic given the fixed-seed hyperplanes,
     * so it has a full oracle: the planes are embedded as SQL literals and

@@ -32,4 +32,18 @@ class SimilaritySpec extends SparkSpec {
     // design; assert it beats random chance by a wide margin
     assert(mean >= 0.2, s"mean recall@10 = $mean")
   }
+
+  test("IVF ANN recalls a meaningful fraction of brute-force neighbors") {
+    val bf = topk("s01_ann_bruteforce_topk")
+    val ivf = topk("s03_ann_ivf")
+    val recalls = bf.map { case (q, nbrs) =>
+      val bfSet = nbrs.map(_._2).toSet
+      val ivfSet = ivf.getOrElse(q, Seq.empty).map(_._2).toSet
+      ivfSet.intersect(bfSet).size.toDouble / bfSet.size
+    }
+    val mean = recalls.sum / recalls.size
+    // nprobe=3 of ~14 cells on weak-signal fixture data: measured 0.5
+    // deterministic mean recall; floor well above the ~0.2 random baseline
+    assert(mean >= 0.3, s"mean recall@10 = $mean")
+  }
 }

@@ -83,9 +83,12 @@ object DedupQueries {
     * measured 12s vs 0.4s over 5000 docs at sf0.1. Same values either way
     * (partial trailing shingle via space-joined available tokens, then
     * distinct), so the DuckDB PairSql oracle is unchanged. */
-  private def docShingles(s: SparkSession, d: String): DataFrame = {
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(s, Tables.documents(s, d))
+
+  private def shinglesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
+    docs
       .select($"doc_id", TextFns.tokens($"text").as("t"))
       .as[(Long, Seq[String])]
       .map { case (id, t) =>
@@ -134,6 +137,57 @@ object DedupQueries {
         }
       }
       .toDF("doc_id", "band", "bh")
+  }
+
+  /** The MinHash-LSH near-dup pipeline in its skew-proof form. Exact
+    * duplicates (identical normalized text) are collapsed to one
+    * representative BEFORE sketching, so an adversarial flood of m
+    * identical documents contributes ONE row per band bucket instead of m
+    * (whose self-join would explode as m^2 — the "unsalted bucket" hazard);
+    * the full pair set is recovered afterwards by expanding representative
+    * pairs over their duplicate groups (identical texts have identical
+    * jaccard) plus the j=1000 within-group pairs. The result — and the
+    * PairSql oracle — are unchanged. The pair-LISTING contract itself is
+    * inherently O(m^2) in duplicate multiplicity (the output enumerates
+    * every pair); the keep-one materialization (d07) stays linear.
+    *
+    * Sketches + band rows are materialized once (cache) — without it the
+    * self-join recomputes the sketch on BOTH sides of every band row
+    * (measured 886s vs ~5s at sf0.1). At cluster scale the same principle
+    * holds: persist the signature table before the band join. */
+  def minhashNearDupPairs(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val groups = docs
+      .select($"doc_id", $"text", md5(TextFns.normalize($"text")).as("k"))
+      .groupBy($"k")
+      .agg(min($"doc_id").as("rep"), sort_array(collect_list($"doc_id")).as("ids"),
+        first($"text").as("text"))
+      .cache()
+    val sh = shinglesOf(s, groups.select($"rep".as("doc_id"), $"text")).cache()
+    val bands = bandRowsTyped(s, sh).cache()
+    val cand = bands.select($"band", $"bh", $"doc_id".as("rep_a"))
+      .join(bands.select($"band", $"bh", $"doc_id".as("rep_b")), Seq("band", "bh"))
+      .filter($"rep_a" < $"rep_b")
+      .select($"rep_a", $"rep_b").distinct()
+    val verified = cand
+      .join(sh.select($"doc_id".as("rep_a"), $"sh".as("sh_a")), Seq("rep_a"))
+      .join(sh.select($"doc_id".as("rep_b"), $"sh".as("sh_b")), Seq("rep_b"))
+      .select($"rep_a", $"rep_b", TextFns.jaccardMilli($"sh_a", $"sh_b").as("j_milli"))
+      .filter($"j_milli" >= 800)
+    // cross-group expansion: identical texts => identical jaccard
+    val cross = verified
+      .join(groups.select($"rep".as("rep_a"), $"ids".as("ids_a")), Seq("rep_a"))
+      .join(groups.select($"rep".as("rep_b"), $"ids".as("ids_b")), Seq("rep_b"))
+      .select(explode($"ids_a").as("ia"), $"ids_b", $"j_milli")
+      .select($"ia", explode($"ids_b").as("ib"), $"j_milli")
+      .select(least($"ia", $"ib").as("doc_a"), greatest($"ia", $"ib").as("doc_b"), $"j_milli")
+    // within-group pairs: exact duplicates, jaccard = 1000 by definition
+    val within = groups.filter(size($"ids") > 1)
+      .select($"ids").as[Seq[Long]]
+      .flatMap(ids => ids.combinations(2).map(p => (p(0), p(1), 1000L)))
+      .toDF("doc_a", "doc_b", "j_milli")
+    cross.unionByName(within)
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Exact-jaccard verified pair set — shared by the quadratic baseline and
@@ -224,26 +278,7 @@ object DedupQueries {
     // quadratic baseline (same oracle) with P(missed pair) ~ 1e-5.
     QueryDef(
       "d03_dedup_minhash_lsh",
-      (s, d) => {
-        import s.implicits._
-        // Materialize shingles + band rows ONCE (cache). Without it the
-        // self-join recomputes the sketch on BOTH sides of every band row
-        // (measured 886s vs ~5s at sf0.1). At cluster scale the same
-        // principle holds: persist (or write) the signature table before
-        // the band join.
-        val sh = docShingles(s, d).cache()
-        val bands = bandRowsTyped(s, sh).cache()
-        val cand = bands.select($"band", $"bh", $"doc_id".as("doc_a"))
-          .join(bands.select($"band", $"bh", $"doc_id".as("doc_b")), Seq("band", "bh"))
-          .filter($"doc_a" < $"doc_b")
-          .select($"doc_a", $"doc_b").distinct()
-        cand
-          .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
-          .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
-          .select($"doc_a", $"doc_b", TextFns.jaccardMilli($"sh_a", $"sh_b").as("j_milli"))
-          .filter($"j_milli" >= 800)
-          .orderBy($"doc_a", $"doc_b")
-      },
+      (s, d) => minhashNearDupPairs(s, Tables.documents(s, d)),
       oracle = Some(PairSql)),
 
     // ----- SimHash near-dup: hamming<=3 via 4x16-bit chunk pigeonhole -------

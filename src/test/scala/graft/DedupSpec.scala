@@ -61,6 +61,29 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"overall recall = $recall")
   }
 
+  test("minhash pipeline collapses exact duplicates before the band join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    // adversarial shape: a flood of identical docs (would blow up the band
+    // self-join as m^2 if they reached it) + a near-dup + an unrelated doc
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = (Seq(3L -> (base + " tomorrow"), 4L -> "completely unrelated text about spark engines") ++
+      (10L to 29L).map(_ -> base)).map { case (id, t) => (id, t) }
+      .toDF("doc_id", "text")
+    val got = DedupQueries.minhashNearDupPairs(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ground truth: brute-force shingle jaccard over all pairs
+    val sh = docs.select($"doc_id", TextFns.shingles($"text", 3).as("sh"))
+    val expected = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        TextFns.jaccardMilli($"a.sh", $"b.sh").as("j"))
+      .filter($"j" >= 800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.exists(_._3 === 1000L), "fixture must contain exact dups")
+    assert(got === expected)
+  }
+
   test("identical texts get identical minhash signatures and simhash") {
     import spark.implicits._
     import graft.functions.TextFns

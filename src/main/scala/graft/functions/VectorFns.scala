@@ -20,8 +20,20 @@ object VectorFns {
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity in exact integer-milli form (floor(1000 * cos)) for
-    * cross-engine hash stability. */
+    * cross-engine hash stability. Backed by the codegen'd fused
+    * [[CosineMilliExpr]] (one loop instead of three interpreted
+    * higher-order passes — bit-identical by construction; see its
+    * scaladoc). [[cosineMilliInterpreted]] keeps the pure-builtin form as
+    * the equivalence oracle. */
   def cosineMilli(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      CosineMilliExpr(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+
+  /** The original zip_with/aggregate formulation — used to prove the custom
+    * expression bit-equal (VectorExprSpec). */
+  def cosineMilliInterpreted(a: Column, b: Column): Column =
     floor(dot(a, b) * lit(1000.0) / (norm2(a) * norm2(b))).cast("long")
 
   def cosine(a: Column, b: Column): Column =

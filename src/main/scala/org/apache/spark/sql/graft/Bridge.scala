@@ -1,0 +1,29 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into `private[sql]` surface — the standard pattern for
+  * libraries shipping custom Catalyst expressions (the alternative,
+  * `SparkSessionExtensions.injectFunction`, needs control of session
+  * construction, which the driver contract does not give us: sessions
+  * arrive pre-built).
+  */
+object Bridge {
+
+  /** Wrap a Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Unwrap a Column to its Catalyst expression. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register `cosine_milli(a, b)` for SQL use on an existing session —
+    * the runtime equivalent of `SparkSessionExtensions.injectFunction`. */
+  def registerCosineMilli(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_milli"),
+      new ExpressionInfo("graft.functions.CosineMilliExpr", "cosine_milli"),
+      (exprs: Seq[Expression]) => graft.functions.CosineMilliExpr(exprs(0), exprs(1)))
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.functions._
+
+/** The custom codegen'd CosineMilliExpr must be bit-identical to the
+  * interpreted zip_with/aggregate formulation (which in turn matches
+  * DuckDB's list_dot_product — the cross-engine hash contract). */
+class VectorExprSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("fused cosine expression is bit-identical to the interpreted form") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(500) { i =>
+      (i.toLong,
+        Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat),
+        Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val diff = df.select($"id",
+      VectorFns.cosineMilli($"a", $"b").as("fused"),
+      VectorFns.cosineMilliInterpreted($"a", $"b").as("interp"))
+      .filter($"fused" =!= $"interp")
+    assert(diff.count() === 0L)
+  }
+
+  test("fused cosine expression matches on the real embeddings table") {
+    val e = Tables.embeddings(spark, sf)
+    val b = e.select($"vec_id".as("vb"), $"embedding".as("eb"))
+    val diff = e.join(b, $"vec_id" < $"vb")
+      .select(
+        VectorFns.cosineMilli($"embedding", $"eb").as("fused"),
+        VectorFns.cosineMilliInterpreted($"embedding", $"eb").as("interp"))
+      .filter($"fused" =!= $"interp")
+    assert(diff.count() === 0L)
+  }
+
+  test("cosine_milli registers as a SQL function") {
+    org.apache.spark.sql.graft.Bridge.registerCosineMilli(spark)
+    Tables.embeddings(spark, sf).limit(3).createOrReplaceTempView("emb_tmp")
+    val rows = spark.sql(
+      "SELECT cosine_milli(embedding, embedding) AS c FROM emb_tmp")
+      .collect().map(_.getLong(0))
+    assert(rows.forall(_ === 1000L), rows.toSeq) // cos(v, v) = 1.000
+  }
+
+  test("fused cosine participates in whole-stage codegen") {
+    val e = Tables.embeddings(spark, sf).limit(10)
+    val b = e.select($"vec_id".as("vb"), $"embedding".as("eb"))
+    val plan = e.join(b, $"vec_id" =!= $"vb")
+      .select(VectorFns.cosineMilli($"embedding", $"eb").as("c"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(plan.contains("WholeStageCodegen"), plan.take(1500))
+  }
+}

@@ -180,6 +180,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming exact dedup carries state across micro-batches") {
+    // the streaming twin of d01/d07: dropDuplicates keyed on the content
+    // hash holds seen-keys in the state store, so a duplicate arriving in
+    // a LATER micro-batch is still dropped — cross-batch dedup, the shape
+    // a streaming ingest pipeline needs
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val out = ms.toDF().toDF("doc_id", "text")
+      .withColumn("content_key", md5(graft.functions.TextFns.normalize($"text")))
+      .dropDuplicates("content_key")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta"))
+      q.processAllAvailable()
+      // duplicate of doc 1 arrives two batches later — must still be dropped
+      ms.addData((4L, "epsilon"))
+      q.processAllAvailable()
+      ms.addData((5L, "Alpha  Beta   GAMMA"), (6L, "zeta")) // same normalized content
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toVector
+      assert(ids === Vector(1L, 3L, 4L, 6L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("general feedback via sink write-back into the source (P4 general cycle)") {
     // Structured Streaming forbids cycles in one query graph; the pattern
     // for general feedback (SURVEY §2.1 P4: write-back to a topic unioned

@@ -25,6 +25,21 @@ object ExtraRelationalQueries {
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** One SQL text executed verbatim by BOTH engines (q38). */
+  private val SqlApiQ3 = """
+        SELECT l_orderkey,
+               CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT) AS revenue_c,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue_c DESC, o_orderdate, l_orderkey
+        LIMIT 10"""
+
   val all: Seq[QueryDef] = Seq(
 
     // ----- multiset set ops: EXCEPT ALL / INTERSECT ALL ---------------------
@@ -202,6 +217,20 @@ object ExtraRelationalQueries {
                explode_resum_c
         FROM arr JOIN resum ON arr.l_orderkey = resum.l_orderkey
         ORDER BY okey""")),
+
+    // ----- SQL API end-to-end: one SQL text, both engines -------------------
+    // The TPC-H Q3 shape (shipping priority) run through spark.sql over
+    // temp views — the SAME SQL string is the oracle, so this row also
+    // proves the engine's ANSI-SQL surface agrees with DuckDB verbatim.
+    QueryDef(
+      "q38_sql_api",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(SqlApiQ3)
+      },
+      oracle = Some(SqlApiQ3)),
 
     // ----- custom typed Aggregator ------------------------------------------
     QueryDef(

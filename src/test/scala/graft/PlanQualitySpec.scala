@@ -65,6 +65,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q22: median never windows over raw rows — only the tiny histogram") {
+    // the histogram agg must come BEFORE any Window: a window directly over
+    // the scan would sort all rows in one partition per group
+    val p = SparkEntry.queries("q22_median_disc")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val windowIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("Aggregate")
+    assert(windowIdx >= 0 && aggIdx > windowIdx,
+      s"window must consume the aggregated histogram, not the scan: $p")
+  }
+
+  test("d07: canonical dedup is one partial-aggregated hash agg") {
+    val p = plan("d07_dedup_keep_canonical")
+    assert(p.contains("partial_"), s"no map-side partial aggregation: $p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("s03: IVF probe join is a broadcast hash join on cell") {
+    val p = plan("s03_ann_ivf")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"probe fell back to a scan: $p")
+  }
+
   test("s02: bucketed ANN candidate selection is a hash join on bucket, not a corpus scan") {
     val p = plan("s02_ann_lsh_bucketed")
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||

@@ -180,6 +180,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("watermarked session windows over MemoryStream equal batch") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val agg = ms.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_timestamp($"session_window.start").as("w"), $"n_events")
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      val rows = Tables.events(spark, sf)
+        .select($"user_id", $"ts")
+        .as[(Long, java.sql.Timestamp)].collect().toSeq.sortBy(_._2.getTime)
+      rows.grouped(400).foreach { c => ms.addData(c); q.processAllAvailable() }
+      val streamed = spark.table("sess_out").as[(Long, Long, Long)]
+        .collect().sorted.toVector
+      val batch = Tables.events(spark, sf)
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", unix_timestamp($"session_window.start"), $"n_events")
+        .as[(Long, Long, Long)].collect().sorted.toVector
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup carries state across micro-batches") {
     // the streaming twin of d01/d07: dropDuplicates keyed on the content
     // hash holds seen-keys in the state store, so a duplicate arriving in

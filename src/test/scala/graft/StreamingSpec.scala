@@ -144,6 +144,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("property: transformWithState FSM == interpreter on random Mealy machines") {
+    withRocksDb {
+      implicit val sq = spark.sqlContext
+      (1 to 5).foreach { seed =>
+        // deterministic pseudo-random 4-state Mealy machine from the seed
+        def t(s: Long, a: Long): (Long, Seq[Long]) = {
+          val h = (s * 31 + a) * (seed * 2654435761L + 1)
+          val next = math.floorMod(h >> 4, 4)
+          val outs = math.floorMod(h, 3) match {
+            case 0 => Nil
+            case 1 => Seq(a)
+            case _ => Seq(a, s)
+          }
+          (next, outs)
+        }
+        val rnd = new scala.util.Random(seed)
+        val input = Vector.fill(40)((rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
+          .zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v) }
+        // oracle: the ported interpreter via SP.fsm per key
+        val expected = input.groupBy(_._1).map { case (k, rows) =>
+          k -> graft.dsl.Interpreter.evalN(
+            SP.fsm(0L)((s: Long, a: Long) => t(s, a)),
+            rows.sortBy(_._2).map(_._3))
+        }.filter(_._2.nonEmpty)
+        val ms = MemoryStream[(Long, Long, Long)]
+        val keyed = ms.toDS().map { case (k, seq, v) => Keyed(k, seq, v) }
+        val out = StreamFsm.fsmStreamTws(keyed, 0L)(t)
+        val q = out.writeStream.format("memory").queryName(s"tws_prop_$seed")
+          .outputMode("append").start()
+        try {
+          input.grouped(13).foreach { c => ms.addData(c); q.processAllAvailable() }
+          val got = spark.table(s"tws_prop_$seed").as[Keyed[Long]]
+            .collect().groupBy(_.key).view
+            .mapValues(_.sortBy(_.seq).map(_.value).toVector).toMap
+          assert(got === expected, s"seed $seed")
+        } finally q.stop()
+      }
+    }
+  }
+
   test("transformWithState native timers re-arm (pelican blink-loop semantics)") {
     withRocksDb {
       implicit val sq = spark.sqlContext

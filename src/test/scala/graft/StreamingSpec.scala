@@ -273,6 +273,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bind chooses the topology from the first row (R9 first-trigger)") {
+    implicit val sq = spark.sqlContext
+    val buffer = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val ms = MemoryStream[(Long, Double)]
+    // chooser: first value decides doubling vs halving for the WHOLE stream
+    val q = graft.streaming.StreamBind.bindToBuffer(
+      ms.toDF().toDF("seq", "value"), "seq") { first =>
+      val r = first.asInstanceOf[Long]
+      if (r % 2 == 0) df => df.selectExpr("seq", "value * 2.0 AS out")
+      else df => df.selectExpr("seq", "value / 2.0 AS out")
+    }(buffer)
+    try {
+      ms.addData((0L, 10.0), (1L, 20.0))
+      q.processAllAvailable()
+      ms.addData((2L, 30.0)) // later batches flow through the SAME choice
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = buffer.asScala.map(r => (r.getLong(0), r.getDouble(1))).toVector.sorted
+      // first seq is 0 (even) => doubling chosen for everything
+      assert(got === Vector((0L, 20.0), (1L, 40.0), (2L, 60.0)), s"got $got")
+    } finally q.stop()
+  }
+
   test("general feedback via sink write-back into the source (P4 general cycle)") {
     // Structured Streaming forbids cycles in one query graph; the pattern
     // for general feedback (SURVEY §2.1 P4: write-back to a topic unioned

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigated equi-join (SURVEY.md §2.2 joins; the brief's "salting
+  * for skew" bullet). When one join key carries a disproportionate share
+  * of the fact rows, a plain shuffle join lands that whole key in ONE
+  * reducer. Salting splits it: each fact row gets a deterministic salt in
+  * [0, salts), the (small-but-not-broadcastable) build side is replicated
+  * once per salt, and the join key becomes (key, salt) — the hot key now
+  * spreads over `salts` reducers. Result is exactly the plain equi-join.
+  *
+  * When to use which skew tool:
+  *   - dim fits in memory        -> broadcast join (no shuffle at all)
+  *   - runtime-detected skew     -> AQE skew-join split (on by default)
+  *   - known-hot keys, dim too big to broadcast, AQE split insufficient
+  *     (e.g. single giant key beyond advisory sizes) -> salt explicitly
+  */
+object SkewJoin {
+
+  def saltedEquiJoin(fact: DataFrame, build: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    // deterministic per-row salt: hash of the whole row spreads uniformly
+    // regardless of key skew and stays stable across retries
+    val saltedFact = fact.withColumn(
+      "__salt", pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(salts.toLong)))
+    val saltedBuild = build.withColumn(
+      "__salt", explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    saltedFact.join(saltedBuild, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.SkewJoin
+import org.apache.spark.sql.functions._
+
+/** Skew handling: explicit salting must preserve join results while
+  * spreading a hot key over many reducers; AQE's runtime skew split is
+  * the automatic first line of defense. */
+class SkewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("salted join equals the plain join and spreads the hot key") {
+    val noBroadcast = "spark.sql.autoBroadcastJoinThreshold"
+    val noCoalesce = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(noBroadcast)
+    val prevC = spark.conf.getOption(noCoalesce)
+    spark.conf.set(noBroadcast, "-1") // force a shuffle join
+    spark.conf.set(noCoalesce, "false") // keep reducer boundaries observable
+    try {
+      // 50k rows on one hot key + 5k spread over 1000 keys
+      val fact = spark.range(50000).select(lit(1L).as("k"), $"id".as("payload"))
+        .union(spark.range(5000).select(($"id" % 1000 + 2).as("k"), $"id".as("payload")))
+      val dim = spark.range(1002).select($"id".as("k"), concat(lit("d"), $"id").as("tag"))
+      val plain = fact.join(dim, "k")
+      val salted = SkewJoin.saltedEquiJoin(fact, dim, "k", salts = 8)
+      // identical result set
+      assert(salted.count() === plain.count())
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+      // the hot key's rows really spread: count partitions holding k=1 rows
+      // the hot key's rows really spread: with 8 salts over the test
+      // session's 4 shuffle partitions, k=1 must occupy >= 3 reducers
+      // (a plain join puts it in exactly 1)
+      val hotSpread = salted.filter($"k" === 1L)
+        .rdd.mapPartitions(it => Iterator(it.size)).collect().count(_ > 0)
+      assert(hotSpread >= 3, s"hot key landed in only $hotSpread partitions")
+      val plainSpread = plain.filter($"k" === 1L)
+        .rdd.mapPartitions(it => Iterator(it.size)).collect().count(_ > 0)
+      assert(plainSpread === 1, s"plain join should concentrate the hot key, got $plainSpread")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(noBroadcast, v)
+        case None => spark.conf.unset(noBroadcast)
+      }
+      prevC match {
+        case Some(v) => spark.conf.set(noCoalesce, v)
+        case None => spark.conf.unset(noCoalesce)
+      }
+    }
+  }
+}

@@ -7,12 +7,14 @@ import org.apache.spark.sql.SparkSession
   * line. Each query is forced end-to-end through the noop sink — a plain
   * count() would let Catalyst prune the query down to a row count.
   *
-  * Each query runs TWICE and the second (steady-state) time is reported:
-  * at sf0.1 the first run is dominated by whole-stage-codegen compilation
-  * + JIT (~0.5s/query of noise — enough to hide a 2x plan regression);
-  * the second run reflects the plan. The cache is cleared between runs so
-  * queries that persist intermediates (d03/d06 sketch tables) recompute
-  * them — we measure the plan, not a warm cache. */
+  * Each query runs three times — one untimed warmup (whole-stage-codegen
+  * compilation + JIT, ~0.5s/query of noise at sf0.1: enough to hide a 2x
+  * plan regression) and two timed runs of which the MIN is reported (the
+  * standard steady-state estimator; long full-suite runs accumulate
+  * block-manager/cleaner backlog that can multiply a single timed run of
+  * a cache-heavy query several-fold). The cache is cleared before every
+  * timed run so queries that persist intermediates (d03/d06 sketch
+  * tables) recompute them — we measure the plan, not a warm cache. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,8 +44,11 @@ object Bench {
       .filter(q => q.benchmark && only.forall(_.exists(q.name.startsWith)))
       .map { q =>
         runOnce(q)                    // codegen-compile + JIT warmup, untimed
-        spark.catalog.clearCache()    // drop persisted intermediates: time the plan
-        q.name -> runOnce(q)
+        val timed = Seq.fill(2) {
+          spark.catalog.clearCache()  // drop persisted intermediates: time the plan
+          runOnce(q)
+        }
+        q.name -> timed.min
       }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

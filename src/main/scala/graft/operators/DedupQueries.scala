@@ -256,7 +256,7 @@ object DedupQueries {
         GROUP BY content_key
         ORDER BY doc_id""")),
 
-    // ----- n-gram Jaccard near-dup: exact quadratic baseline, lang-blocked --
+    // ----- n-gram Jaccard near-dup: exact quadratic baseline ----------------
     QueryDef(
       "d02_dedup_ngram_jaccard",
       (s, d) => {

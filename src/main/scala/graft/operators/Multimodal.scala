@@ -131,5 +131,33 @@ object Multimodal {
                CAST(max(c) AS INTEGER) AS max_byte
         FROM chars
         GROUP BY doc_id
+        ORDER BY asset_id""")),
+
+    // ----- frame sampling: every k-th decoded frame -------------------------
+    // The keyframe-sample shape of a video pipeline. Deterministic over
+    // payload bytes, so the per-asset sample count and sampled byte volume
+    // are recomputable in DuckDB from frame arithmetic alone:
+    // frame i covers bytes [1024*i, min(1024*(i+1), n)).
+    QueryDef(
+      "m03_frame_sample",
+      (s, d) => {
+        import s.implicits._
+        sampleFrames(decodeFrames(s, d), 2)
+          .groupBy($"asset_id")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum($"frame_bytes").as("sampled_bytes"))
+          .orderBy($"asset_id")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, length(text) AS n,
+                 CAST(ceil(length(text) / 1024.0) AS BIGINT) AS nf
+          FROM documents)
+        SELECT doc_id AS asset_id,
+               CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+               CAST(list_sum(list_transform(
+                 list_filter(generate_series(0, nf - 1), i -> i % 2 = 0),
+                 i -> least(1024, n - 1024 * i))) AS BIGINT) AS sampled_bytes
+        FROM d
         ORDER BY asset_id""")))
 }

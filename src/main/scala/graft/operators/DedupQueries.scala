@@ -210,6 +210,9 @@ object DedupQueries {
                  len(list_distinct(list_concat(a.s, b.s)))) >= 800
         ORDER BY doc_a, doc_b"""
 
+  /** PairSql as a nestable CTE body (no trailing ORDER BY). */
+  private def PairSqlNoOrder: String = PairSql.replace("ORDER BY doc_a, doc_b", "")
+
   val all: Seq[QueryDef] = Seq(
 
     // ----- exact dedup: hash-groupBy on the normalized text -----------------
@@ -280,6 +283,64 @@ object DedupQueries {
       "d03_dedup_minhash_lsh",
       (s, d) => minhashNearDupPairs(s, Tables.documents(s, d)),
       oracle = Some(PairSql)),
+
+    // ----- near-dup cluster assignment: connected components ----------------
+    // The step after pair mining in a real dedup pipeline: group docs into
+    // transitive near-dup clusters and label each with the cluster's min
+    // doc_id (singletons label themselves). Iterative min-label
+    // propagation — the standard distributed connected-components
+    // algorithm: each round every node takes the min label among itself
+    // and its neighbors; converges in O(graph diameter) rounds, each a
+    // plain shuffle join + agg that scales with executors. The driver only
+    // orchestrates rounds and checks convergence counts — no data is
+    // collected. Oracle: transitive closure via a recursive CTE.
+    QueryDef(
+      "d08_dedup_clusters",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val pairs = minhashNearDupPairs(s, docs).select($"doc_a", $"doc_b")
+        val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
+          .toDF("src", "dst").cache()
+        var labels = docs.select($"doc_id", $"doc_id".as("cluster_id")).cache()
+        labels.count()
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 32) {
+          val nbrMin = edges
+            .join(labels.select($"doc_id".as("dst"), $"cluster_id".as("nl")), "dst")
+            .groupBy($"src".as("doc_id")).agg(min($"nl").as("nmin"))
+          val next = labels.join(nbrMin, Seq("doc_id"), "left")
+            .select($"doc_id",
+              least($"cluster_id", coalesce($"nmin", $"cluster_id")).as("cluster_id"))
+            .cache()
+          // one action per round: the convergence count materializes `next`
+          // into its cache as a side effect
+          changed = next
+            .join(labels.select($"doc_id", $"cluster_id".as("old")), "doc_id")
+            .filter($"cluster_id" =!= $"old").count()
+          labels.unpersist()
+          labels = next
+          rounds += 1
+        }
+        labels.orderBy($"doc_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE pairs AS (${PairSqlNoOrder}),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (
+          SELECT d.doc_id,
+                 least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id)
+        SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""")),
 
     // ----- SimHash near-dup: hamming<=3 via 4x16-bit chunk pigeonhole -------
     // The JVM kernel's FNV-1a is reproduced in DuckDB with HUGEINT

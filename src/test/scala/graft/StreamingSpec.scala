@@ -184,6 +184,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel on transformWithState equals batch q35") {
+    withRocksDb {
+      implicit val sq = spark.sqlContext
+      val ms = MemoryStream[(Long, Long, String, Long)] // user, seq, type, epochSec
+      val keyed = ms.toDS().map { case (u, seq, t, ts) => Keyed(u, seq, (t, ts)) }
+      // incremental funnel: track first signup / first purchase, emit the
+      // minutes-to-purchase exactly once when the funnel completes
+      val out = StreamFsm.fsmStreamTws(keyed, (0L, 0L)) {
+        (st: (Long, Long), e: (String, Long)) =>
+          val (s0, p0) = st
+          val s1 = if (e._1 == "signup" && s0 == 0L) e._2 else s0
+          val p1 = if (e._1 == "purchase" && p0 == 0L) e._2 else p0
+          val completed = (s0 == 0L || p0 == 0L) && s1 > 0L && p1 > 0L
+          ((s1, p1),
+            if (completed && p1 >= s1) Seq(math.floorDiv(p1 - s1, 60L)) else Nil)
+      }
+      val q = out.writeStream.format("memory").queryName("funnel_out")
+        .outputMode("append").start()
+      try {
+        val rows = Tables.events(spark, sf)
+          .filter($"event_type".isin("signup", "purchase"))
+          .select($"user_id", $"event_id", $"event_type", unix_timestamp($"ts"))
+          .as[(Long, Long, String, Long)].collect().toSeq
+          .sortBy(r => (r._4, r._2))
+        rows.grouped(300).foreach { c => ms.addData(c); q.processAllAvailable() }
+        val streamed = spark.table("funnel_out").as[Keyed[Long]]
+          .collect().map(k => (k.key, k.value)).sorted.toVector
+        val batch = SparkEntry.queries("q35_funnel_first_events")(spark, sf)
+          .as[(Long, Long)].collect().sorted.toVector
+        assert(streamed === batch)
+        assert(streamed.nonEmpty)
+      } finally q.stop()
+    }
+  }
+
   test("transformWithState native timers re-arm (pelican blink-loop semantics)") {
     withRocksDb {
       implicit val sq = spark.sqlContext

@@ -93,6 +93,62 @@ object TextQueries {
         ORDER BY doc_id"""
       }),
 
+    // ----- corpus filter: the composed training-data admission pipeline -----
+    // What the individual operators exist FOR: keep exactly the documents
+    // that (a) are the canonical copy of their content group (d07 logic),
+    // and (b) pass the quality gate (t02 logic), labeled with predicted
+    // language (t01 logic). One narrow feature projection, one hash agg
+    // for canonicals, one equi-join — linear and shuffle-minimal at any
+    // scale.
+    QueryDef(
+      "t05_corpus_filter",
+      (s, d) => {
+        import s.implicits._
+        val t = TextFns.tokens($"text")
+        val nToks = size(t).cast("long")
+        val distinctRatio = floor(size(array_distinct(t)) * lit(1000.0) / size(t)).cast("long")
+        val scored = Tables.documents(s, d)
+          .select($"doc_id",
+            md5(TextFns.normalize($"text")).as("content_key"),
+            TextFns.langId($"text").as("predicted_lang"),
+            nToks.as("n_tokens"),
+            distinctRatio.as("distinct_ratio_milli"))
+        val canon = scored.groupBy($"content_key").agg(min($"doc_id").as("doc_id"))
+        scored.join(canon, Seq("content_key", "doc_id"))
+          .filter($"n_tokens" >= 20 && $"distinct_ratio_milli" >= 200)
+          .select($"doc_id", $"predicted_lang", $"n_tokens")
+          .orderBy($"doc_id")
+      },
+      oracle = Some {
+        val scoreExprs = TextFns.StopwordSets.map { case (l, ws) =>
+          val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_intersect(t, $arr)) AS s_$l"
+        }.mkString(",\n                 ")
+        val langs = TextFns.StopwordSets.map(_._1)
+        val pick = langs.init.zipWithIndex.foldRight(s"'${langs.last}'") {
+          case ((l, i), els) =>
+            val later = langs.drop(i + 1).map(x => s"s_$x").mkString("greatest(", ", ", ")")
+            s"CASE WHEN s_$l >= $later THEN '$l' ELSE $els END"
+        }
+        s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_key,
+                 string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        feats AS (
+          SELECT doc_id, content_key,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 CAST(floor(len(list_distinct(t)) * 1000.0 / len(t)) AS BIGINT) AS distinct_ratio_milli,
+                 $scoreExprs
+          FROM toks),
+        canon AS (SELECT content_key, min(doc_id) AS doc_id FROM feats GROUP BY content_key)
+        SELECT f.doc_id, $pick AS predicted_lang, f.n_tokens
+        FROM feats f JOIN canon c ON f.content_key = c.content_key AND f.doc_id = c.doc_id
+        WHERE f.n_tokens >= 20 AND f.distinct_ratio_milli >= 200
+        ORDER BY f.doc_id"""
+      }),
+
     // ----- token counting: whitespace + BPE-ish regex ------------------------
     QueryDef(
       "t03_token_counts",

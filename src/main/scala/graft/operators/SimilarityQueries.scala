@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -22,6 +23,80 @@ object SimilarityQueries {
   // weak-signal random embeddings in the fixture; denser real-world
   // neighborhoods get better recall at the same setting.
   private val NumPlanes = 8
+
+  // IVF: constant-size codebook — k centroids REGARDLESS of corpus size, so
+  // the driver collect is O(k) and per-vector assignment is O(k) at any
+  // scale. nprobe=16 of 64 cells => ~25% of the corpus scored per query on
+  // the uniform fixture (tight real-world clusters need far fewer probes).
+  private[graft] val IvfK = 64
+  private val IvfProbes = 16
+  // 2^64/phi (Fibonacci hashing). Odd => multiplication mod 2^64 is a
+  // bijection on ids: no ties, selection spread uniformly over the corpus.
+  private val IvfHashMult = 0x9E3779B97F4A7C15L
+  private val IvfHashMultUnsigned = java.lang.Long.toUnsignedString(IvfHashMult)
+
+  /** The codebook: the IvfK corpus vectors whose unsigned
+    * (vec_id * IvfHashMult) mod 2^64 is smallest — a deterministic
+    * hash-sample both engines can compute (Spark: signed order of
+    * h ^ Long.MinValue == unsigned order of h; DuckDB: HUGEINT product mod
+    * 2^64 — identical because vec_ids are non-negative). Distributed
+    * top-k (TakeOrdered) then an O(k) collect; norms precomputed once. */
+  private[graft] def ivfCentroids(
+      s: SparkSession, e: DataFrame): Array[(Long, Array[Double], Double)] = {
+    import s.implicits._
+    e.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .map { case (id, emb) => (id, emb, (id * IvfHashMult) ^ Long.MinValue) }
+      .toDF("vec_id", "embedding", "h")
+      .orderBy($"h")
+      .limit(IvfK)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+      .map { case (id, emb) =>
+        val a = emb.map(_.toDouble)
+        var n = 0.0; var i = 0
+        while (i < a.length) { n += a(i) * a(i); i += 1 }
+        (id, a, math.sqrt(n))
+      }
+  }
+
+  /** Assignment kernel: one narrow pass computes each vector's `n` best
+    * cells (integer-milli cosine, ties to the lower centroid id —
+    * bit-identical to the oracle's window ranking over the same set). */
+  private def assignCells(
+      s: SparkSession, vecs: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Double], Double)]],
+      n: Int): DataFrame = {
+    import s.implicits._
+    vecs.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cents = bc.value
+        it.map { case (id, emb) =>
+          val a = emb.map(_.toDouble)
+          var na = 0.0; var i = 0
+          while (i < a.length) { na += a(i) * a(i); i += 1 }
+          val normA = math.sqrt(na)
+          val topId = Array.fill(n)(-1L)
+          val topCs = Array.fill(n)(Long.MinValue)
+          cents.foreach { case (cid, c, normC) =>
+            var dot = 0.0; var j = 0
+            while (j < a.length) { dot += a(j) * c(j); j += 1 }
+            val cs = math.floor(dot * 1000.0 / (normA * normC)).toLong
+            var k = 0
+            var placed = false
+            while (k < n && !placed) {
+              if (cs > topCs(k) || (cs == topCs(k) && (topId(k) < 0 || cid < topId(k)))) {
+                var m = n - 1
+                while (m > k) { topCs(m) = topCs(m - 1); topId(m) = topId(m - 1); m -= 1 }
+                topCs(k) = cs; topId(k) = cid
+                placed = true
+              }
+              k += 1
+            }
+          }
+          (id, emb, topId.filter(_ >= 0).toSeq)
+        }
+      }.toDF("vec_id", "embedding", "cells")
+  }
 
   /** DuckDB literal for one hyperplane: Double.toString is shortest
     * round-trip, so the oracle parses back the identical IEEE doubles and
@@ -108,70 +183,30 @@ object SimilarityQueries {
 
     // ----- IVF-flat ANN: coarse quantizer + probed cells --------------------
     // The third ANN operating point (after brute force and sign-LSH): a
-    // coarse quantizer partitions the corpus into cells (here: every 37th
-    // vector is a centroid — deterministic, so the whole query is
-    // oracle-checkable; production would run k-means and persist the
-    // centroid table), each vector is assigned to its best cell ONCE
-    // (cells table = the inverted file, built with one broadcast of the
-    // tiny centroid set), and a query scores only the nprobe=3 most
-    // promising cells — corpus work per query drops from O(N) to
-    // O(N * nprobe / n_cells). Ties broken by centroid id everywhere so
-    // both engines agree bit for bit.
+    // coarse quantizer partitions the corpus into cells, each vector is
+    // assigned to its best cell ONCE (cells table = the inverted file,
+    // built with one broadcast of the tiny centroid set), and a query
+    // scores only the nprobe most promising cells — corpus work per query
+    // drops from O(N) to O(N * nprobe / k). The codebook is CONSTANT-size
+    // (k = 64 regardless of corpus rows): centroids are a deterministic
+    // hash-sample — the k vectors with the smallest unsigned
+    // (vec_id * 2^64/phi) mod 2^64, a bijection on ids so selection is
+    // unbiased and tie-free, and reproducible in DuckDB with HUGEINT
+    // arithmetic — so the collect is O(k) and assignment O(N*k) no matter
+    // how big the corpus gets (production would run mini-batch k-means and
+    // persist the centroid table; the plumbing is identical). Ties broken
+    // by centroid id everywhere so both engines agree bit for bit.
     QueryDef(
       "s03_ann_ivf",
       (s, d) => {
         import s.implicits._
         val e = Tables.embeddings(s, d)
-        // The centroid codebook is bounded small metadata (n/37 rows —
-        // k-means codebooks are KBs in production, shipped to every
-        // executor exactly like this); collecting it is not the corpus
-        // collect the brief forbids. Norms precomputed once.
-        val centRows = e.filter($"vec_id" % 37 === 0)
-          .select($"vec_id", $"embedding").as[(Long, Array[Float])]
-          .collect().sortBy(_._1)
-          .map { case (id, emb) =>
-            val a = emb.map(_.toDouble)
-            var n = 0.0; var i = 0
-            while (i < a.length) { n += a(i) * a(i); i += 1 }
-            (id, a, math.sqrt(n))
-          }
-        val bc = s.sparkContext.broadcast(centRows)
-        // assignment kernel: one narrow pass computes each vector's top-3
-        // cells (integer-milli cosine, ties to the lower centroid id —
-        // bit-identical to the oracle's window ranking)
-        val assigned = e.select($"vec_id", $"embedding").as[(Long, Array[Float])]
-          .mapPartitions { it =>
-            val cents = bc.value
-            it.map { case (id, emb) =>
-              val a = emb.map(_.toDouble)
-              var na = 0.0; var i = 0
-              while (i < a.length) { na += a(i) * a(i); i += 1 }
-              val normA = math.sqrt(na)
-              val topId = Array(-1L, -1L, -1L)
-              val topCs = Array(Long.MinValue, Long.MinValue, Long.MinValue)
-              cents.foreach { case (cid, c, normC) =>
-                var dot = 0.0; var j = 0
-                while (j < a.length) { dot += a(j) * c(j); j += 1 }
-                val cs = math.floor(dot * 1000.0 / (normA * normC)).toLong
-                var k = 0
-                var placed = false
-                while (k < 3 && !placed) {
-                  if (cs > topCs(k) || (cs == topCs(k) && (topId(k) < 0 || cid < topId(k)))) {
-                    var m = 2
-                    while (m > k) { topCs(m) = topCs(m - 1); topId(m) = topId(m - 1); m -= 1 }
-                    topCs(k) = cs; topId(k) = cid
-                    placed = true
-                  }
-                  k += 1
-                }
-              }
-              (id, emb, topId(0), topId(1), topId(2))
-            }
-          }.toDF("vec_id", "embedding", "c1", "c2", "c3")
-        val cells = assigned.select($"vec_id", $"embedding", $"c1".as("cell"))
-        val probes = assigned.filter($"vec_id" < 5)
+        val bc = s.sparkContext.broadcast(ivfCentroids(s, e))
+        val cells = assignCells(s, e, bc, 1)
+          .select($"vec_id", $"embedding", element_at($"cells", 1).as("cell"))
+        val probes = assignCells(s, e.filter($"vec_id" < 5), bc, IvfProbes)
           .select($"vec_id".as("query_id"), $"embedding".as("q"),
-            explode(array($"c1", $"c2", $"c3")).as("cell"))
+            explode($"cells").as("cell"))
         val wRank = Window.partitionBy($"query_id").orderBy($"cos_milli".desc, $"vec_id")
         cells.join(broadcast(probes), Seq("cell"))
           .filter($"vec_id" =!= $"query_id")
@@ -182,9 +217,12 @@ object SimilarityQueries {
           .select($"query_id", $"rank", $"vec_id", $"cos_milli")
           .orderBy($"query_id", $"rank")
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        c AS (SELECT vec_id AS cent_id, e AS ce FROM t WHERE vec_id % 37 = 0),
+        c AS (SELECT vec_id AS cent_id, e AS ce FROM t
+              ORDER BY (CAST(vec_id AS HUGEINT) * $IvfHashMultUnsigned)
+                       % 18446744073709551616
+              LIMIT $IvfK),
         scored AS (
           SELECT t.vec_id, t.e, c.cent_id,
                  CAST(floor(list_dot_product(t.e, c.ce) * 1000.0 /
@@ -195,7 +233,7 @@ object SimilarityQueries {
           FROM scored),
         cells AS (SELECT vec_id, e, cent_id AS cell FROM rk WHERE rk = 1),
         probes AS (SELECT vec_id AS query_id, e AS qe, cent_id AS cell
-                   FROM rk WHERE vec_id < 5 AND rk <= 3),
+                   FROM rk WHERE vec_id < 5 AND rk <= $IvfProbes),
         cand AS (
           SELECT p.query_id, cl.vec_id,
                  CAST(floor(list_dot_product(p.qe, cl.e) * 1000.0 /

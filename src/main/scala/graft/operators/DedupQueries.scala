@@ -104,6 +104,14 @@ object DedupQueries {
       .toDF("doc_id", "sh")
   }
 
+  /** cache() only if this exact plan isn't already cached — d03 and d08
+    * share `minhashNearDupPairs`, and a second .cache() on the same plan
+    * logs "Asked to cache already cached data" and re-registers nothing. */
+  private def cached(df: DataFrame): DataFrame = {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
+    df
+  }
+
   /** FNV-1a 64-bit — the JVM-loop hash for the signature hot path. The
     * minhash/simhash result contract does not depend on hash choice (LSH
     * candidates are re-verified with exact jaccard), so the sketch kernels
@@ -157,14 +165,13 @@ object DedupQueries {
     * holds: persist the signature table before the band join. */
   def minhashNearDupPairs(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val groups = docs
+    val groups = cached(docs
       .select($"doc_id", $"text", md5(TextFns.normalize($"text")).as("k"))
       .groupBy($"k")
       .agg(min($"doc_id").as("rep"), sort_array(collect_list($"doc_id")).as("ids"),
-        first($"text").as("text"))
-      .cache()
-    val sh = shinglesOf(s, groups.select($"rep".as("doc_id"), $"text")).cache()
-    val bands = bandRowsTyped(s, sh).cache()
+        first($"text").as("text")))
+    val sh = cached(shinglesOf(s, groups.select($"rep".as("doc_id"), $"text")))
+    val bands = cached(bandRowsTyped(s, sh))
     val cand = bands.select($"band", $"bh", $"doc_id".as("rep_a"))
       .join(bands.select($"band", $"bh", $"doc_id".as("rep_b")), Seq("band", "bh"))
       .filter($"rep_a" < $"rep_b")
@@ -188,6 +195,62 @@ object DedupQueries {
       .toDF("doc_a", "doc_b", "j_milli")
     cross.unionByName(within)
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Connected-components cluster labels over an arbitrary near-dup pair
+    * set: every doc gets the min doc_id of its transitive cluster
+    * (singletons label themselves). Min-label propagation WITH pointer
+    * jumping: each round a node takes the min over (its label, its
+    * neighbors' labels) and then compresses one pointer hop
+    * (label := label(label)) — labels are always doc_ids within the same
+    * component, so jumping is sound, and the component minimum reaches
+    * every node in O(log diameter) rounds instead of O(diameter). Each
+    * round is two shuffle joins + an agg that scale with executors; the
+    * driver only orchestrates counts (no data collect). If the cap is ever
+    * hit without convergence the query FAILS rather than silently emitting
+    * wrong labels (templated corpora produce arbitrarily long near-dup
+    * chains; a silent cap would mislabel them). */
+  def clusterLabels(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 32): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val edges = pairs.select($"doc_a", $"doc_b")
+      .union(pairs.select($"doc_b", $"doc_a"))
+      .toDF("src", "dst").cache()
+    // localCheckpoint (eager) per round: the pointer-jump self-join would
+    // otherwise DOUBLE the logical plan every round (2^rounds analyzer
+    // nodes — lineage, not data, becomes the bottleneck; the standard
+    // iterative-graph discipline, same reason GraphX checkpoints)
+    var labels = docs.select($"doc_id", $"doc_id".as("cluster_id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select($"doc_id".as("dst"), $"cluster_id".as("nl")), "dst")
+        .groupBy($"src".as("doc_id")).agg(min($"nl").as("nmin"))
+      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select($"doc_id",
+          least($"cluster_id", coalesce($"nmin", $"cluster_id")).as("cluster_id"))
+        .cache()
+      // pointer jump: label := min(label, label(label)) — roughly doubles
+      // the propagated distance every round
+      val next = stepped.join(
+          stepped.select($"doc_id".as("cluster_id"), $"cluster_id".as("ll")),
+          Seq("cluster_id"), "left")
+        .select($"doc_id",
+          least($"cluster_id", coalesce($"ll", $"cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select($"doc_id", $"cluster_id".as("old")), "doc_id")
+        .filter($"cluster_id" =!= $"old").count()
+      stepped.unpersist()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0,
+      s"near-dup clustering did not converge after $rounds rounds " +
+        s"($changed labels still changing); raise maxRounds")
+    edges.unpersist()
+    labels.orderBy($"doc_id")
   }
 
   /** Exact-jaccard verified pair set — shared by the quadratic baseline and
@@ -287,43 +350,16 @@ object DedupQueries {
     // ----- near-dup cluster assignment: connected components ----------------
     // The step after pair mining in a real dedup pipeline: group docs into
     // transitive near-dup clusters and label each with the cluster's min
-    // doc_id (singletons label themselves). Iterative min-label
-    // propagation — the standard distributed connected-components
-    // algorithm: each round every node takes the min label among itself
-    // and its neighbors; converges in O(graph diameter) rounds, each a
-    // plain shuffle join + agg that scales with executors. The driver only
-    // orchestrates rounds and checks convergence counts — no data is
-    // collected. Oracle: transitive closure via a recursive CTE.
+    // doc_id (singletons label themselves). See `clusterLabels`: min-label
+    // propagation with pointer jumping — O(log diameter) rounds, loud
+    // failure (not silent wrong labels) if the round cap is ever hit.
+    // Oracle: transitive closure via a recursive CTE.
     QueryDef(
       "d08_dedup_clusters",
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-        val pairs = minhashNearDupPairs(s, docs).select($"doc_a", $"doc_b")
-        val edges = pairs.union(pairs.select($"doc_b", $"doc_a"))
-          .toDF("src", "dst").cache()
-        var labels = docs.select($"doc_id", $"doc_id".as("cluster_id")).cache()
-        labels.count()
-        var changed = 1L
-        var rounds = 0
-        while (changed > 0 && rounds < 32) {
-          val nbrMin = edges
-            .join(labels.select($"doc_id".as("dst"), $"cluster_id".as("nl")), "dst")
-            .groupBy($"src".as("doc_id")).agg(min($"nl").as("nmin"))
-          val next = labels.join(nbrMin, Seq("doc_id"), "left")
-            .select($"doc_id",
-              least($"cluster_id", coalesce($"nmin", $"cluster_id")).as("cluster_id"))
-            .cache()
-          // one action per round: the convergence count materializes `next`
-          // into its cache as a side effect
-          changed = next
-            .join(labels.select($"doc_id", $"cluster_id".as("old")), "doc_id")
-            .filter($"cluster_id" =!= $"old").count()
-          labels.unpersist()
-          labels = next
-          rounds += 1
-        }
-        labels.orderBy($"doc_id")
+        clusterLabels(docs, minhashNearDupPairs(s, docs).select($"doc_a", $"doc_b"))
       },
       oracle = Some(s"""
         WITH RECURSIVE pairs AS (${PairSqlNoOrder}),

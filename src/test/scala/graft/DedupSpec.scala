@@ -84,6 +84,28 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("cluster labels: pointer jumping converges a long chain in O(log d) rounds") {
+    import spark.implicits._
+    // 40-node path graph: diameter 39 — plain min-label propagation needs
+    // 39 rounds; pointer jumping reaches distance ~2^r after r rounds
+    val docs = (0L until 40L).toDF("doc_id")
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = DedupQueries.clusterLabels(docs, chain, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 40)
+    assert(labels.values.forall(_ === 0L), s"all nodes must join cluster 0: $labels")
+  }
+
+  test("cluster labels fail loudly when the round cap is hit before convergence") {
+    import spark.implicits._
+    val docs = (0L until 10L).toDF("doc_id")
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      DedupQueries.clusterLabels(docs, chain, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("identical texts get identical minhash signatures and simhash") {
     import spark.implicits._
     import graft.functions.TextFns

@@ -578,17 +578,53 @@ object RelationalQueries {
           FROM lineitem GROUP BY l_linestatus)
         ORDER BY l_linestatus""")),
 
-    // ----- approximate aggregates (sketches; algorithm-specific => rows-only) -
+    // ----- approximate aggregates (sketches) ---------------------------------
+    // Sketch estimates are algorithm-specific, so the raw estimate has no
+    // cross-engine oracle. Checkable form instead: emit the EXACT values
+    // (both engines compute them identically) plus booleans asserting the
+    // sketch landed within tolerance of the exact value — computed
+    // Spark-side from Spark's own sketches, while DuckDB emits literal
+    // TRUE. Rows/schema/hash match iff the sketches actually hit their
+    // bounds: HLL++ at rsd=0.01 makes ±5% a 5-sigma bound; KLL at
+    // accuracy=10000 bounds rank error at 0.01%, far inside ±5% on this
+    // price distribution. (SketchSpec additionally bounds the raw
+    // estimates against exact values.)
+    //
+    // Plan shape: the distinct counts and the percentiles are SEPARATE
+    // aggregations joined on the 3-row group key. Mixing countDistinct
+    // with object-buffer aggs (percentile, HLL) in one agg routes them
+    // all through the distinct Expand — measured 10x slower at sf0.1.
+    // Both distinct counts run on the pre-reduced (flag, partkey) pair
+    // table (the q14 trick): exact becomes a plain count, and HLL over
+    // the dedup'd pairs has bit-identical registers (HLL is
+    // duplicate-insensitive), so partial aggregation stays map-side.
     QueryDef(
       "q24_approx_sketches",
       (s, d) => {
         import s.implicits._
-        Tables.lineitem(s, d)
+        val li = Tables.lineitem(s, d)
+        val parts = li.groupBy($"l_returnflag", $"l_partkey").agg(count(lit(1)))
           .groupBy($"l_returnflag")
-          .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
-            percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("approx_median_price"))
+          .agg(count(lit(1)).as("exact_parts"),
+            approx_count_distinct($"l_partkey", 0.01).as("ap"))
+        val prices = li.groupBy($"l_returnflag")
+          .agg(expr("percentile(l_extendedprice, 0.5)").as("em"),
+            percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("am"))
+        parts.join(prices, "l_returnflag")
+          .select($"l_returnflag", $"exact_parts",
+            ($"ap" >= $"exact_parts" * 0.95 && $"ap" <= $"exact_parts" * 1.05)
+              .as("approx_parts_within_5pct"),
+            ($"am" >= $"em" * 0.95 && $"am" <= $"em" * 1.05)
+              .as("approx_median_within_5pct"))
           .orderBy($"l_returnflag")
       },
-      oracle = None)
+      oracle = Some("""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS approx_parts_within_5pct,
+               TRUE AS approx_median_within_5pct
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""))
   )
 }

@@ -39,9 +39,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // optional comma-separated name filter for targeted profiling runs
+    // (exact names — a prefix like "q1" would silently also time q10..q19)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.allDefs
-      .filter(q => q.benchmark && only.forall(_.exists(q.name.startsWith)))
+      .filter(q => q.benchmark && only.forall(_.contains(q.name)))
       .map { q =>
         runOnce(q)                    // codegen-compile + JIT warmup, untimed
         val timed = Seq.fill(2) {

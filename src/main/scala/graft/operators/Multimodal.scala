@@ -152,7 +152,10 @@ object Multimodal {
         WITH d AS (
           SELECT doc_id, length(text) AS n,
                  CAST(ceil(length(text) / 1024.0) AS BIGINT) AS nf
-          FROM documents)
+          FROM documents
+          -- empty payload decodes to zero frames, so the Spark side's
+          -- groupBy-over-frames emits no row for it: mirror that here
+          WHERE length(text) > 0)
         SELECT doc_id AS asset_id,
                CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
                CAST(list_sum(list_transform(

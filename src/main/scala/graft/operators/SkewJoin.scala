@@ -21,8 +21,16 @@ object SkewJoin {
 
   def saltedEquiJoin(fact: DataFrame, build: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!fact.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "input already has a __salt column; rename it before salting")
     // deterministic per-row salt: hash of the whole row spreads uniformly
-    // regardless of key skew and stays stable across retries
+    // regardless of key skew and stays stable across retries. Limitation:
+    // a hot key whose rows are bit-identical (duplicate log lines) all hash
+    // to ONE salt and are not spread — dedup first (d01/d07) or add a
+    // distinguishing column (ingest offset) before salting; a row index
+    // (spark_partition_id / monotonically_increasing_id) is NOT used here
+    // because it is not stable across task retries and would make the join
+    // nondeterministic.
     val saltedFact = fact.withColumn(
       "__salt", pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(salts.toLong)))
     val saltedBuild = build.withColumn(

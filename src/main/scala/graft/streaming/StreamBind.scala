@@ -19,7 +19,13 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
   *
   * The decision is made once per query lifetime and must be remade on
   * restart from the data (it is intentionally NOT checkpointed: the
-  * reference re-evaluates the deciding term on every eval too).
+  * reference re-evaluates the deciding term on every eval too). Corollary:
+  * after a checkpointed restart MID-stream, the re-decision sees the first
+  * row of the first batch AFTER the restart — which may be a later element
+  * than the stream's true first. Callers that need the original choice to
+  * survive restarts must persist the chooser's input themselves (e.g.
+  * write the deciding value next to the checkpoint dir and prefer it when
+  * present).
   */
 object StreamBind {
 

@@ -1,0 +1,38 @@
+package graft
+
+/** Plan linter: one regression gate over EVERY benchmarked query's physical
+  * plan, so a plan degradation (a join losing its equi keys and falling
+  * back to a nested-loop scan, a cartesian product sneaking in behind a
+  * refactor, a driver-side limit mid-pipeline) fails CI instead of
+  * becoming a 100 TB incident. This automates the per-round manual plan
+  * audit; PlanQualitySpec keeps the sharper per-query shape assertions. */
+class PlanLintSpec extends SparkSpec {
+
+  /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+    * q21 is a genuine interval join (no equi key exists; the broadcast side
+    * is a constant-size bucket table), s01 is brute-force ANN scoring a
+    * constant-size broadcast query set against the corpus (the corpus side
+    * streams — the BNLJ is the algorithm, and the LSH/IVF variants are the
+    * scale path). Everything else must stay equi-join shaped. */
+  private val bnljOk = Set("q21_range_join_buckets", "s01_ann_bruteforce_topk")
+
+  for (q <- SparkEntry.allDefs.filter(_.benchmark)) {
+    test(s"${q.name}: no cartesian product, no stray nested-loop join, no mid-plan collect") {
+      val df = q.fn(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"cartesian product in ${q.name}:\n$plan")
+      if (!bnljOk(q.name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"nested-loop join in ${q.name} (join keys lost?):\n$plan")
+      // CollectLimit funnels rows to the driver: fine as the root operator
+      // of a deliberately-limited result, fatal anywhere below it
+      val lines = plan.linesIterator.toSeq
+      val midCollect = lines.zipWithIndex.exists {
+        case (l, i) => i > 0 && l.contains("CollectLimit")
+      }
+      assert(!midCollect, s"mid-plan CollectLimit in ${q.name}:\n$plan")
+      spark.catalog.clearCache()
+    }
+  }
+}

@@ -516,51 +516,66 @@ object DedupQueries {
     // recall on the fixture; see the L/K constants for the tuning data).
     QueryDef(
       "d06_dedup_embedding_lsh",
-      (s, d) => {
-        import s.implicits._
-        val planes = VectorFns.hyperplanes(LshTables * LshPlanesPerTable, EmbDim)
-        val vecs = Tables.embeddings(s, d).select($"vec_id", $"embedding").cache()
-        // (vec_id, table, bucket) rows — JVM kernel, same materialize-before-
-        // self-join principle as d03's band rows
-        val buckets = vecs.as[(Long, Array[Float])]
-          .flatMap { case (id, emb) =>
-            val a = emb.map(_.toDouble)
-            (0 until LshTables).iterator.map { t =>
-              var bucket = 0L
-              var k = 0
-              while (k < LshPlanesPerTable) {
-                val p = planes(t * LshPlanesPerTable + k)
-                var dot = 0.0; var i = 0
-                while (i < a.length) { dot += a(i) * p(i); i += 1 }
-                if (dot >= 0) bucket |= (1L << k)
-                k += 1
-              }
-              (id, t, bucket)
-            }
-          }.toDF("vec_id", "tbl", "bucket").cache()
-        val cand = buckets.select($"tbl", $"bucket", $"vec_id".as("vec_a"))
-          .join(buckets.select($"tbl", $"bucket", $"vec_id".as("vec_b")), Seq("tbl", "bucket"))
-          .filter($"vec_a" < $"vec_b")
-          .select($"vec_a", $"vec_b").distinct()
-        cand
-          .join(vecs.select($"vec_id".as("vec_a"), $"embedding".as("ea")), Seq("vec_a"))
-          .join(vecs.select($"vec_id".as("vec_b"), $"embedding".as("eb")), Seq("vec_b"))
-          .select($"vec_a", $"vec_b", $"ea", $"eb")
-          .as[(Long, Long, Array[Float], Array[Float])]
-          .map { case (idA, idB, ea, eb) =>
-            // same sequential double accumulation as the d05 anchor
-            val a = ea.map(_.toDouble); val b = eb.map(_.toDouble)
-            var na = 0.0; var nb = 0.0; var dot = 0.0; var i = 0
-            while (i < a.length) {
-              na += a(i) * a(i); nb += b(i) * b(i); dot += a(i) * b(i); i += 1
-            }
-            (idA, idB, math.floor(dot * 1000.0 / (math.sqrt(na) * math.sqrt(nb))).toLong)
-          }
-          .toDF("vec_a", "vec_b", "cos_milli")
-          .filter($"cos_milli" >= 400L)
-          .orderBy($"vec_a", $"vec_b")
-      },
+      (s, d) => embeddingLshPairs(s, Tables.embeddings(s, d)),
       oracle = Some(d06OracleSql)))
+
+  /** The d06 pipeline over an arbitrary (vec_id, embedding) table.
+    *
+    * Tuning contract for scale: random (non-neighbor) pairs collide in a
+    * K-bit bucket with probability ~L/2^K, so the candidate set grows as
+    * n^2 * L / 2^K — K must grow with log2(n) (rule of thumb:
+    * K ≈ 2*log2(n) - 10 keeps expected random collisions per vector
+    * bounded) while L buys recall at p^K per table. The fixture defaults
+    * (K=6, L=12) are tuned for the 500-vector test table and its
+    * deliberately weak 0.4-cosine band; ScaleSpec drives this same
+    * pipeline at K=14 over 2k/20k-vector corpora and asserts the runtime
+    * and pair trends stay near-linear. */
+  def embeddingLshPairs(s: SparkSession, embeddings: DataFrame,
+      tables: Int = LshTables, planesPerTable: Int = LshPlanesPerTable,
+      minCosMilli: Long = 400L): DataFrame = {
+    import s.implicits._
+    val planes = VectorFns.hyperplanes(tables * planesPerTable, EmbDim)
+    val vecs = cached(embeddings.select($"vec_id", $"embedding"))
+    // (vec_id, table, bucket) rows — JVM kernel, same materialize-before-
+    // self-join principle as d03's band rows
+    val buckets = cached(vecs.as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        val a = emb.map(_.toDouble)
+        (0 until tables).iterator.map { t =>
+          var bucket = 0L
+          var k = 0
+          while (k < planesPerTable) {
+            val p = planes(t * planesPerTable + k)
+            var dot = 0.0; var i = 0
+            while (i < a.length) { dot += a(i) * p(i); i += 1 }
+            if (dot >= 0) bucket |= (1L << k)
+            k += 1
+          }
+          (id, t, bucket)
+        }
+      }.toDF("vec_id", "tbl", "bucket"))
+    val cand = buckets.select($"tbl", $"bucket", $"vec_id".as("vec_a"))
+      .join(buckets.select($"tbl", $"bucket", $"vec_id".as("vec_b")), Seq("tbl", "bucket"))
+      .filter($"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b").distinct()
+    cand
+      .join(vecs.select($"vec_id".as("vec_a"), $"embedding".as("ea")), Seq("vec_a"))
+      .join(vecs.select($"vec_id".as("vec_b"), $"embedding".as("eb")), Seq("vec_b"))
+      .select($"vec_a", $"vec_b", $"ea", $"eb")
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (idA, idB, ea, eb) =>
+        // same sequential double accumulation as the d05 anchor
+        val a = ea.map(_.toDouble); val b = eb.map(_.toDouble)
+        var na = 0.0; var nb = 0.0; var dot = 0.0; var i = 0
+        while (i < a.length) {
+          na += a(i) * a(i); nb += b(i) * b(i); dot += a(i) * b(i); i += 1
+        }
+        (idA, idB, math.floor(dot * 1000.0 / (math.sqrt(na) * math.sqrt(nb))).toLong)
+      }
+      .toDF("vec_a", "vec_b", "cos_milli")
+      .filter($"cos_milli" >= minCosMilli)
+      .orderBy($"vec_a", $"vec_b")
+  }
 
   /** d06 is deterministic given the fixed-seed hyperplanes, so — like s02 —
     * it gets a full oracle: per-table 4-bit buckets recomputed in DuckDB

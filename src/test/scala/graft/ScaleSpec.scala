@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.DedupQueries
+
+/** Measured scale-trend evidence for the two LSH dedup scale paths: run
+  * the d03 (MinHash over text) and d06 (sign-LSH over embeddings)
+  * pipelines on synthetic corpora at two sizes 10x apart and assert the
+  * runtime grows sub-quadratically and the emitted pair count stays
+  * near-linear. A quadratic regression (e.g. an unblocked self-join
+  * sneaking back in) blows both bounds by orders of magnitude; plan
+  * audits say the shape is right, this says the CLOCK agrees. Bounds are
+  * deliberately generous — a shared local[4] JVM is noisy — but a 10x
+  * corpus at 100x the time or pairs still fails loudly.
+  *
+  * The corpora embed near-dups at a FIXED per-doc rate (every 10th doc,
+  * fixed-size embedding clusters), so true pair counts scale exactly
+  * linearly by construction; everything is deterministic in the doc id
+  * (no RNG — retry-stable, like the load soak in
+  * /root/reference/tests/load.rs:7-42 this spec generalizes). */
+/** Deterministic corpus kernels in a standalone object so Spark closures
+  * don't drag the (non-serializable) suite instance along. */
+private object ScaleCorpus extends Serializable {
+
+  /** splitmix64 finalizer — cheap deterministic per-id pseudo-randomness. */
+  def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  def doc(i: Long): (Long, String) = {
+    val base = if (i % 10 == 9) i - 1 else i
+    val words = Array.tabulate(40)(w => s"w${mix(base * 41 + w) % 100000}")
+    if (i % 10 == 9) words(39) = "changed"
+    (i, words.mkString(" "))
+  }
+
+  def vec(i: Long): (Long, Array[Float]) = {
+    val cluster = i / 4
+    val emb = Array.tabulate(64) { j =>
+      val base = mix(cluster * 131 + j).toDouble / Long.MaxValue
+      val noise = (mix(i * 257 + j).toDouble / Long.MaxValue) * 0.25
+      (base + noise).toFloat
+    }
+    (i, emb)
+  }
+}
+
+class ScaleSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** n docs of 40 words; every 10th doc repeats the previous doc's
+    * template with ONE word changed (37 of 41 shingles shared => jaccard
+    * 0.90, above d03's 0.8 near-dup bar); all other docs are unrelated. */
+  private def docCorpus(n: Int): DataFrame =
+    spark.range(n).as[Long].map(ScaleCorpus.doc _).toDF("doc_id", "text")
+
+  /** n unit-scale 64-dim vectors in clusters of 4 consecutive ids: shared
+    * cluster direction plus small per-id noise => within-cluster cosine
+    * well above d06's 0.4 bar, cross-cluster cosine ~0 (random directions
+    * in 64 dims), so true pairs = 6 per cluster = 1.5 per vector. */
+  private def vecCorpus(n: Int): DataFrame =
+    spark.range(n).as[Long].map(ScaleCorpus.vec _).toDF("vec_id", "embedding")
+
+  private def timed(f: => Long): (Double, Long) = {
+    spark.catalog.clearCache()
+    val t0 = System.nanoTime()
+    val rows = f
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  /** Sub-quadratic runtime + near-linear output across a 10x growth. The
+    * runtime bound uses a floor so the small run's fixed job-scheduling
+    * cost (~0.5 s for these multi-stage pipelines) can't make the ratio
+    * vacuously strict or trivially loose. */
+  private def assertTrend(name: String, run: DataFrame => Long,
+      small: DataFrame, big: DataFrame): Unit = {
+    run(small) // warmup: codegen + JIT, untimed
+    spark.catalog.clearCache()
+    val (tS, pairsS) = timed(run(small))
+    val (tL, pairsL) = timed(run(big))
+    info(f"$name: 1x -> ${tS}%.2f s / $pairsS pairs, 10x -> ${tL}%.2f s / $pairsL pairs")
+    assert(tL <= 25.0 * math.max(tS, 0.5),
+      f"$name runtime grew super-linearly: ${tS}%.2f s -> ${tL}%.2f s for 10x data")
+    assert(pairsL <= 15L * math.max(pairsS, 1L),
+      s"$name pair count grew super-linearly: $pairsS -> $pairsL for 10x data")
+    assert(pairsL >= 4L * pairsS,
+      s"$name lost recall at scale: $pairsS -> $pairsL for 10x data")
+  }
+
+  test("d03 minhash dedup: 10x corpus => ~10x runtime and pairs") {
+    assertTrend("d03",
+      df => DedupQueries.minhashNearDupPairs(spark, df).count(),
+      docCorpus(4000), docCorpus(40000))
+  }
+
+  test("d06 embedding-LSH dedup: 10x corpus => ~10x runtime and pairs") {
+    // K and the cosine bar are tuned for THIS corpus per the pipeline's
+    // documented contract (K ~ 2*log2(n) - 10, threshold above the random
+    // cross-pair cosine tail): the fixture defaults (K=6, 0.4) are for the
+    // 500-vector test table and at 20k vectors would admit the n^2/2^K
+    // random-collision candidate flood this spec exists to catch.
+    assertTrend("d06",
+      df => DedupQueries.embeddingLshPairs(spark, df,
+        tables = 12, planesPerTable = 14, minCosMilli = 850L).count(),
+      vecCorpus(2000), vecCorpus(20000))
+  }
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (SURVEY.md §2.2 LLM ops):
@@ -11,6 +12,25 @@ import org.apache.spark.sql.functions._
   * until the final aggregate.
   */
 object TextQueries {
+
+  /** The admission feature projection — one narrow per-row pass shared by
+    * batch t05 and its streaming upsert twin (StreamAdmission): content
+    * key for canonical-copy selection, predicted language, and the quality
+    * signals. All deterministic per row, so batch/stream results agree
+    * regardless of how the corpus is split into micro-batches. */
+  def admissionFeatures(docs: DataFrame): DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    val nToks = size(t).cast("long")
+    val distinctRatio = floor(size(array_distinct(t)) * lit(1000.0) / size(t)).cast("long")
+    docs.select(col("doc_id"),
+      md5(TextFns.normalize(col("text"))).as("content_key"),
+      TextFns.langId(col("text")).as("predicted_lang"),
+      nToks.as("n_tokens"),
+      distinctRatio.as("distinct_ratio_milli"))
+  }
+
+  /** t05's admission gate over the feature columns. */
+  def admissionGate: Column = col("n_tokens") >= 20 && col("distinct_ratio_milli") >= 200
 
   val all: Seq[QueryDef] = Seq(
 
@@ -104,18 +124,10 @@ object TextQueries {
       "t05_corpus_filter",
       (s, d) => {
         import s.implicits._
-        val t = TextFns.tokens($"text")
-        val nToks = size(t).cast("long")
-        val distinctRatio = floor(size(array_distinct(t)) * lit(1000.0) / size(t)).cast("long")
-        val scored = Tables.documents(s, d)
-          .select($"doc_id",
-            md5(TextFns.normalize($"text")).as("content_key"),
-            TextFns.langId($"text").as("predicted_lang"),
-            nToks.as("n_tokens"),
-            distinctRatio.as("distinct_ratio_milli"))
+        val scored = admissionFeatures(Tables.documents(s, d))
         val canon = scored.groupBy($"content_key").agg(min($"doc_id").as("doc_id"))
         scored.join(canon, Seq("content_key", "doc_id"))
-          .filter($"n_tokens" >= 20 && $"distinct_ratio_milli" >= 200)
+          .filter(admissionGate)
           .select($"doc_id", $"predicted_lang", $"n_tokens")
           .orderBy($"doc_id")
       },

@@ -396,6 +396,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus admission equals batch t05 on the same documents") {
+    // the LLM-layer flagship (t05 canonical-copy + quality admission) run
+    // incrementally: documents arrive in micro-batches, foreachBatch folds
+    // each into the canonical-set state (min-of-struct per content_key —
+    // associative + commutative, so the split into batches can't change
+    // the answer), and the admitted view after the last batch must equal
+    // the one-shot batch query. Docs arrive in doc_id-DESCENDING order so
+    // the canonical (min) copy of every content group arrives LAST — the
+    // state must actually re-elect canonicals across batches, not just
+    // accumulate first-seen keys.
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val (q, state) = graft.streaming.StreamAdmission.start(
+      ms.toDF().toDF("doc_id", "text"))
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .collect().toSeq.sortBy(-_._1)
+      docs.grouped(math.max(1, docs.size / 4 + 1)).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+      }
+      val streamed = state.admitted.as[(Long, String, Long)].collect().toVector
+      val batch = SparkEntry.queries("t05_corpus_filter")(spark, sf)
+        .as[(Long, String, Long)].collect().toVector
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("fsm with processing-time timeout emits on silence (pelican P4 shape)") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[(Long, Long, String)]

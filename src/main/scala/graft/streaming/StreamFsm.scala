@@ -147,6 +147,76 @@ object StreamFsm {
     }
   }
 
+  /** Keyed element carrying the event time the watermark tracks — the input
+    * shape for [[fsmStreamEventTimeTws]]. */
+  final case class KeyedTs[A](key: Long, seq: Long, ts: java.sql.Timestamp, value: A)
+
+  /** Event-time twin of [[fsmStreamWithTimersTws]] — an EXTENSION beyond
+    * reference parity (rspl has no event time; SURVEY §2.2 lists watermarks
+    * as an upgrade): timers are armed at absolute EVENT-time instants and
+    * fire when the WATERMARK passes them, so results depend only on the
+    * data's own timestamps — reprocessing a day of events yields identical
+    * output, unlike processing-time timers. The caller must put a
+    * watermark on `ts` before calling (the engine requires it); input rows
+    * older than the current watermark are dropped by the operator, the
+    * standard late-data contract shared with windowed aggregation.
+    *
+    * Transition contract: `(state, Some((a, tsMs)))` on input with the
+    * row's event time, `(state, None)` on watermark expiry; returns
+    * `(newState, outputs, armAtMs)` where `armAtMs` is an absolute
+    * event-time ms for the next (sole pending) timer, `None` to leave
+    * timers alone. */
+  def fsmStreamEventTimeTws[S, A, B](ds: Dataset[KeyedTs[A]], init: S)(
+      t: (S, Option[(A, Long)]) => (S, Seq[B], Option[Long]))(
+      implicit encLong: Encoder[Long],
+      encState: Encoder[FsmState[S]],
+      encOut: Encoder[Keyed[B]]): Dataset[Keyed[B]] =
+    ds.groupByKey(_.key)
+      .transformWithState(
+        new EventTimeMealyProcessor[S, A, B](init, t, encState),
+        TimeMode.EventTime(), OutputMode.Append(), encOut)
+
+  private final class EventTimeMealyProcessor[S, A, B](
+      zero: S, t: (S, Option[(A, Long)]) => (S, Seq[B], Option[Long]),
+      encState: Encoder[FsmState[S]])
+      extends StatefulProcessor[Long, KeyedTs[A], Keyed[B]] {
+    @transient private var st: ValueState[FsmState[S]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("fsm", encState, TTLConfig.NONE)
+
+    private def arm(atMs: Option[Long]): Unit =
+      atMs.foreach { at =>
+        getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+        getHandle.registerTimer(at)
+      }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[KeyedTs[A]], tv: TimerValues): Iterator[Keyed[B]] = {
+      val st0 = Option(st.get()).getOrElse(FsmState(zero, 0L))
+      var s = st0.userState
+      var emitted = st0.emitted
+      val out = rows.toVector.sortBy(_.seq).flatMap { ka =>
+        val (s2, bs, armAt) = t(s, Some((ka.value, ka.ts.getTime)))
+        s = s2
+        arm(armAt)
+        bs.map { b => val kb = Keyed(key, emitted, b); emitted += 1; kb }
+      }
+      st.update(FsmState(s, emitted))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues, info: ExpiredTimerInfo): Iterator[Keyed[B]] = {
+      val st0 = Option(st.get()).getOrElse(FsmState(zero, 0L))
+      val (s2, bs, armAt) = t(st0.userState, None)
+      var emitted = st0.emitted
+      val out = bs.map { b => val kb = Keyed(key, emitted, b); emitted += 1; kb }
+      st.update(FsmState(s2, emitted))
+      arm(armAt)
+      out.iterator
+    }
+  }
+
   /** Timer-driven FSM on `transformWithState` — the faithful carrier of the
     * reference's `EmitTimeoutAfter` capability (`examples/pelican.rs:
     * 323-325,346-367`): the *transition itself* requests its next timeout

@@ -396,6 +396,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time TWS timers fire on watermark passage and drop late data") {
+    // extension beyond reference parity (rspl has no event time): a
+    // session-gap detector arms a timer 60 event-time seconds after each
+    // event; the timer fires when the WATERMARK (max seen ts - 10s) passes
+    // it, so "silence" is measured on the data's own clock. A row behind
+    // the watermark must be dropped by the operator (the standard
+    // late-data contract), leaving the count unchanged.
+    withRocksDb {
+      implicit val sq = spark.sqlContext
+      // base offset: a row at event-time epoch 0 ms is "late" against the
+      // INITIAL watermark (also 0 ms; the filter is ts <= watermark) and
+      // silently dropped — shift the scenario away from the origin
+      def ts(s: Long) = new java.sql.Timestamp((1000L + s) * 1000L)
+      val ms = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+      val keyed = ms.toDS()
+        .map { case (k, seq, t, v) => StreamFsm.KeyedTs(k, seq, t, v) }
+        .withWatermark("ts", "10 seconds")
+      val out = StreamFsm.fsmStreamEventTimeTws(keyed, 0L) {
+        (n: Long, e: Option[(String, Long)]) =>
+          e match {
+            case Some((_, tsMs)) => (n + 1, Nil, Some(tsMs + 60000L))
+            case None => (n, Seq(s"gap_after_$n"), None)
+          }
+      }
+      val q = out.writeStream.format("memory").queryName("evt_fsm")
+        .outputMode("append").start()
+      def key1 = spark.table("evt_fsm").as[Keyed[String]].collect()
+        .filter(_.key == 1L).map(_.value).sorted.toVector
+      try {
+        // key 1: events at t=0s,30s arm a timer at 90s. Key 2 exists only
+        // to advance the watermark while key 1 stays silent — within a key,
+        // a new event re-arms (replaces) the pending timer BEFORE the
+        // watermark can pass it, so the gap is only observable if the
+        // watermark moves on someone else's data (exactly the multi-key
+        // deployment reality).
+        ms.addData((1L, 0L, ts(0), "a"), (1L, 1L, ts(30), "b"))
+        q.processAllAvailable()
+        assert(spark.table("evt_fsm").count() === 0L) // watermark 20s < 90s
+        ms.addData((2L, 0L, ts(200), "x")) // watermark -> 190s after this batch
+        q.processAllAvailable()
+        ms.addData((2L, 1L, ts(210), "y")) // batch runs WITH watermark 190s
+        q.processAllAvailable()
+        assert(key1 === Vector("gap_after_2"), s"got $key1")
+        // t=40s is far behind the watermark: dropped, no transition — the
+        // next gap must report 3 key-1 events (a,b,d), not 4
+        ms.addData((1L, 2L, ts(40), "late"), (1L, 3L, ts(300), "d")) // timer 360s
+        q.processAllAvailable()
+        ms.addData((2L, 2L, ts(500), "z")) // watermark -> 490s after this batch
+        q.processAllAvailable()
+        ms.addData((2L, 3L, ts(510), "w")) // batch runs with 490s > 360s
+        q.processAllAvailable()
+        assert(key1 === Vector("gap_after_2", "gap_after_3"), s"got $key1")
+      } finally q.stop()
+    }
+  }
+
   test("streaming corpus admission equals batch t05 on the same documents") {
     // the LLM-layer flagship (t05 canonical-copy + quality admission) run
     // incrementally: documents arrive in micro-batches, foreachBatch folds

@@ -106,6 +106,176 @@ object SimilarityQueries {
   private[operators] def planeLit(row: Array[Double]): String =
     row.map(_.toString).mkString("[", ",", "]")
 
+  // ----- IVF with a LEARNED codebook: distributed Lloyd's k-means ----------
+  // s03's hash-sampled codebook is the bootstrap; production IVF learns the
+  // codebook with k-means. Everything runs in INTEGER-MILLI space
+  // (component -> floor(x*1000)): integer sums are associative, so the
+  // centroid update is partitioning-independent, and squared-L2 distances
+  // are exact integers both engines compare identically — which makes a
+  // LEARNED quantizer fully DuckDB-oracle-checkable, fixed iteration count
+  // and all. (Float k-means would hash-mismatch: parallel fp sums are
+  // order-dependent.)
+  private[graft] val KmK = 16
+  private val KmIters = 3
+  private val KmProbes = 4
+
+  private def milliOf(emb: Array[Float]): Array[Long] = {
+    val m = new Array[Long](emb.length)
+    var i = 0
+    while (i < m.length) { m(i) = math.floor(emb(i).toDouble * 1000.0).toLong; i += 1 }
+    m
+  }
+
+  /** The `n` nearest cells by exact integer squared-L2, ties to the lower
+    * cell index — the same ordering the oracle's window rank applies. */
+  private def nearestCells(cb: Array[Array[Long]], m: Array[Long], n: Int): Array[Int] = {
+    val topIdx = Array.fill(n)(-1)
+    val topD = Array.fill(n)(Long.MaxValue)
+    var c = 0
+    while (c < cb.length) {
+      val cv = cb(c)
+      var d = 0L; var j = 0
+      while (j < m.length) { val x = m(j) - cv(j); d += x * x; j += 1 }
+      var k = 0
+      var placed = false
+      while (k < n && !placed) {
+        if (d < topD(k)) { // strict: equal distance keeps the earlier (lower) cell
+          var t = n - 1
+          while (t > k) { topD(t) = topD(t - 1); topIdx(t) = topIdx(t - 1); t -= 1 }
+          topD(k) = d; topIdx(k) = c
+          placed = true
+        }
+        k += 1
+      }
+      c += 1
+    }
+    topIdx.filter(_ >= 0)
+  }
+
+  /** Lloyd's k-means over the integer-milli vectors, distributed: each
+    * iteration is one narrow assignment pass (broadcast codebook, O(n*k))
+    * plus one map-side-combined hash agg of per-component sums; only the
+    * k*dim aggregated sums ever reach the driver. Seeds are the s03
+    * hash-sample (deterministic); empty cells keep their previous
+    * centroid; component update is floorDiv(sum, count) — exact integers
+    * end to end, so the learned codebook is bit-identical on every run,
+    * partitioning, and engine. */
+  private[graft] def kmeansCodebook(
+      s: SparkSession, e: DataFrame,
+      k: Int = KmK, iters: Int = KmIters): Array[Array[Long]] = {
+    import s.implicits._
+    val mv = e.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .map { case (id, emb) => (id, milliOf(emb)) }
+      .toDF("vec_id", "m").as[(Long, Array[Long])].cache()
+    var cb: Array[Array[Long]] = mv
+      .map { case (id, m) => (id, m, (id * IvfHashMult) ^ Long.MinValue) }
+      .toDF("vec_id", "m", "h")
+      .orderBy($"h").limit(k)
+      .select($"vec_id", $"m").as[(Long, Array[Long])]
+      .collect().sortBy(_._1).map(_._2)
+    for (_ <- 0 until iters) {
+      val bc = s.sparkContext.broadcast(cb)
+      val sums = mv.mapPartitions { it =>
+        val code = bc.value
+        it.flatMap { case (_, m) =>
+          val cell = nearestCells(code, m, 1)(0)
+          m.iterator.zipWithIndex.map { case (v, j) => (cell, j, v) }
+        }
+      }.toDF("cell", "j", "v")
+        .groupBy($"cell", $"j")
+        .agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+        .as[(Int, Int, Long, Long)].collect()
+      val next = cb.map(_.clone()) // empty cells keep their previous centroid
+      sums.foreach { case (c, j, sv, n) => next(c)(j) = Math.floorDiv(sv, n) }
+      cb = next
+    }
+    mv.unpersist()
+    cb
+  }
+
+  /** Assignment under the learned codebook: each vector's `n` nearest
+    * cells (integer squared-L2, ties to the lower cell index). */
+  private def kmAssign(
+      s: SparkSession, vecs: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Long]]],
+      n: Int): DataFrame = {
+    import s.implicits._
+    vecs.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val code = bc.value
+        it.map { case (id, emb) =>
+          (id, emb, nearestCells(code, milliOf(emb), n).toSeq)
+        }
+      }.toDF("vec_id", "embedding", "cells")
+  }
+
+  /** The s04 oracle: the 3 Lloyd iterations unrolled as CTE layers (the
+    * iteration count is a fixed hyperparameter, so unrolling is faithful).
+    * Distances use the dot-product identity |a-b|^2 = aa - 2ab + bb over
+    * BIGINT lists (exact below 2^53 even through DuckDB's DOUBLE return);
+    * centroid components update as floor(sum/count) ≡ Math.floorDiv
+    * (DuckDB's // truncates toward zero — NOT used). */
+  private def s04OracleSql: String = {
+    def iter(t: Int): String = s"""
+        a$t AS (
+          SELECT vec_id, m, cell FROM (
+            SELECT m.vec_id, m.m, c.cell,
+                   row_number() OVER (PARTITION BY m.vec_id ORDER BY
+                     list_dot_product(m.m, m.m) - 2*list_dot_product(m.m, c.c)
+                       + list_dot_product(c.c, c.c), c.cell) AS rk
+            FROM mt m CROSS JOIN c${t - 1} c) WHERE rk = 1),
+        u$t AS (
+          SELECT cell, r.j AS j,
+                 CAST(floor(sum(m[r.j])::DOUBLE / count(*)) AS BIGINT) AS v
+          FROM a$t CROSS JOIN range(1, ${Dim + 1}) r(j)
+          GROUP BY cell, r.j),
+        c$t AS (
+          SELECT p.cell, coalesce(u.c, p.c) AS c
+          FROM c${t - 1} p LEFT JOIN
+            (SELECT cell, list(v ORDER BY j) AS c FROM u$t GROUP BY cell) u
+          USING (cell))"""
+    s"""
+        WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        mt AS (SELECT vec_id,
+                      list_transform(e, x -> CAST(floor(x * 1000) AS BIGINT)) AS m
+               FROM t),
+        c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, m AS c
+          FROM (SELECT vec_id, m FROM mt
+                ORDER BY (CAST(vec_id AS HUGEINT) * $IvfHashMultUnsigned)
+                         % 18446744073709551616
+                LIMIT $KmK)),
+        ${(1 to KmIters).map(iter).mkString(",")},
+        asg AS (
+          SELECT vec_id, cell, rk FROM (
+            SELECT m.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY m.vec_id ORDER BY
+                     list_dot_product(m.m, m.m) - 2*list_dot_product(m.m, c.c)
+                       + list_dot_product(c.c, c.c), c.cell) AS rk
+            FROM mt m CROSS JOIN c$KmIters c)),
+        cells AS (
+          SELECT a.vec_id, t.e, a.cell FROM asg a JOIN t USING (vec_id)
+          WHERE a.rk = 1),
+        probes AS (
+          SELECT a.vec_id AS query_id, t.e AS qe, a.cell
+          FROM asg a JOIN t USING (vec_id)
+          WHERE a.vec_id < 5 AND a.rk <= $KmProbes),
+        cand AS (
+          SELECT p.query_id, cl.vec_id,
+                 CAST(floor(list_dot_product(p.qe, cl.e) * 1000.0 /
+                   (sqrt(list_dot_product(p.qe, p.qe)) * sqrt(list_dot_product(cl.e, cl.e)))) AS BIGINT) AS cos_milli
+          FROM probes p JOIN cells cl USING (cell)
+          WHERE cl.vec_id != p.query_id),
+        final AS (
+          SELECT query_id, vec_id, cos_milli,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_milli DESC, vec_id) AS BIGINT) AS rank
+          FROM cand)
+        SELECT query_id, rank, vec_id, cos_milli
+        FROM final WHERE rank <= 10
+        ORDER BY query_id, rank"""
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ----- brute-force cosine top-k (exact; the correctness baseline) -------
@@ -247,7 +417,38 @@ object SimilarityQueries {
           FROM cand)
         SELECT query_id, rank, vec_id, cos_milli
         FROM final WHERE rank <= 10
-        ORDER BY query_id, rank""")))
+        ORDER BY query_id, rank""")),
+
+    // ----- IVF ANN with a LEARNED (k-means) codebook ------------------------
+    // The production IVF path s03 bootstraps: the codebook comes from 3
+    // distributed Lloyd iterations in integer-milli space (see
+    // kmeansCodebook — associative integer sums make the learned centroids
+    // partitioning-independent and oracle-exact), then the same inverted-
+    // file search: assign once, probe the nprobe nearest cells per query,
+    // exact-cosine rank. Same output contract as s01/s02/s03 so the four
+    // ANN operating points are directly comparable.
+    QueryDef(
+      "s04_ann_ivf_kmeans",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val bc = s.sparkContext.broadcast(kmeansCodebook(s, e))
+        val cells = kmAssign(s, e, bc, 1)
+          .select($"vec_id", $"embedding", element_at($"cells", 1).as("cell"))
+        val probes = kmAssign(s, e.filter($"vec_id" < 5), bc, KmProbes)
+          .select($"vec_id".as("query_id"), $"embedding".as("q"),
+            explode($"cells").as("cell"))
+        val wRank = Window.partitionBy($"query_id").orderBy($"cos_milli".desc, $"vec_id")
+        cells.join(broadcast(probes), Seq("cell"))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id",
+            VectorFns.cosineMilli($"q", $"embedding").as("cos_milli"))
+          .withColumn("rank", row_number().over(wRank).cast("long"))
+          .filter($"rank" <= 10)
+          .select($"query_id", $"rank", $"vec_id", $"cos_milli")
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = Some(s04OracleSql)))
 
   /** The LSH result set is deterministic given the fixed-seed hyperplanes,
     * so it has a full oracle: the planes are embedded as SQL literals and

@@ -47,6 +47,47 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.3, s"mean recall@10 = $mean")
   }
 
+  test("k-means IVF recalls a meaningful fraction of brute-force neighbors") {
+    val bf = topk("s01_ann_bruteforce_topk")
+    val km = topk("s04_ann_ivf_kmeans")
+    val recalls = bf.map { case (q, nbrs) =>
+      val bfSet = nbrs.map(_._2).toSet
+      val kmSet = km.getOrElse(q, Seq.empty).map(_._2).toSet
+      kmSet.intersect(bfSet).size.toDouble / bfSet.size
+    }
+    val mean = recalls.sum / recalls.size
+    // nprobe=4 of 16 learned cells (~25% corpus scan) on weak-signal data
+    assert(mean >= 0.3, s"mean recall@10 = $mean")
+  }
+
+  test("k-means strictly improves the codebook over its hash-sample seeds") {
+    import spark.implicits._
+    import graft.operators.SimilarityQueries
+    // Lloyd's objective (total squared distance to the assigned centroid)
+    // must drop from the raw seeds to the trained codebook — the learning
+    // is real, not just deterministic
+    def objective(cb: Array[Array[Long]]): Double = {
+      val bc = spark.sparkContext.broadcast(cb)
+      Tables.embeddings(spark, sf)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+        .map { case (_, emb) =>
+          val m = emb.map(x => math.floor(x.toDouble * 1000.0).toLong)
+          bc.value.map { c =>
+            var d = 0.0; var j = 0
+            while (j < m.length) { val x = (m(j) - c(j)).toDouble; d += x * x; j += 1 }
+            d
+          }.min
+        }.reduce(_ + _)
+    }
+    val e = Tables.embeddings(spark, sf)
+    val seeds = SimilarityQueries.kmeansCodebook(spark, e, iters = 0)
+    val trained = SimilarityQueries.kmeansCodebook(spark, e)
+    assert(seeds.length === SimilarityQueries.KmK)
+    assert(trained.length === SimilarityQueries.KmK)
+    val (o0, o3) = (objective(seeds), objective(trained))
+    assert(o3 < o0 * 0.9, s"k-means did not improve: seeds=$o0 trained=$o3")
+  }
+
   test("IVF codebook size is constant regardless of corpus size") {
     import spark.implicits._
     import graft.operators.SimilarityQueries

@@ -205,7 +205,8 @@ object DedupQueries {
     * (label := label(label)) — labels are always doc_ids within the same
     * component, so jumping is sound, and the component minimum reaches
     * every node in O(log diameter) rounds instead of O(diameter). Each
-    * round is two shuffle joins + an agg that scale with executors; the
+    * round is two shuffle joins + an agg that scale with executors, and
+    * one cheap convergence count over the materialized round result; the
     * driver only orchestrates counts (no data collect). If the cap is ever
     * hit without convergence the query FAILS rather than silently emitting
     * wrong labels (templated corpora produce arbitrarily long near-dup
@@ -228,22 +229,22 @@ object DedupQueries {
         .join(labels.select($"doc_id".as("dst"), $"cluster_id".as("nl")), "dst")
         .groupBy($"src".as("doc_id")).agg(min($"nl").as("nmin"))
       val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select($"doc_id",
+        .select($"doc_id", $"cluster_id".as("old"),
           least($"cluster_id", coalesce($"nmin", $"cluster_id")).as("cluster_id"))
         .cache()
       // pointer jump: label := min(label, label(label)) — roughly doubles
-      // the propagated distance every round
+      // the propagated distance every round. The pre-round label rides
+      // along as `old` so the convergence check below is a filter over the
+      // checkpointed result, not another join.
       val next = stepped.join(
           stepped.select($"doc_id".as("cluster_id"), $"cluster_id".as("ll")),
           Seq("cluster_id"), "left")
-        .select($"doc_id",
+        .select($"doc_id", $"old",
           least($"cluster_id", coalesce($"ll", $"cluster_id")).as("cluster_id"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select($"doc_id", $"cluster_id".as("old")), "doc_id")
-        .filter($"cluster_id" =!= $"old").count()
+      changed = next.filter($"cluster_id" =!= $"old").count()
       stepped.unpersist()
-      labels = next
+      labels = next.select($"doc_id", $"cluster_id")
       rounds += 1
     }
     require(changed == 0,

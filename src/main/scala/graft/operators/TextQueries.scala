@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.TextFns
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators over `documents` (SURVEY.md §2.2 LLM ops):
   * language-ID (stopword heuristic), quality scoring, token counting
@@ -31,6 +32,56 @@ object TextQueries {
 
   /** t05's admission gate over the feature columns. */
   def admissionGate: Column = col("n_tokens") >= 20 && col("distinct_ratio_milli") >= 200
+
+  // ----- deterministic split / packing constants ---------------------------
+  // Split/shard membership hashes on doc_id via the t04 polynomial hash
+  // (mod 2^31-1 — overflow-free under Spark 4's default ANSI mode, where a
+  // wrap-around Fibonacci multiply would throw ARITHMETIC_OVERFLOW) with a
+  // distinct salt prefix per assignment so the two are uncorrelated. Both
+  // engines compute it over CAST(doc_id AS STRING). Declared above
+  // `val all` — oracle strings are built eagerly during Seq construction
+  // (object init is sequential).
+  private val TrainPct = 90
+  private val PackShards = 8
+  private val PackBudget = 512L
+
+  private def saltedDocHash(salt: String): Column =
+    TextFns.polyHash(concat(lit(salt), col("doc_id").cast("string")))
+
+  /** DuckDB mirror of [[saltedDocHash]] (t04's poly_fp over the salted id). */
+  private def saltedDocHashSql(salt: String): String = s"""
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(generate_series(1, length('$salt' || CAST(doc_id AS VARCHAR))),
+                       i -> CAST(ascii(substring('$salt' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 2147483647)"""
+
+  private def splitBucket: Column = pmod(saltedDocHash("split:"), lit(100L))
+  private def packShard: Column = pmod(saltedDocHash("shard:"), lit(PackShards.toLong))
+  private def splitBucketSql: String = s"(${saltedDocHashSql("split:")}) % 100"
+  private def packShardSql: String = s"(${saltedDocHashSql("shard:")}) % $PackShards"
+
+  /** Distinct 8-token shingles per doc — the contamination-check grain
+    * (3-token shingles are too common across unrelated docs to mean
+    * leakage; 8-grams are the n-gram-overlap decontamination standard).
+    * JVM kernel for the same reason as DedupQueries.shinglesOf. */
+  private def shingles8(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("t"))
+      .as[(Long, String, Seq[String])]
+      .map { case (id, lang, t) =>
+        val n = math.max(t.length - 7, 1)
+        val sh = new scala.collection.mutable.LinkedHashSet[String]
+        var i = 0
+        while (i < n) {
+          sh += t.slice(i, math.min(i + 8, t.length)).mkString(" ")
+          i += 1
+        }
+        (id, lang, sh.toSeq)
+      }
+      .toDF("doc_id", "lang", "sh")
+  }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -205,5 +256,145 @@ object TextQueries {
                      i -> CAST(ascii(substring(s, i, 1)) AS BIGINT))),
                  (acc, c) -> (acc * 31 + c) % 2147483647) AS poly_fp
         FROM n
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // ----- deterministic stratified train/heldout split ----------------------
+    // Every training corpus needs a reproducible split. Membership is a pure
+    // function of doc_id (Fibonacci hash mod 100 < 90): no RNG, no state,
+    // stable under reprocessing and retries, and any engine can recompute it
+    // — the property that makes downstream eval hygiene auditable. Output is
+    // the per-(lang, split) stratification summary; the split itself is a
+    // narrow projection any query can reuse.
+    QueryDef(
+      "t06_split_stratified",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"lang",
+            when(splitBucket < TrainPct, "train").otherwise("heldout").as("split"),
+            size(TextFns.tokens($"text")).cast("long").as("n_tokens"))
+          .groupBy($"lang", $"split")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("total_tokens"))
+          .orderBy($"lang", $"split")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT lang,
+                 CASE WHEN $splitBucketSql < $TrainPct
+                      THEN 'train' ELSE 'heldout' END AS split,
+                 len(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS n_tokens
+          FROM documents)
+        SELECT lang, split, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM t GROUP BY lang, split
+        ORDER BY lang, split""")),
+
+    // ----- cross-split contamination check -----------------------------------
+    // Benchmark decontamination: a heldout document is contaminated if it
+    // shares any 8-token shingle with any train document. Shape: distinct
+    // train shingles (hash agg) -> semi-join from heldout shingles (plain
+    // shuffle equi-join on the shingle) -> distinct contaminated docs ->
+    // per-lang counts. Linear in corpus shingles at any scale — the same
+    // bucket-join discipline as the dedup family, never an all-pairs scan.
+    QueryDef(
+      "t07_contamination",
+      (s, d) => {
+        import s.implicits._
+        val sh = shingles8(Tables.documents(s, d))
+          .withColumn("split", when(splitBucket < TrainPct, "train").otherwise("heldout"))
+        val trainSh = sh.filter($"split" === "train")
+          .select(explode($"sh").as("g")).distinct()
+        val heldout = sh.filter($"split" === "heldout")
+        val contaminated = heldout
+          .select($"doc_id", $"lang", explode($"sh").as("g"))
+          .join(trainSh, Seq("g"), "left_semi")
+          .select($"doc_id", $"lang").distinct()
+        heldout.groupBy($"lang").agg(count(lit(1)).as("n_heldout"))
+          .join(contaminated.groupBy($"lang").agg(count(lit(1)).as("nc")), Seq("lang"), "left")
+          .select($"lang", $"n_heldout", coalesce($"nc", lit(0L)).as("n_contaminated"))
+          .orderBy($"lang")
+      },
+      oracle = Some {
+        val gram = (0 to 7).map(k => s"t[i+$k]").mkString(", ")
+        s"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 CASE WHEN $splitBucketSql < $TrainPct
+                      THEN 'train' ELSE 'heldout' END AS split,
+                 string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, lang, split,
+                 list_distinct(list_transform(generate_series(1, greatest(len(t) - 7, 1)),
+                   i -> concat_ws(' ', $gram))) AS s
+          FROM toks),
+        tr AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE split = 'train'),
+        held AS (SELECT doc_id, lang, s FROM sh WHERE split = 'heldout'),
+        cont AS (
+          SELECT DISTINCT h.doc_id, h.lang
+          FROM (SELECT doc_id, lang, unnest(s) AS g FROM held) h
+          JOIN tr USING (g))
+        SELECT h.lang, count(*) AS n_heldout,
+               coalesce(CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_contaminated
+        FROM held h LEFT JOIN cont c ON h.doc_id = c.doc_id
+        GROUP BY h.lang
+        ORDER BY h.lang"""
+      }),
+
+    // ----- context-window packing --------------------------------------------
+    // Training-sequence packing: per (lang, shard) documents are
+    // concatenated in doc_id order and chunked into fixed token budgets
+    // (512 here); a document straddling a boundary spans several chunks —
+    // exactly how pretraining dataloaders pack. Output: per chunk, how many
+    // docs touch it and its token count (== budget except each shard's
+    // tail). Sharding is the scale story: a GLOBAL ordered cumsum would
+    // serialize the corpus through one task, so packing runs per
+    // (lang, hash-shard) — 8 here, thousands in production — which is also
+    // the semantics dataloaders actually use (order within a shard,
+    // never a global order). All integer arithmetic: window cumsum, floor
+    // division for chunk spans, overlap sums — bit-identical cross-engine.
+    QueryDef(
+      "t08_pack_context",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+        val b = lit(PackBudget)
+        val spans = Tables.documents(s, d)
+          .select($"doc_id", $"lang", packShard.as("shard"),
+            size(TextFns.tokens($"text")).cast("long").as("n"))
+          .withColumn("fin", sum($"n").over(w))
+          .withColumn("start", $"fin" - $"n")
+          .withColumn("c0", floor($"start" / b).cast("long"))
+          .withColumn("c1", floor(($"fin" - 1) / b).cast("long"))
+        spans
+          .select($"lang", $"shard", $"start", $"fin",
+            explode(sequence($"c0", $"c1")).as("chunk"))
+          .groupBy($"lang", $"shard", $"chunk")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(least(($"chunk" + 1) * b, $"fin") - greatest($"chunk" * b, $"start"))
+              .as("n_tokens"))
+          .orderBy($"lang", $"shard", $"chunk")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST($packShardSql AS BIGINT) AS shard,
+                 CAST(len(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n
+          FROM documents),
+        spans AS (
+          SELECT lang, shard,
+                 CAST(sum(n) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS BIGINT) AS fin,
+                 CAST(sum(n) OVER (PARTITION BY lang, shard ORDER BY doc_id) - n AS BIGINT) AS start
+          FROM t),
+        ex AS (
+          SELECT lang, shard, start, fin,
+                 unnest(generate_series(CAST(floor(start::DOUBLE / $PackBudget) AS BIGINT),
+                                        CAST(floor((fin - 1)::DOUBLE / $PackBudget) AS BIGINT))) AS chunk
+          FROM spans)
+        SELECT lang, shard, chunk, count(*) AS n_docs,
+               CAST(sum(least((chunk + 1) * $PackBudget, fin)
+                        - greatest(chunk * $PackBudget, start)) AS BIGINT) AS n_tokens
+        FROM ex
+        GROUP BY lang, shard, chunk
+        ORDER BY lang, shard, chunk""")))
 }

@@ -300,8 +300,11 @@ object TextQueries {
       "t07_contamination",
       (s, d) => {
         import s.implicits._
+        // materialize once: both split branches read the shingle table, and
+        // recomputing the JVM shingle kernel per branch doubles the cost
         val sh = shingles8(Tables.documents(s, d))
           .withColumn("split", when(splitBucket < TrainPct, "train").otherwise("heldout"))
+          .cache()
         val trainSh = sh.filter($"split" === "train")
           .select(explode($"sh").as("g")).distinct()
         val heldout = sh.filter($"split" === "heldout")

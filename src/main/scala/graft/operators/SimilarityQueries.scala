@@ -119,6 +119,11 @@ object SimilarityQueries {
   private val KmIters = 3
   private val KmProbes = 4
 
+  // two-stage retrieval: 64 -> 16-dim fixed random projection, exact
+  // re-rank of the coarse top-50
+  private val ProjDim = 16
+  private val RerankDepth = 50
+
   private def milliOf(emb: Array[Float]): Array[Long] = {
     val m = new Array[Long](emb.length)
     var i = 0
@@ -448,7 +453,143 @@ object SimilarityQueries {
           .select($"query_id", $"rank", $"vec_id", $"cos_milli")
           .orderBy($"query_id", $"rank")
       },
-      oracle = Some(s04OracleSql)))
+      oracle = Some(s04OracleSql)),
+
+    // ----- two-stage retrieval: random-projection coarse + exact re-rank ----
+    // The compressed-domain operating point (what PQ/OPQ systems do, with
+    // a dense random projection standing in for the codebook): project
+    // 64-dim vectors to 16 dims once (4x less memory traffic — at 100 TB
+    // the projected table is what stays hot), score EVERY candidate in the
+    // cheap projected space, keep the top-50 per query, then re-rank just
+    // those with the exact 64-dim cosine. Projection rows are fixed-seed
+    // literals, so DuckDB reproduces the whole two-stage result set
+    // bit-for-bit (the established literal-plane trick). Broadcast of the
+    // constant-size query set; the corpus streams — no corpus shuffle.
+    QueryDef(
+      "s05_ann_projected_rerank",
+      (s, d) => {
+        import s.implicits._
+        val bc = s.sparkContext.broadcast(VectorFns.hyperplanes(ProjDim, Dim))
+        val proj = Tables.embeddings(s, d)
+          .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+          .mapPartitions { it =>
+            val ps = bc.value
+            it.map { case (id, emb) =>
+              val a = emb.map(_.toDouble)
+              val p = Array.tabulate(ps.length) { i =>
+                val row = ps(i)
+                var dot = 0.0; var j = 0
+                while (j < a.length) { dot += a(j) * row(j); j += 1 }
+                dot
+              }
+              (id, emb, p)
+            }
+          }.toDF("vec_id", "embedding", "p").cache()
+        val queries = proj.filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"p".as("qp"))
+        val wCoarse = Window.partitionBy($"query_id").orderBy($"cm".desc, $"vec_id")
+        val wExact = Window.partitionBy($"query_id").orderBy($"cos_milli".desc, $"vec_id")
+        proj.join(broadcast(queries), $"vec_id" =!= $"query_id")
+          .withColumn("cm", VectorFns.cosineMilliInterpreted($"qp", $"p"))
+          .withColumn("crk", row_number().over(wCoarse))
+          .filter($"crk" <= RerankDepth)
+          .select($"query_id", $"vec_id",
+            VectorFns.cosineMilli($"qe", $"embedding").as("cos_milli"))
+          .withColumn("rank", row_number().over(wExact).cast("long"))
+          .filter($"rank" <= 10)
+          .select($"query_id", $"rank", $"vec_id", $"cos_milli")
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = Some(s05OracleSql)),
+
+    // ----- int8 embedding quantization --------------------------------------
+    // The storage side of the similarity stack: symmetric per-vector int8
+    // quantization (scale = max |component|, q = round(x*127/scale)) cuts
+    // embedding bytes 4x — the standard serving-index compression. Pure
+    // per-row arithmetic (native transform/aggregate expressions, no
+    // shuffle until the final sort), and every step is elementwise double
+    // math both engines execute identically, so the error report —
+    // per-vector scale, max and summed reconstruction error — is
+    // hash-exact. A real pipeline writes q out as ARRAY<TINYINT>; the
+    // error columns are the part worth a correctness contract.
+    QueryDef(
+      "s06_embedding_quantize_int8",
+      (s, d) => {
+        import s.implicits._
+        // JVM kernel, not transform/zip_with: Catalyst inlines the shared
+        // `scale` subexpression into every element lambda (O(d^2) per row
+        // — measured 2.7 s vs 0.3 s at sf0.1, the shingles lesson again).
+        // Same arithmetic order as the oracle: max is order-independent,
+        // the error sum is sequential left-to-right.
+        Tables.embeddings(s, d)
+          .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+          .map { case (id, emb) =>
+            val a = emb.map(_.toDouble)
+            var sc = 0.0
+            a.foreach(x => sc = math.max(sc, math.abs(x)))
+            var maxErr = 0.0
+            var sumErr = 0.0
+            a.foreach { x =>
+              val q = math.floor(x * 127.0 / sc + 0.5)
+              val err = math.abs(x - q * sc / 127.0)
+              maxErr = math.max(maxErr, err)
+              sumErr += err
+            }
+            (id, math.floor(sc * 1000.0).toLong,
+              math.floor(maxErr * 1000000.0).toLong,
+              math.floor(sumErr * 1000000.0).toLong)
+          }
+          .toDF("vec_id", "scale_milli", "max_err_micro", "sum_err_micro")
+          .orderBy($"vec_id")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        s AS (SELECT vec_id, e,
+                     list_max(list_transform(e, x -> abs(x))) AS sc
+              FROM t),
+        q AS (SELECT vec_id, sc,
+                     list_transform(list_zip(e, list_transform(e, x -> floor(x * 127.0 / sc + 0.5))),
+                       p -> abs(p[1] - p[2] * sc / 127.0)) AS err
+              FROM s)
+        SELECT vec_id,
+               CAST(floor(sc * 1000.0) AS BIGINT) AS scale_milli,
+               CAST(floor(list_max(err) * 1000000.0) AS BIGINT) AS max_err_micro,
+               CAST(floor(list_reduce(list_prepend(0.0, err), (acc, x) -> acc + x) * 1000000.0) AS BIGINT) AS sum_err_micro
+        FROM q
+        ORDER BY vec_id""")))
+
+  /** The two-stage (projected coarse + exact re-rank) oracle: the 16
+    * projection rows as literals; both stages' rankings recomputed. */
+  private def s05OracleSql: String = {
+    val rows = VectorFns.hyperplanes(ProjDim, Dim)
+    val projList = rows.map(r => s"list_dot_product(e, ${planeLit(r)})").mkString("[", ",\n                   ", "]")
+    s"""
+        WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        p AS (SELECT vec_id, e, $projList AS pv FROM t),
+        q AS (SELECT vec_id AS query_id, e AS qe, pv AS qp FROM p WHERE vec_id < 5),
+        coarse AS (
+          SELECT q.query_id, p.vec_id, p.e, q.qe,
+                 CAST(floor(list_dot_product(q.qp, p.pv) * 1000.0 /
+                   (sqrt(list_dot_product(q.qp, q.qp)) * sqrt(list_dot_product(p.pv, p.pv)))) AS BIGINT) AS cm
+          FROM q JOIN p ON p.vec_id != q.query_id),
+        c50 AS (
+          SELECT query_id, vec_id, e, qe FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cm DESC, vec_id) AS crk
+            FROM coarse) WHERE crk <= $RerankDepth),
+        exact AS (
+          SELECT query_id, vec_id,
+                 CAST(floor(list_dot_product(qe, e) * 1000.0 /
+                   (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e)))) AS BIGINT) AS cos_milli
+          FROM c50),
+        final AS (
+          SELECT query_id, vec_id, cos_milli,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_milli DESC, vec_id) AS BIGINT) AS rank
+          FROM exact)
+        SELECT query_id, rank, vec_id, cos_milli
+        FROM final WHERE rank <= 10
+        ORDER BY query_id, rank"""
+  }
 
   /** The LSH result set is deterministic given the fixed-seed hyperplanes,
     * so it has a full oracle: the planes are embedded as SQL literals and

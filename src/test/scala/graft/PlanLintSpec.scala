@@ -10,11 +10,13 @@ class PlanLintSpec extends SparkSpec {
 
   /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
     * q21 is a genuine interval join (no equi key exists; the broadcast side
-    * is a constant-size bucket table), s01 is brute-force ANN scoring a
-    * constant-size broadcast query set against the corpus (the corpus side
-    * streams — the BNLJ is the algorithm, and the LSH/IVF variants are the
-    * scale path). Everything else must stay equi-join shaped. */
-  private val bnljOk = Set("q21_range_join_buckets", "s01_ann_bruteforce_topk")
+    * is a constant-size bucket table), s01/s05 score a constant-size
+    * broadcast query set against the streaming corpus (the BNLJ is the
+    * algorithm — brute force and compressed-domain coarse scan; the
+    * LSH/IVF variants are the pruned path). Everything else must stay
+    * equi-join shaped. */
+  private val bnljOk = Set("q21_range_join_buckets", "s01_ann_bruteforce_topk",
+    "s05_ann_projected_rerank")
 
   for (q <- SparkEntry.allDefs.filter(_.benchmark)) {
     test(s"${q.name}: no cartesian product, no stray nested-loop join, no mid-plan collect") {

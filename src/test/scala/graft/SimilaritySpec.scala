@@ -88,6 +88,33 @@ class SimilaritySpec extends SparkSpec {
     assert(o3 < o0 * 0.9, s"k-means did not improve: seeds=$o0 trained=$o3")
   }
 
+  test("projected re-rank recalls most brute-force neighbors") {
+    val bf = topk("s01_ann_bruteforce_topk")
+    val pr = topk("s05_ann_projected_rerank")
+    val recalls = bf.map { case (q, nbrs) =>
+      val bfSet = nbrs.map(_._2).toSet
+      val prSet = pr.getOrElse(q, Seq.empty).map(_._2).toSet
+      prSet.intersect(bfSet).size.toDouble / bfSet.size
+    }
+    val mean = recalls.sum / recalls.size
+    // the coarse stage scans everything (in 16 of 64 dims) and re-ranks 50
+    // exactly, so recall should be well above the pruned variants
+    assert(mean >= 0.5, s"mean recall@10 = $mean")
+  }
+
+  test("int8 quantization error respects the theoretical bound") {
+    // symmetric round-to-nearest: |x - q*scale/127| <= scale/254 per
+    // component; scale_milli is floored so bound with scale_milli + 1,
+    // plus 1 micro for the error column's own floor
+    SparkEntry.queries("s06_embedding_quantize_int8")(spark, sf)
+      .collect().foreach { r =>
+        val scaleMilli = r.getLong(1)
+        val maxErrMicro = r.getLong(2)
+        assert(maxErrMicro <= (scaleMilli + 1L) * 1000L / 254L + 1L,
+          s"vec ${r.getLong(0)}: max err $maxErrMicro vs scale $scaleMilli")
+      }
+  }
+
   test("IVF codebook size is constant regardless of corpus size") {
     import spark.implicits._
     import graft.operators.SimilarityQueries

@@ -59,6 +59,18 @@ object TextFns {
   val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def bpeishCount(c: Column): Column = regexp_count(c, lit(BpeishPattern))
 
+  /** PII detector patterns — restricted to the regex dialect subset (char
+    * classes, bounded repeats, no backrefs/lookaround) that Java regex and
+    * DuckDB's RE2 interpret identically, the same cross-engine contract as
+    * [[BpeishPattern]]. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhonePattern = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  def piiEmails(c: Column): Column = regexp_count(c, lit(EmailPattern)).cast("long")
+  def piiIpv4s(c: Column): Column = regexp_count(c, lit(Ipv4Pattern)).cast("long")
+  def piiPhones(c: Column): Column = regexp_count(c, lit(PhonePattern)).cast("long")
+
   /** Language stopword-hit scores. The tie-break chain (en > es > de > fr >
     * zh) is deterministic and mirrored in the SQL oracle. */
   val StopwordSets: Seq[(String, Seq[String])] = Seq(

@@ -399,5 +399,116 @@ object TextQueries {
                         - greatest(chunk * $PackBudget, start)) AS BIGINT) AS n_tokens
         FROM ex
         GROUP BY lang, shard, chunk
-        ORDER BY lang, shard, chunk""")))
+        ORDER BY lang, shard, chunk""")),
+
+    // ----- repetition filters (Gopher/C4-style quality rules) ---------------
+    // The repetition family of corpus-quality signals: dominant-token
+    // ratio, fraction of bigram occurrences that are duplicates, and the
+    // Simpson concentration index (sum of squared token counts over n^2 —
+    // an entropy stand-in that needs only integer counts, so it is
+    // cross-engine exact where -sum(p log p) would drift on libm
+    // differences). Per-row JVM kernel (hash-map counts); the oracle
+    // recomputes via unnest + group-by at document grain.
+    QueryDef(
+      "t09_repetition",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", TextFns.tokens($"text").as("t"))
+          .as[(Long, Seq[String])]
+          .map { case (id, t) =>
+            val n = t.length
+            val counts = new scala.collection.mutable.HashMap[String, Long]
+            t.foreach(w => counts.update(w, counts.getOrElse(w, 0L) + 1L))
+            val top = counts.values.max
+            val simpson = counts.values.map(c => c * c).sum
+            val bg = new scala.collection.mutable.HashMap[(String, String), Long]
+            var i = 0
+            while (i < n - 1) {
+              val k = (t(i), t(i + 1))
+              bg.update(k, bg.getOrElse(k, 0L) + 1L)
+              i += 1
+            }
+            val dupOcc = bg.values.filter(_ >= 2L).sum
+            val dupMilli =
+              if (n > 1) math.floor(dupOcc * 1000.0 / (n - 1)).toLong else 0L
+            (id, n.toLong,
+              math.floor(top * 1000.0 / n).toLong,
+              dupMilli,
+              math.floor(simpson * 1000000.0 / (n.toLong * n)).toLong)
+          }
+          .toDF("doc_id", "n_tokens", "top_token_milli", "dup_bigram_milli", "simpson_micro")
+          .orderBy($"doc_id")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        tc AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+          GROUP BY doc_id, tok),
+        tok_stats AS (
+          SELECT doc_id, max(c) AS top, sum(c * c) AS simpson
+          FROM tc GROUP BY doc_id),
+        bg AS (
+          SELECT doc_id, g, count(*) AS c
+          FROM (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(t) - 1),
+                         i -> concat_ws(' ', t[i], t[i+1]))) AS g
+                FROM toks)
+          GROUP BY doc_id, g),
+        bg_stats AS (
+          SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ
+          FROM bg GROUP BY doc_id)
+        SELECT k.doc_id,
+               CAST(len(k.t) AS BIGINT) AS n_tokens,
+               CAST(floor(ts.top * 1000.0 / len(k.t)) AS BIGINT) AS top_token_milli,
+               CAST(CASE WHEN len(k.t) > 1
+                    THEN floor(coalesce(bs.dup_occ, 0) * 1000.0 / (len(k.t) - 1))
+                    ELSE 0 END AS BIGINT) AS dup_bigram_milli,
+               CAST(floor(ts.simpson * 1000000.0 / (len(k.t) * len(k.t))) AS BIGINT) AS simpson_micro
+        FROM toks k
+        JOIN tok_stats ts USING (doc_id)
+        LEFT JOIN bg_stats bs USING (doc_id)
+        ORDER BY k.doc_id""")),
+
+    // ----- PII scan ----------------------------------------------------------
+    // Corpus-compliance telemetry: per language, how many documents carry
+    // emails / IPv4s / phone-shaped strings and the total match counts —
+    // the decision table a redaction pass or an exclusion filter consumes.
+    // Patterns live in TextFns restricted to the Java-regex/RE2 common
+    // dialect (the t03 BPE-ish precedent); the synthetic fixture is
+    // PII-free, so the fixture result is the all-clean baseline and
+    // TextSpec proves the detectors fire on planted PII.
+    QueryDef(
+      "t10_pii_scan",
+      (s, d) => {
+        import s.implicits._
+        val e = TextFns.piiEmails($"text")
+        val i = TextFns.piiIpv4s($"text")
+        val p = TextFns.piiPhones($"text")
+        Tables.documents(s, d)
+          .select($"lang", e.as("e"), i.as("i"), p.as("p"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(($"e" > 0 || $"i" > 0 || $"p" > 0).cast("long")).as("docs_with_pii"),
+            sum($"e").as("emails"), sum($"i").as("ipv4s"), sum($"p").as("phones"))
+          .orderBy($"lang")
+      },
+      oracle = Some(s"""
+        WITH m AS (
+          SELECT lang,
+                 len(regexp_extract_all(text, '${TextFns.EmailPattern}')) AS e,
+                 len(regexp_extract_all(text, '${TextFns.Ipv4Pattern}')) AS i,
+                 len(regexp_extract_all(text, '${TextFns.PhonePattern}')) AS p
+          FROM documents)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN e > 0 OR i > 0 OR p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+               CAST(sum(e) AS BIGINT) AS emails,
+               CAST(sum(i) AS BIGINT) AS ipv4s,
+               CAST(sum(p) AS BIGINT) AS phones
+        FROM m GROUP BY lang
+        ORDER BY lang""")))
 }

@@ -33,6 +33,51 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("t10: PII detectors fire on planted PII and stay silent on clean text") {
+    import graft.functions.TextFns
+    val planted = Seq(
+      ("reach me at jane.doe+spam@example.co.uk today", 1L, 0L, 0L),
+      ("server 10.0.255.1 and backup 192.168.1.2 are down", 0L, 2L, 0L),
+      ("call +1 (555) 123-4567 now", 0L, 0L, 1L),
+      ("three kinds: a@b.io, 8.8.8.8, +44 20 7946 0958 ok", 1L, 1L, 1L),
+      ("perfectly clean prose with no identifiers at all", 0L, 0L, 0L))
+      .toDF("text", "e", "i", "p")
+    val got = planted.select(
+      TextFns.piiEmails($"text"), TextFns.piiIpv4s($"text"), TextFns.piiPhones($"text"),
+      $"e", $"i", $"p").as[(Long, Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (ge, gi, gp, e, i, p) =>
+      assert((ge, gi, gp) === ((e, i, p)))
+    }
+    // the synthetic corpus is PII-free: the fixture run must report all clean
+    val fixture = SparkEntry.queries("t10_pii_scan")(spark, sf)
+      .select($"docs_with_pii", $"emails", $"ipv4s", $"phones")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(fixture.forall(r => r._1 == 0 && r._2 == 0 && r._3 == 0 && r._4 == 0))
+  }
+
+  test("t09: repetition metrics match a direct recomputation on sample docs") {
+    val sample = Tables.documents(spark, sf)
+      .select($"doc_id", graft.functions.TextFns.tokens($"text").as("t"))
+      .as[(Long, Seq[String])].collect().take(25).toMap
+    val got = SparkEntry.queries("t09_repetition")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    sample.foreach { case (id, t) =>
+      val n = t.length
+      val counts = t.groupBy(identity).view.mapValues(_.size.toLong)
+      val top = counts.values.max
+      val simpson = counts.values.map(c => c * c).sum
+      val bg = t.sliding(2).toSeq.filter(_.size == 2)
+        .groupBy(identity).view.mapValues(_.size.toLong)
+      val dup = bg.values.filter(_ >= 2).sum
+      val expect = (n.toLong,
+        math.floor(top * 1000.0 / n).toLong,
+        if (n > 1) math.floor(dup * 1000.0 / (n - 1)).toLong else 0L,
+        math.floor(simpson * 1000000.0 / (n.toLong * n)).toLong)
+      assert(got(id) === expect, s"doc $id")
+    }
+  }
+
   test("t08: packing conserves tokens and fills every non-tail chunk exactly") {
     val chunks = SparkEntry.queries("t08_pack_context")(spark, sf)
       .select($"lang", $"shard", $"chunk", $"n_tokens")

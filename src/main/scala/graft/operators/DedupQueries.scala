@@ -518,7 +518,42 @@ object DedupQueries {
     QueryDef(
       "d06_dedup_embedding_lsh",
       (s, d) => embeddingLshPairs(s, Tables.embeddings(s, d)),
-      oracle = Some(d06OracleSql)))
+      oracle = Some(d06OracleSql)),
+
+    // ----- dedup agreement report: lexical vs semantic pair overlap ---------
+    // The cross-signal report a dedup rollout decision needs: of all mined
+    // near-dup pairs, how many does each signal family find — MinHash over
+    // text (d03) vs sign-LSH over embeddings (d06) — and how many do both?
+    // One full-outer join of the two pair sets; the oracle composes both
+    // queries' exact oracles as nested CTEs, so the report is
+    // hash-verified end to end. benchmark=false: its two stages are
+    // already benchmarked as d03/d06, the report adds only a tiny join.
+    QueryDef(
+      "d09_dedup_agreement",
+      (s, d) => {
+        import s.implicits._
+        val lex = minhashNearDupPairs(s, Tables.documents(s, d))
+          .select($"doc_a", $"doc_b", lit(1).as("l"))
+        val sem = embeddingLshPairs(s, Tables.embeddings(s, d))
+          .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"), lit(1).as("m"))
+        lex.join(sem, Seq("doc_a", "doc_b"), "full_outer")
+          .select(when($"l".isNotNull && $"m".isNotNull, "both")
+            .when($"l".isNotNull, "lexical_only")
+            .otherwise("semantic_only").as("relation"))
+          .groupBy($"relation").agg(count(lit(1)).as("n_pairs"))
+          .orderBy($"relation")
+      },
+      oracle = Some(s"""
+        WITH lex AS (${PairSqlNoOrder}),
+        sem AS (${d06OracleSql.replace("ORDER BY vec_a, vec_b", "")})
+        SELECT CASE WHEN l.doc_a IS NOT NULL AND s.vec_a IS NOT NULL THEN 'both'
+                    WHEN l.doc_a IS NOT NULL THEN 'lexical_only'
+                    ELSE 'semantic_only' END AS relation,
+               count(*) AS n_pairs
+        FROM lex l FULL JOIN sem s ON l.doc_a = s.vec_a AND l.doc_b = s.vec_b
+        GROUP BY relation
+        ORDER BY relation"""),
+      benchmark = false))
 
   /** The d06 pipeline over an arbitrary (vec_id, embedding) table.
     *

@@ -115,6 +115,18 @@ class SimilaritySpec extends SparkSpec {
       }
   }
 
+  test("k-means codebook is independent of input partitioning") {
+    import spark.implicits._
+    import graft.operators.SimilarityQueries
+    // the determinism contract that makes a LEARNED codebook
+    // oracle-checkable: integer sums are associative, so however the
+    // corpus is partitioned the trained centroids are bit-identical
+    val e = Tables.embeddings(spark, sf)
+    val one = SimilarityQueries.kmeansCodebook(spark, e.repartition(1))
+    val many = SimilarityQueries.kmeansCodebook(spark, e.repartition(7, $"vec_id"))
+    assert(one.map(_.toSeq).toSeq === many.map(_.toSeq).toSeq)
+  }
+
   test("IVF codebook size is constant regardless of corpus size") {
     import spark.implicits._
     import graft.operators.SimilarityQueries

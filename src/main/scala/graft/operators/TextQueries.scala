@@ -48,13 +48,18 @@ object TextQueries {
   private def saltedDocHash(salt: String): Column =
     TextFns.polyHash(concat(lit(salt), col("doc_id").cast("string")))
 
-  /** DuckDB mirror of [[saltedDocHash]] (t04's poly_fp over the salted id). */
-  private def saltedDocHashSql(salt: String): String = s"""
+  /** DuckDB mirror of [[TextFns.polyHash]] over an arbitrary VARCHAR SQL
+    * expression (t04's poly_fp). */
+  private def polyHashSqlOf(e: String): String = s"""
                  list_reduce(
                    list_prepend(CAST(0 AS BIGINT),
-                     list_transform(generate_series(1, length('$salt' || CAST(doc_id AS VARCHAR))),
-                       i -> CAST(ascii(substring('$salt' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
+                     list_transform(generate_series(1, length($e)),
+                       i -> CAST(ascii(substring($e, i, 1)) AS BIGINT))),
                    (acc, c) -> (acc * 31 + c) % 2147483647)"""
+
+  /** DuckDB mirror of [[saltedDocHash]] (t04's poly_fp over the salted id). */
+  private def saltedDocHashSql(salt: String): String =
+    polyHashSqlOf(s"'$salt' || CAST(doc_id AS VARCHAR)")
 
   private def splitBucket: Column = pmod(saltedDocHash("split:"), lit(100L))
   private def packShard: Column = pmod(saltedDocHash("shard:"), lit(PackShards.toLong))
@@ -510,5 +515,112 @@ object TextQueries {
                CAST(sum(i) AS BIGINT) AS ipv4s,
                CAST(sum(p) AS BIGINT) AS phones
         FROM m GROUP BY lang
+        ORDER BY lang""")),
+
+    // ----- deterministic data-mix sampling -----------------------------------
+    // Training-mix construction: each source gets a target sampling rate and
+    // membership is a pure function of (source, doc_id) — the same
+    // RNG-free discipline as the t06 split, so the mix is reproducible
+    // under retries and recomputable by any engine for audit. Here the
+    // per-source rate is itself derived deterministically from the source
+    // name (20–90%); in production it would be a tiny broadcast config
+    // table keyed by source. Per-row predicate + hash agg: shuffle-free
+    // until the final per-source rollup, linear at any corpus size.
+    QueryDef(
+      "t11_mix_sampling",
+      (s, d) => {
+        import s.implicits._
+        val targetPct = pmod(TextFns.polyHash($"source"), lit(71L)) + lit(20L)
+        val keep = (pmod(saltedDocHash("mix:"), lit(100L)) < targetPct).cast("long")
+        Tables.documents(s, d)
+          .select($"source", targetPct.as("target_pct"), keep.as("keep"),
+            size(TextFns.tokens($"text")).cast("long").as("n_tokens"))
+          .groupBy($"source", $"target_pct")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"keep").as("n_sampled"),
+            sum($"keep" * $"n_tokens").as("sampled_tokens"),
+            floor(sum($"keep") * lit(100000.0) / count(lit(1))).cast("long")
+              .as("achieved_pct_milli"))
+          .orderBy($"source")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT source,
+                 (${polyHashSqlOf("source")}) % 71 + 20 AS target_pct,
+                 (${saltedDocHashSql("mix:")}) % 100 AS mix_bucket,
+                 len(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS n_tokens
+          FROM documents),
+        k AS (
+          SELECT source, target_pct,
+                 CASE WHEN mix_bucket < target_pct THEN 1 ELSE 0 END AS keep,
+                 n_tokens
+          FROM t)
+        SELECT source, CAST(target_pct AS BIGINT) AS target_pct,
+               count(*) AS n_docs,
+               CAST(sum(keep) AS BIGINT) AS n_sampled,
+               CAST(sum(keep * n_tokens) AS BIGINT) AS sampled_tokens,
+               CAST(floor(sum(keep) * 100000.0 / count(*)) AS BIGINT) AS achieved_pct_milli
+        FROM k GROUP BY source, target_pct
+        ORDER BY source""")),
+
+    // ----- unigram LM surprisal scoring --------------------------------------
+    // Perplexity-style quality scoring without a trained LM: score each
+    // document by the corpus's own unigram statistics. Per-token surprisal
+    // is bucketed to whole bits with INTEGER floor-log2 —
+    // `length(bin(x)) - 1` in both engines — so
+    //   bits(tok) = floor_log2(T) - floor_log2(cf(tok))
+    // approximates -log2 p(tok) within 1 bit using only integer/string
+    // ops: no libm log whose last-ulp differences would break the
+    // cross-engine hash. Shape: doc-term counts (one shuffle with map-side
+    // combine) -> vocab counts (agg over dt, bounded by vocab size, NOT
+    // corpus size) -> join dt back to vocab on token -> per-doc then
+    // per-lang rollup. The corpus total T is a 1-row broadcast. At 100 TB
+    // the dt⋈vocab equi-join is the only real shuffle; for bounded vocabs
+    // broadcast(vocab) removes it entirely, and hot-token reducer skew is
+    // bounded by doc count per token (salt if needed — SkewJoin pattern).
+    QueryDef(
+      "t12_unigram_surprisal",
+      (s, d) => {
+        import s.implicits._
+        val dt = Tables.documents(s, d)
+          .select($"doc_id", $"lang", explode(TextFns.tokens($"text")).as("tok"))
+          .groupBy($"doc_id", $"lang", $"tok").agg(count(lit(1)).as("tf"))
+        val vocab = dt.groupBy($"tok").agg(sum($"tf").as("cf"))
+        val total = vocab.agg(sum($"cf").as("t_total"))
+        val perDoc = dt.join(vocab, "tok").crossJoin(broadcast(total))
+          .select($"doc_id", $"lang", $"tf",
+            ($"tf" * (length(bin($"t_total")) - length(bin($"cf"))).cast("long")).as("sbits"),
+            ($"tf" * ($"cf" === 1L).cast("long")).as("hap"))
+          .groupBy($"doc_id", $"lang")
+          .agg(sum($"tf").as("n_tok"), sum($"sbits").as("bits"), sum($"hap").as("haps"))
+        perDoc.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tok").as("total_tokens"),
+            sum($"bits").as("total_surprisal_bits"),
+            floor(sum($"bits") * lit(1000.0) / sum($"n_tok")).cast("long").as("avg_bits_milli"),
+            sum($"haps").as("hapax_tokens"))
+          .orderBy($"lang")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 unnest(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+          FROM documents),
+        dt AS (SELECT doc_id, lang, tok, count(*) AS tf FROM toks GROUP BY doc_id, lang, tok),
+        vocab AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf FROM dt GROUP BY tok),
+        tot AS (SELECT CAST(sum(cf) AS BIGINT) AS t_total FROM vocab),
+        per_doc AS (
+          SELECT doc_id, lang,
+                 CAST(sum(tf) AS BIGINT) AS n_tok,
+                 CAST(sum(tf * (length(bin(t_total)) - length(bin(cf)))) AS BIGINT) AS bits,
+                 CAST(sum(CASE WHEN cf = 1 THEN tf ELSE 0 END) AS BIGINT) AS haps
+          FROM dt JOIN vocab USING (tok) CROSS JOIN tot
+          GROUP BY doc_id, lang)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(bits) AS BIGINT) AS total_surprisal_bits,
+               CAST(floor(sum(bits) * 1000.0 / sum(n_tok)) AS BIGINT) AS avg_bits_milli,
+               CAST(sum(haps) AS BIGINT) AS hapax_tokens
+        FROM per_doc GROUP BY lang
         ORDER BY lang""")))
 }

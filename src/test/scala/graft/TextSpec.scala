@@ -102,4 +102,39 @@ class TextSpec extends SparkSpec {
       assert(sorted.last._4 <= 512L)
     }
   }
+
+  test("t11: mix sampling respects rate bounds and reports the achieved rate exactly") {
+    val out = SparkEntry.queries("t11_mix_sampling")(spark, sf)
+      .select($"source", $"target_pct", $"n_docs", $"n_sampled", $"achieved_pct_milli")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (src, pct, n, k, achieved) =>
+      assert(pct >= 20L && pct <= 90L, s"$src target $pct out of range")
+      assert(k >= 0L && k <= n, s"$src sampled $k of $n")
+      assert(achieved === math.floor(k * 100000.0 / n).toLong, s"$src achieved rate")
+    }
+    // membership is a pure hash of (source, doc_id): two evaluations agree row-for-row
+    val again = SparkEntry.queries("t11_mix_sampling")(spark, sf)
+      .select($"source", $"n_sampled").as[(String, Long)].collect().toMap
+    assert(out.map(r => r._1 -> r._4).toMap === again)
+  }
+
+  test("t12: surprisal bits respect integer-log2 bounds and token totals match t03") {
+    val t12 = SparkEntry.queries("t12_unigram_surprisal")(spark, sf)
+      .select($"lang", $"total_tokens", $"total_surprisal_bits", $"hapax_tokens", $"avg_bits_milli")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(t12.nonEmpty)
+    // bits per token are at most floor_log2(corpus total): len(bin(T)) - len(bin(1))
+    val corpusTotal = t12.map(_._2).sum
+    val maxBits = 63 - java.lang.Long.numberOfLeadingZeros(corpusTotal)
+    t12.foreach { case (lang, n, bits, hap, avg) =>
+      assert(hap <= n, s"$lang hapax $hap > $n")
+      assert(bits >= 0L && bits <= n * maxBits, s"$lang bits $bits outside [0, ${n * maxBits}]")
+      assert(avg === math.floor(bits * 1000.0 / n).toLong, s"$lang avg bits")
+    }
+    // same tokenization as t03: per-lang token totals agree across queries
+    val t03 = SparkEntry.queries("t03_token_counts")(spark, sf)
+      .select($"lang", $"total_ws_tokens").as[(String, Long)].collect().toMap
+    assert(t12.map(r => r._1 -> r._2).toMap === t03)
+  }
 }

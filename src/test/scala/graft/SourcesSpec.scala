@@ -41,4 +41,36 @@ class SourcesSpec extends SparkSpec {
     val expected = Tables.orders(spark, sf).filter($"o_orderstatus" === "F").count()
     assert(pruned.count() === expected)
   }
+
+  test("ORC round-trip preserves rows and pushes filters to the scan") {
+    val src = Tables.supplier(spark, sf)
+    src.write.mode("overwrite").orc(s"$tmp/supplier_orc")
+    val back = spark.read.orc(s"$tmp/supplier_orc")
+    assert(back.orderBy($"s_suppkey").collect().toSeq ===
+      src.orderBy($"s_suppkey").collect().toSeq)
+    // ORC scans take predicate pushdown like parquet — the 100 TB contract
+    val filtered = back.filter($"s_suppkey" <= 10)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(s_suppkey), LessThanOrEqual(s_suppkey,10)"), plan)
+  }
+
+  test("binaryFile source ingests raw files with path metadata") {
+    // the production ingest path for multimodal assets (Multimodal.scala):
+    // each file becomes (path, modificationTime, length, content)
+    val dir = Files.createDirectory(java.nio.file.Paths.get(tmp, "blobs"))
+    val payloads = Map("a.bin" -> "alpha", "b.bin" -> "bravo-longer")
+    payloads.foreach { case (name, body) =>
+      Files.write(dir.resolve(name), body.getBytes("UTF-8"))
+    }
+    val df = spark.read.format("binaryFile").load(s"$tmp/blobs")
+    assert(df.columns.toSet === Set("path", "modificationTime", "length", "content"))
+    val got = df.select(regexp_extract($"path", "([^/]+)$", 1).as("name"), $"length", $"content")
+      .as[(String, Long, Array[Byte])].collect()
+      .map(r => r._1 -> (r._2, new String(r._3, "UTF-8"))).toMap
+    assert(got === payloads.map { case (n, b) => n -> (b.length.toLong, b) })
+    // pathGlobFilter prunes at listing time — no bytes read for excluded files
+    val onlyA = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "a.*").load(s"$tmp/blobs")
+    assert(onlyA.count() === 1L)
+  }
 }

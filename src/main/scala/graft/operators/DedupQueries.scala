@@ -86,7 +86,7 @@ object DedupQueries {
   private def docShingles(s: SparkSession, d: String): DataFrame =
     shinglesOf(s, Tables.documents(s, d))
 
-  private def shinglesOf(s: SparkSession, docs: DataFrame): DataFrame = {
+  def shinglesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     docs
       .select($"doc_id", TextFns.tokens($"text").as("t"))
@@ -125,24 +125,47 @@ object DedupQueries {
     h
   }
 
+  /** JVM minhash-signature kernel over a distinct-shingle set — the hot-loop
+    * twin of [[minhashSig]], shared by the batch band explode and the
+    * streaming dedup processor so both compute identical sketches. */
+  def minhashSigOf(sh: Seq[String]): Array[Long] = {
+    val hs = sh.iterator.map(x => ((fnv64(x) % P) + P) % P).toArray
+    Array.tabulate(NumHashes) { i =>
+      var m = Long.MaxValue; var j = 0
+      while (j < hs.length) {
+        val v = (hs(j) * hashA(i) + hashB(i)) % P
+        if (v < m) m = v
+        j += 1
+      }
+      m
+    }
+  }
+
+  /** JVM band hash of band `b` of a [[minhashSigOf]] signature. */
+  def bandHashOf(b: Int, sig: Array[Long]): Long =
+    fnv64(s"$b:${sig(b * 3)}:${sig(b * 3 + 1)}:${sig(b * 3 + 2)}")
+
+  /** LSH band count — the streaming processor scans bands for the minimal
+    * shared one to make pair emission exactly-once. */
+  def numBands: Int = Bands
+
+  /** JVM twin of [[TextFns.jaccardMilli]] over distinct-shingle seqs:
+    * floor(1000·|∩|/|∪|), identical to the Column form on positive sizes. */
+  def jaccardMilliOf(a: Seq[String], b: Seq[String]): Long = {
+    val sa = a.toSet
+    val sb = b.toSet
+    val inter = sa.count(sb.contains)
+    val union = sa.size + sb.size - inter
+    inter.toLong * 1000L / union
+  }
+
   /** (doc_id, band, band_hash) rows, sketch computed in a JVM loop. */
   private def bandRowsTyped(s: SparkSession, shingleDf: DataFrame): DataFrame = {
     import s.implicits._
     shingleDf.select($"doc_id", $"sh").as[(Long, Seq[String])]
       .flatMap { case (id, sh) =>
-        val hs = sh.iterator.map(x => ((fnv64(x) % P) + P) % P).toArray
-        val sig = Array.tabulate(NumHashes) { i =>
-          var m = Long.MaxValue; var j = 0
-          while (j < hs.length) {
-            val v = (hs(j) * hashA(i) + hashB(i)) % P
-            if (v < m) m = v
-            j += 1
-          }
-          m
-        }
-        (0 until Bands).iterator.map { b =>
-          (id, b, fnv64(s"$b:${sig(b * 3)}:${sig(b * 3 + 1)}:${sig(b * 3 + 2)}"))
-        }
+        val sig = minhashSigOf(sh)
+        (0 until Bands).iterator.map(b => (id, b, bandHashOf(b, sig)))
       }
       .toDF("doc_id", "band", "bh")
   }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.DedupQueries
+import graft.streaming.StreamDedup
+
+/** Dedup at ingestion: the incremental MinHash-LSH operator must emit, over
+  * any stream chunking, EXACTLY the pair set batch d03 computes on the same
+  * corpus — each pair once, at its minimal shared band. */
+class StreamDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, RocksDbProvider)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("streaming near-dup pairs equal batch d03 over the same corpus") {
+    withRocksDb {
+      implicit val sq = spark.sqlContext
+      val docs = Tables.documents(spark, sf)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .collect().sortBy(_._1)
+      assert(docs.nonEmpty)
+
+      val ms = MemoryStream[(Long, String)]
+      val pairs = StreamDedup.nearDupPairsStream(ms.toDF().toDF("doc_id", "text"))
+      val q = pairs.writeStream.format("memory").queryName("sdedup")
+        .outputMode("append").start()
+      try {
+        // three uneven micro-batches: pairs straddle batch boundaries
+        val chunks = Seq(docs.take(100), docs.slice(100, 150), docs.drop(150))
+        chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+      } finally q.stop()
+
+      val got = spark.table("sdedup")
+        .select($"doc_a", $"doc_b", $"j_milli")
+        .as[(Long, Long, Long)].collect()
+      // exactly-once: no pair emitted twice
+      assert(got.length === got.distinct.length,
+        s"duplicate emissions: ${got.groupBy(identity).filter(_._2.length > 1).keys.take(5).toList}")
+
+      val want = DedupQueries
+        .minhashNearDupPairs(spark, Tables.documents(spark, sf))
+        .select($"doc_a", $"doc_b", $"j_milli")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(want.nonEmpty, "fixture has no near-dup pairs — spec is vacuous")
+      assert(got.toSet === want)
+    }
+  }
+}

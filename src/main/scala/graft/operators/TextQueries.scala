@@ -66,6 +66,30 @@ object TextQueries {
   private def splitBucketSql: String = s"(${saltedDocHashSql("split:")}) % 100"
   private def packShardSql: String = s"(${saltedDocHashSql("shard:")}) % $PackShards"
 
+  // ----- BPE merge induction (t13) -----------------------------------------
+  private val BpeRounds = 3
+
+  /** Greedy non-overlapping left-to-right application of merge (s1, s2) to a
+    * space-separated symbol string. EXACTLY mirrors the DuckDB
+    * `list_reduce` lambda in the t13 oracle: fold symbols left to right,
+    * gluing the current symbol onto the accumulator (no space) iff the
+    * accumulator's LAST symbol equals s1 and the current symbol equals s2.
+    * The boundary-aware endsWith(" "+s1) check makes overlapping runs merge
+    * greedily ([a,a,a] + (a,a) -> [aa, a]), matching classic BPE. */
+  def applyBpeMerge(sym: String, s1: String, s2: String): String = {
+    val parts = sym.split(' ')
+    val sb = new StringBuilder(parts(0))
+    var i = 1
+    while (i < parts.length) {
+      val x = parts(i)
+      val acc = sb.toString
+      if (x == s2 && (acc == s1 || acc.endsWith(" " + s1))) sb.append(x)
+      else { sb.append(' '); sb.append(x) }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Distinct 8-token shingles per doc — the contamination-check grain
     * (3-token shingles are too common across unrelated docs to mean
     * leakage; 8-grams are the n-gram-overlap decontamination standard).
@@ -622,5 +646,94 @@ object TextQueries {
                CAST(floor(sum(bits) * 1000.0 / sum(n_tok)) AS BIGINT) AS avg_bits_milli,
                CAST(sum(haps) AS BIGINT) AS hapax_tokens
         FROM per_doc GROUP BY lang
-        ORDER BY lang""")))
+        ORDER BY lang""")),
+
+    // ----- BPE merge induction -----------------------------------------------
+    // Tokenizer-vocabulary learning as a distributed pipeline: reduce the
+    // corpus to a word-frequency table ONCE (the only corpus-scale
+    // shuffle, map-side combinable), then run greedy BPE merge rounds over
+    // the vocab-sized table: count adjacent symbol pairs weighted by word
+    // frequency, pick the argmax (total order: count desc, then pair —
+    // deterministic across engines), apply the merge, repeat. The per-round
+    // argmax is a 1-row driver decision like d08's convergence count; data
+    // never leaves the cluster. Merge application is a greedy
+    // left-to-right fold defined IDENTICALLY as a JVM kernel
+    // ([[applyBpeMerge]]) and a DuckDB list_reduce lambda, so the learned
+    // merges hash-match (the s04 unrolled-iterations trick). Rounds are
+    // unrolled 3x in the oracle; production runs the same loop to 30k+
+    // merges, each round agg + map over the vocab (~MBs), not the corpus.
+    QueryDef(
+      "t13_bpe_merges",
+      (s, d) => {
+        import s.implicits._
+        var words = Tables.documents(s, d)
+          .select(explode(TextFns.tokens($"text")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("freq"))
+          .as[(String, Long)]
+          .map { case (w, f) =>
+            // split to UNICODE CODEPOINTS (mirrors DuckDB substring(w,i,1))
+            val chars = w.codePoints().toArray
+              .map(cp => new String(Character.toChars(cp)))
+            (chars.mkString(" "), f)
+          }
+          .toDF("sym", "freq").cache()
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+        for (r <- 1 to BpeRounds) {
+          val top = words.as[(String, Long)]
+            .flatMap { case (sym, f) =>
+              val ps = sym.split(' ')
+              (0 until ps.length - 1).iterator.map(i => (ps(i), ps(i + 1), f))
+            }
+            .toDF("s1", "s2", "f")
+            .groupBy($"s1", $"s2").agg(sum($"f").as("cnt"))
+            .orderBy($"cnt".desc, $"s1", $"s2").limit(1)
+            .as[(String, String, Long)].collect()(0)
+          merges += ((r, top._1, top._2, top._3))
+          val (m1, m2) = (top._1, top._2)
+          val next = words.as[(String, Long)]
+            .map { case (sym, f) => (applyBpeMerge(sym, m1, m2), f) }
+            .toDF("sym", "freq").cache()
+          words.unpersist()
+          words = next
+        }
+        words.unpersist()
+        s.createDataset(merges.toSeq)
+          .toDF("merge_rank", "s1", "s2", "pair_count")
+          .orderBy($"merge_rank")
+      },
+      oracle = Some {
+        def pairsOf(wordsCte: String, n: Int): String = s"""
+        pairs$n AS (
+          SELECT p.s1 AS s1, p.s2 AS s2, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+            SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+                     i -> {'s1': s[i], 's2': s[i+1]})) AS p, freq
+            FROM (SELECT string_split(sym, ' ') AS s, freq FROM $wordsCte))
+          GROUP BY 1, 2),
+        merge$n AS (SELECT s1, s2, cnt FROM pairs$n ORDER BY cnt DESC, s1, s2 LIMIT 1)"""
+        def mergedWords(prev: String, n: Int): String = s"""
+        words$n AS (
+          SELECT list_reduce(string_split(sym, ' '),
+                   (acc, x) -> CASE WHEN x = m.s2 AND (acc = m.s1 OR ends_with(acc, ' ' || m.s1))
+                               THEN acc || x ELSE acc || ' ' || x END) AS sym, freq
+          FROM $prev, merge${n - 1} m)"""
+        s"""
+        WITH toks AS (
+          SELECT unnest(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+          FROM documents),
+        w0 AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
+        words1 AS (
+          SELECT array_to_string(list_transform(generate_series(1, length(w)),
+                   i -> substring(w, i, 1)), ' ') AS sym, freq
+          FROM w0),
+        ${pairsOf("words1", 1)},
+        ${mergedWords("words1", 2)},
+        ${pairsOf("words2", 2)},
+        ${mergedWords("words2", 3)},
+        ${pairsOf("words3", 3)}
+        SELECT * FROM (
+          SELECT 1 AS merge_rank, s1, s2, cnt AS pair_count FROM merge1
+          UNION ALL SELECT 2, s1, s2, cnt FROM merge2
+          UNION ALL SELECT 3, s1, s2, cnt FROM merge3)
+        ORDER BY merge_rank"""
+      }))
 }

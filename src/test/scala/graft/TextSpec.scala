@@ -137,4 +137,29 @@ class TextSpec extends SparkSpec {
       .select($"lang", $"total_ws_tokens").as[(String, Long)].collect().toMap
     assert(t12.map(r => r._1 -> r._2).toMap === t03)
   }
+
+  test("t13: BPE merge fold is greedy, boundary-safe, and merge counts are monotone") {
+    import graft.operators.TextQueries.applyBpeMerge
+    // greedy left-to-right, non-overlapping
+    assert(applyBpeMerge("a a a", "a", "a") === "aa a")
+    assert(applyBpeMerge("a a a a", "a", "a") === "aa aa")
+    assert(applyBpeMerge("a b a b", "a", "b") === "ab ab")
+    // boundary-aware: last SYMBOL must equal s1 (not merely end with it)
+    assert(applyBpeMerge("xa b", "a", "b") === "xa b")
+    assert(applyBpeMerge("l o w", "o", "w") === "l ow")
+    // merged symbols participate in later matches as whole symbols
+    assert(applyBpeMerge("ab c ab c", "ab", "c") === "abc abc")
+
+    val merges = SparkEntry.queries("t13_bpe_merges")(spark, sf)
+      .select($"merge_rank", $"s1", $"s2", $"pair_count")
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(merges.length === 3)
+    merges.foreach { case (_, s1, s2, c) =>
+      assert(s1.nonEmpty && s2.nonEmpty && c > 0)
+    }
+    // each round's winning count can never exceed the previous round's:
+    // old pairs only lose occurrences, and new pairs (involving the merged
+    // symbol) are bounded by the merged pair's count
+    assert(merges.sliding(2).forall { case Array(a, b) => b._4 <= a._4 })
+  }
 }

@@ -735,5 +735,62 @@ object TextQueries {
           UNION ALL SELECT 2, s1, s2, cnt FROM merge2
           UNION ALL SELECT 3, s1, s2, cnt FROM merge3)
         ORDER BY merge_rank"""
+      }),
+
+    // ----- inter-document boilerplate spans ----------------------------------
+    // C4-style repeated-span detection: an 8-token shingle present in >= 2
+    // documents is boilerplate (headers, license blocks, templated
+    // paragraphs); each doc is scored by the fraction of its shingles that
+    // are shared. Same linear shape as t07: explode shingles, one hash agg
+    // for document frequency, one equi-join back — never all-pairs. The
+    // "shared majority" flag uses the integer inequality 2*shared >= n
+    // (no division). A removal pass would drop flagged docs or spans; this
+    // emits the per-lang decision table.
+    QueryDef(
+      "t14_boilerplate_spans",
+      (s, d) => {
+        import s.implicits._
+        val ex = shingles8(Tables.documents(s, d))
+          .select($"doc_id", $"lang", explode($"sh").as("g"))
+          .cache() // read twice: document-frequency agg + the join back
+        val docFreq = ex.groupBy($"g").agg(count(lit(1)).as("df"))
+        val perDoc = ex.join(docFreq, Seq("g"))
+          .groupBy($"doc_id", $"lang")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(($"df" >= 2).cast("long")).as("shared"))
+        perDoc.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(($"shared" * 2 >= $"n_sh").cast("long")).as("high_overlap_docs"),
+            sum($"n_sh").as("total_shingles"),
+            sum($"shared").as("shared_shingles"),
+            floor(sum($"shared") * lit(1000.0) / sum($"n_sh")).cast("long").as("shared_milli"))
+          .orderBy($"lang")
+      },
+      oracle = Some {
+        val gram = (0 to 7).map(k => s"t[i+$k]").mkString(", ")
+        s"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, lang,
+                 list_distinct(list_transform(generate_series(1, greatest(len(t) - 7, 1)),
+                   i -> concat_ws(' ', $gram))) AS s
+          FROM toks),
+        ex AS (SELECT doc_id, lang, unnest(s) AS g FROM sh),
+        df AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+        per_doc AS (
+          SELECT e.doc_id, e.lang, count(*) AS n_sh,
+                 sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS shared
+          FROM ex e JOIN df d USING (g)
+          GROUP BY e.doc_id, e.lang)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN shared * 2 >= n_sh THEN 1 ELSE 0 END) AS BIGINT) AS high_overlap_docs,
+               CAST(sum(n_sh) AS BIGINT) AS total_shingles,
+               CAST(sum(shared) AS BIGINT) AS shared_shingles,
+               CAST(floor(sum(shared) * 1000.0 / sum(n_sh)) AS BIGINT) AS shared_milli
+        FROM per_doc GROUP BY lang
+        ORDER BY lang"""
       }))
 }

@@ -57,6 +57,52 @@ class StreamDedupSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect().toSet
       assert(want.nonEmpty, "fixture has no near-dup pairs — spec is vacuous")
       assert(got.toSet === want)
+
+      // chunking invariance: the whole corpus in ONE micro-batch emits the
+      // same pair set (emission order inside a batch is docId-sorted)
+      val ms1 = MemoryStream[(Long, String)]
+      val q1 = StreamDedup.nearDupPairsStream(ms1.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("sdedup_one")
+        .outputMode("append").start()
+      try { ms1.addData(docs.toSeq); q1.processAllAvailable() } finally q1.stop()
+      val one = spark.table("sdedup_one")
+        .select($"doc_a", $"doc_b", $"j_milli")
+        .as[(Long, Long, Long)].collect()
+      assert(one.length === one.distinct.length)
+      assert(one.toSet === want)
+    }
+  }
+
+  test("streaming dedup state survives a checkpointed restart without re-emission") {
+    withRocksDb {
+      implicit val sq = spark.sqlContext
+      val docs = Tables.documents(spark, sf)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .collect().sortBy(_._1)
+      val ckpt = java.nio.file.Files.createTempDirectory("sdedup_ckpt").toString
+      val emitted = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long, Long)]()
+      val ms = MemoryStream[(Long, String)]
+      def start() = StreamDedup.nearDupPairsStream(ms.toDF().toDF("doc_id", "text"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamDedup.NearDupPair], _: Long) =>
+          b.collect().foreach(p => assert(emitted.add((p.doc_a, p.doc_b, p.j_milli)),
+            s"pair re-emitted after restart: $p"))
+        }
+        .outputMode("append").start()
+
+      val q1 = start()
+      try { ms.addData(docs.take(120).toSeq); q1.processAllAvailable() } finally q1.stop()
+      // restart from the checkpoint: bucket ListState must restore, so pairs
+      // straddling the restart are found and nothing already emitted repeats
+      val q2 = start()
+      try { ms.addData(docs.drop(120).toSeq); q2.processAllAvailable() } finally q2.stop()
+
+      val want = DedupQueries
+        .minhashNearDupPairs(spark, Tables.documents(spark, sf))
+        .select($"doc_a", $"doc_b", $"j_milli")
+        .as[(Long, Long, Long)].collect().toSet
+      import scala.jdk.CollectionConverters._
+      assert(emitted.asScala.toSet === want)
     }
   }
 }

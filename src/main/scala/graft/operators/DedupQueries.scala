@@ -578,6 +578,41 @@ object DedupQueries {
         ORDER BY relation"""),
       benchmark = false))
 
+  /** JVM per-table sign-LSH bucket kernel — shared by batch d06 and the
+    * streaming twin so both compute identical buckets. */
+  def lshBucketsOf(emb: Array[Float], tables: Int, planesPerTable: Int,
+      planes: Array[Array[Double]]): Array[Long] = {
+    val a = emb.map(_.toDouble)
+    Array.tabulate(tables) { t =>
+      var bucket = 0L
+      var k = 0
+      while (k < planesPerTable) {
+        val p = planes(t * planesPerTable + k)
+        var dot = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * p(i); i += 1 }
+        if (dot >= 0) bucket |= (1L << k)
+        k += 1
+      }
+      bucket
+    }
+  }
+
+  /** JVM exact cosine in milli — the same sequential double accumulation as
+    * the d05 anchor (bit-identical to DuckDB's list_dot_product). */
+  def cosMilliOf(ea: Array[Float], eb: Array[Float]): Long = {
+    val a = ea.map(_.toDouble); val b = eb.map(_.toDouble)
+    var na = 0.0; var nb = 0.0; var dot = 0.0; var i = 0
+    while (i < a.length) {
+      na += a(i) * a(i); nb += b(i) * b(i); dot += a(i) * b(i); i += 1
+    }
+    math.floor(dot * 1000.0 / (math.sqrt(na) * math.sqrt(nb))).toLong
+  }
+
+  /** d06 geometry accessors for the streaming twin. */
+  def embDim: Int = EmbDim
+  def lshTableCount: Int = LshTables
+  def lshPlanesPerTableCount: Int = LshPlanesPerTable
+
   /** The d06 pipeline over an arbitrary (vec_id, embedding) table.
     *
     * Tuning contract for scale: random (non-neighbor) pairs collide in a
@@ -599,19 +634,8 @@ object DedupQueries {
     // self-join principle as d03's band rows
     val buckets = cached(vecs.as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
-        val a = emb.map(_.toDouble)
-        (0 until tables).iterator.map { t =>
-          var bucket = 0L
-          var k = 0
-          while (k < planesPerTable) {
-            val p = planes(t * planesPerTable + k)
-            var dot = 0.0; var i = 0
-            while (i < a.length) { dot += a(i) * p(i); i += 1 }
-            if (dot >= 0) bucket |= (1L << k)
-            k += 1
-          }
-          (id, t, bucket)
-        }
+        val bks = lshBucketsOf(emb, tables, planesPerTable, planes)
+        (0 until tables).iterator.map(t => (id, t, bks(t)))
       }.toDF("vec_id", "tbl", "bucket"))
     val cand = buckets.select($"tbl", $"bucket", $"vec_id".as("vec_a"))
       .join(buckets.select($"tbl", $"bucket", $"vec_id".as("vec_b")), Seq("tbl", "bucket"))
@@ -622,15 +646,7 @@ object DedupQueries {
       .join(vecs.select($"vec_id".as("vec_b"), $"embedding".as("eb")), Seq("vec_b"))
       .select($"vec_a", $"vec_b", $"ea", $"eb")
       .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (idA, idB, ea, eb) =>
-        // same sequential double accumulation as the d05 anchor
-        val a = ea.map(_.toDouble); val b = eb.map(_.toDouble)
-        var na = 0.0; var nb = 0.0; var dot = 0.0; var i = 0
-        while (i < a.length) {
-          na += a(i) * a(i); nb += b(i) * b(i); dot += a(i) * b(i); i += 1
-        }
-        (idA, idB, math.floor(dot * 1000.0 / (math.sqrt(na) * math.sqrt(nb))).toLong)
-      }
+      .map { case (idA, idB, ea, eb) => (idA, idB, cosMilliOf(ea, eb)) }
       .toDF("vec_a", "vec_b", "cos_milli")
       .filter($"cos_milli" >= minCosMilli)
       .orderBy($"vec_a", $"vec_b")

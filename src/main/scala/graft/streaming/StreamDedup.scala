@@ -62,6 +62,79 @@ object StreamDedup {
         Encoders.product[NearDupPair])
   }
 
+  // ----- semantic twin: incremental embedding sign-LSH dedup ---------------
+
+  /** One LSH table row of an incoming vector: its bucket in table `tbl`,
+    * plus the full embedding and all-table bucket array for the
+    * min-shared-table decision and exact-cosine verify. */
+  final case class BandedVec(vecId: Long, tbl: Int, bucket: Long,
+      emb: Seq[Float], buckets: Seq[Long])
+
+  /** A verified semantic near-dup pair, `vec_a < vec_b`, cosine in milli. */
+  final case class EmbNearDupPair(vec_a: Long, vec_b: Long, cos_milli: Long)
+
+  private final case class StoredVec(vecId: Long, emb: Seq[Float], buckets: Seq[Long])
+
+  /** Streaming sign-LSH embedding near-dup pairs over a (streaming or
+    * batch) DataFrame with `vec_id` and `embedding` columns — the semantic
+    * twin of [[nearDupPairsStream]], sharing batch d06's bucket and cosine
+    * kernels. Exactly-once emission at the pair's MINIMAL shared LSH
+    * table, decided locally from the stored bucket arrays. */
+  def embeddingNearDupPairsStream(embs: DataFrame,
+      tables: Int = DedupQueries.lshTableCount,
+      planesPerTable: Int = DedupQueries.lshPlanesPerTableCount,
+      minCosMilli: Long = 400L): Dataset[EmbNearDupPair] = {
+    val s = embs.sparkSession
+    import s.implicits._
+    val planes = graft.functions.VectorFns.hyperplanes(
+      tables * planesPerTable, DedupQueries.embDim)
+    embs.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        val bks = DedupQueries.lshBucketsOf(emb, tables, planesPerTable, planes)
+        (0 until tables).iterator.map(t => BandedVec(id, t, bks(t), emb.toSeq, bks.toSeq))
+      }
+      .groupByKey(r => (r.tbl, r.bucket))
+      .transformWithState(new VecBucketProcessor(minCosMilli),
+        TimeMode.None(), OutputMode.Append(), Encoders.product[EmbNearDupPair])
+  }
+
+  private final class VecBucketProcessor(minCosMilli: Long)
+      extends StatefulProcessor[(Int, Long), BandedVec, EmbNearDupPair] {
+    @transient private var seen: ListState[StoredVec] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState("seen", Encoders.product[StoredVec], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandedVec],
+        tv: TimerValues): Iterator[EmbNearDupPair] = {
+      val existing = scala.collection.mutable.ArrayBuffer.empty[StoredVec]
+      val it = seen.get()
+      while (it.hasNext) existing += it.next()
+      val out = Vector.newBuilder[EmbNearDupPair]
+      rows.toVector.sortBy(_.vecId).foreach { r =>
+        if (!existing.exists(_.vecId == r.vecId)) {
+          existing.foreach { e =>
+            var minTbl = -1
+            var t = 0
+            while (t < e.buckets.length && minTbl < 0) {
+              if (e.buckets(t) == r.buckets(t)) minTbl = t
+              t += 1
+            }
+            if (minTbl == key._1) {
+              val c = DedupQueries.cosMilliOf(e.emb.toArray, r.emb.toArray)
+              if (c >= minCosMilli)
+                out += EmbNearDupPair(math.min(e.vecId, r.vecId), math.max(e.vecId, r.vecId), c)
+            }
+          }
+          val stored = StoredVec(r.vecId, r.emb, r.buckets)
+          existing += stored
+          seen.appendValue(stored)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
   private final class BucketProcessor
       extends StatefulProcessor[(Int, Long), BandedDoc, NearDupPair] {
     @transient private var seen: ListState[StoredDoc] = _

@@ -105,4 +105,36 @@ class StreamDedupSpec extends SparkSpec {
       assert(emitted.asScala.toSet === want)
     }
   }
+
+  test("streaming embedding near-dup pairs equal batch d06 over the same vectors") {
+    withRocksDb {
+      implicit val sq = spark.sqlContext
+      val vecs = Tables.embeddings(spark, sf)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+        .collect().sortBy(_._1)
+      assert(vecs.nonEmpty)
+
+      val ms = MemoryStream[(Long, Array[Float])]
+      val pairs = StreamDedup.embeddingNearDupPairsStream(
+        ms.toDF().toDF("vec_id", "embedding"))
+      val q = pairs.writeStream.format("memory").queryName("sedemb")
+        .outputMode("append").start()
+      try {
+        val chunks = Seq(vecs.take(60), vecs.slice(60, 90), vecs.drop(90))
+        chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+      } finally q.stop()
+
+      val got = spark.table("sedemb")
+        .select($"vec_a", $"vec_b", $"cos_milli")
+        .as[(Long, Long, Long)].collect()
+      assert(got.length === got.distinct.length, "pair emitted twice")
+
+      val want = DedupQueries
+        .embeddingLshPairs(spark, Tables.embeddings(spark, sf))
+        .select($"vec_a", $"vec_b", $"cos_milli")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(want.nonEmpty, "fixture has no embedding near-dup pairs — spec is vacuous")
+      assert(got.toSet === want)
+    }
+  }
 }

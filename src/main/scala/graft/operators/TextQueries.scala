@@ -112,6 +112,28 @@ object TextQueries {
       .toDF("doc_id", "lang", "sh")
   }
 
+  /** The t14 pipeline over an arbitrary documents table (doc_id, lang,
+    * text): per-lang boilerplate-span decision table. */
+  def boilerplateSpans(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val ex = shingles8(docs)
+      .select($"doc_id", $"lang", explode($"sh").as("g"))
+      .cache() // read twice: document-frequency agg + the join back
+    val docFreq = ex.groupBy($"g").agg(count(lit(1)).as("df"))
+    val perDoc = ex.join(docFreq, Seq("g"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(($"df" >= 2).cast("long")).as("shared"))
+    perDoc.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(($"shared" * 2 >= $"n_sh").cast("long")).as("high_overlap_docs"),
+        sum($"n_sh").as("total_shingles"),
+        sum($"shared").as("shared_shingles"),
+        floor(sum($"shared") * lit(1000.0) / sum($"n_sh")).cast("long").as("shared_milli"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ----- language identification (stopword heuristic) ---------------------
@@ -748,24 +770,7 @@ object TextQueries {
     // emits the per-lang decision table.
     QueryDef(
       "t14_boilerplate_spans",
-      (s, d) => {
-        import s.implicits._
-        val ex = shingles8(Tables.documents(s, d))
-          .select($"doc_id", $"lang", explode($"sh").as("g"))
-          .cache() // read twice: document-frequency agg + the join back
-        val docFreq = ex.groupBy($"g").agg(count(lit(1)).as("df"))
-        val perDoc = ex.join(docFreq, Seq("g"))
-          .groupBy($"doc_id", $"lang")
-          .agg(count(lit(1)).as("n_sh"),
-            sum(($"df" >= 2).cast("long")).as("shared"))
-        perDoc.groupBy($"lang")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(($"shared" * 2 >= $"n_sh").cast("long")).as("high_overlap_docs"),
-            sum($"n_sh").as("total_shingles"),
-            sum($"shared").as("shared_shingles"),
-            floor(sum($"shared") * lit(1000.0) / sum($"n_sh")).cast("long").as("shared_milli"))
-          .orderBy($"lang")
-      },
+      (s, d) => boilerplateSpans(Tables.documents(s, d)),
       oracle = Some {
         val gram = (0 to 7).map(k => s"t[i+$k]").mkString(", ")
         s"""

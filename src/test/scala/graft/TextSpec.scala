@@ -162,4 +162,30 @@ class TextSpec extends SparkSpec {
     // symbol) are bounded by the merged pair's count
     assert(merges.sliding(2).forall { case Array(a, b) => b._4 <= a._4 })
   }
+
+  test("t14: exact-duplicate documents are always flagged high-overlap") {
+    import graft.functions.TextFns
+    import graft.operators.TextQueries
+    // identical normalized text => identical shingle sets => shared == n,
+    // so every doc in an exact-dup group must satisfy 2*shared >= n.
+    // The fixture has no exact dups at this sf, so plant some: duplicate
+    // the first 5 docs under fresh doc_ids.
+    val base = Tables.documents(spark, sf).select($"doc_id", $"lang", $"text")
+    val planted = base.orderBy($"doc_id").limit(5)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"lang", $"text")
+    val corpus = base.unionByName(planted)
+    val dupDocs = corpus
+      .groupBy(md5(TextFns.normalize($"text")))
+      .agg(count(lit(1)).as("m")).filter($"m" >= 2)
+      .agg(coalesce(sum($"m"), lit(0L))).as[Long].collect()(0)
+    assert(dupDocs >= 10L, s"planting failed: $dupDocs")
+    val t14 = TextQueries.boilerplateSpans(corpus)
+      .select($"n_docs", $"high_overlap_docs", $"total_shingles", $"shared_shingles")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(t14.map(_._2).sum >= dupDocs)
+    t14.foreach { case (n, hi, tot, shared) =>
+      assert(hi <= n)
+      assert(shared <= tot)
+    }
+  }
 }

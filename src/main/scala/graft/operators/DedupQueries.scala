@@ -576,6 +576,59 @@ object DedupQueries {
         FROM lex l FULL JOIN sem s ON l.doc_a = s.vec_a AND l.doc_b = s.vec_b
         GROUP BY relation
         ORDER BY relation"""),
+      benchmark = false),
+
+    // ----- unified dedup decision (capstone) --------------------------------
+    // The materialized end state of the whole dedup story: cluster over the
+    // UNION of the lexical (d03) and semantic (d06) pair sets — a doc is
+    // dropped if EITHER signal family links it into a cluster it is not the
+    // canonical (min doc_id) of. This is the policy a production corpus
+    // build applies; it composes three already-verified pieces (d03 pairs,
+    // d06 pairs, d08's cluster labeling) into the per-lang kept/dropped
+    // decision table. Oracle: recursive-CTE transitive closure over the
+    // union of both exact pair oracles. benchmark=false: every stage is
+    // already benchmarked as d03/d06/d08.
+    QueryDef(
+      "d10_dedup_decision",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val lex = minhashNearDupPairs(s, docs).select($"doc_a", $"doc_b")
+        val sem = embeddingLshPairs(s, Tables.embeddings(s, d))
+          .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+        val labels = clusterLabels(docs, lex.unionByName(sem).distinct())
+        labels.join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(($"doc_id" === $"cluster_id").cast("long")).as("n_kept"),
+            sum(($"doc_id" =!= $"cluster_id").cast("long")).as("n_dropped"))
+          .orderBy($"lang")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE lex AS (${PairSqlNoOrder}),
+        sem AS (${d06OracleSql.replace("ORDER BY vec_a, vec_b", "")}),
+        pairs AS (
+          SELECT doc_a, doc_b FROM lex
+          UNION
+          SELECT vec_a AS doc_a, vec_b AS doc_b FROM sem),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (
+          SELECT d.doc_id, d.lang,
+                 least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id, d.lang)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        FROM labels GROUP BY lang
+        ORDER BY lang"""),
       benchmark = false))
 
   /** JVM per-table sign-LSH bucket kernel — shared by batch d06 and the

@@ -18,6 +18,10 @@ import org.apache.spark.sql.expressions.Window
 object SimilarityQueries {
 
   private val Dim = 64
+  // MMR: candidate depth per query and the number of greedy diverse picks.
+  // Integer score = 7*rel - 3*max_sim (lambda=0.7 scaled by 10).
+  private val MmrCandDepth = 20
+  private val MmrK = 5
   // 8 planes + hamming<=3 expansion: ~36% of the corpus scored per query on
   // uniform data (vs 100% brute force) at ~0.5 recall@10 — tuned for the
   // weak-signal random embeddings in the fixture; denser real-world
@@ -556,7 +560,118 @@ object SimilarityQueries {
                CAST(floor(list_max(err) * 1000000.0) AS BIGINT) AS max_err_micro,
                CAST(floor(list_reduce(list_prepend(0.0, err), (acc, x) -> acc + x) * 1000000.0) AS BIGINT) AS sum_err_micro
         FROM q
-        ORDER BY vec_id""")))
+        ORDER BY vec_id""")),
+
+    // ----- MMR diverse top-k (retrieval post-processing) ---------------------
+    // Maximal Marginal Relevance: after candidate generation, greedily pick
+    // results balancing relevance against similarity to what is already
+    // picked — the standard diversity re-ranker for RAG retrieval. Scores
+    // stay in INTEGER milli space: score = 7*rel - 3*max_sim (the lambda =
+    // 0.7 trade-off scaled by 10), so argmax ties (score desc, vec_id) are
+    // engine-exact with no float lambda arithmetic. The MmrK greedy rounds
+    // run as a per-query JVM kernel (mapGroups): each query's greedy is
+    // independent over its bounded CandDepth candidate list, so the whole
+    // stage is ONE job — a tiny shuffle of queries x CandDepth rows after
+    // the broadcast candidate generation; the corpus itself is never
+    // reshuffled. The oracle unrolls the same integer argmax as CTE rounds
+    // with NOT EXISTS anti-joins — pure-integer scores make the two
+    // formulations provably identical.
+    QueryDef(
+      "s07_mmr_diverse_topk",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val queries = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"embedding".as("q"))
+        val w = Window.partitionBy($"query_id").orderBy($"rel".desc, $"vec_id")
+        val k = MmrK
+        e.join(broadcast(queries), $"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id", $"embedding",
+            VectorFns.cosineMilli($"q", $"embedding").as("rel"))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= MmrCandDepth).drop("rk")
+          .as[(Long, Long, Array[Float], Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (qid, it) =>
+            val cand = it.toArray.sortBy(c => (-c._4, c._2)) // rel desc, vec_id
+            val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+            val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+            var r = 1
+            while (r <= k && chosen.length < cand.length) {
+              var best = -1
+              var bestScore = Long.MinValue
+              var i = 0
+              while (i < cand.length) {
+                val c = cand(i)
+                if (!chosen.exists(_._1 == c._2)) {
+                  val maxSim = if (chosen.isEmpty) 0L
+                    else chosen.iterator.map(s => DedupQueries.cosMilliOf(c._3, s._2)).max
+                  val score = if (chosen.isEmpty) c._4 * 7 else c._4 * 7 - maxSim * 3
+                  // argmax with (score desc, vec_id asc) tie-break: strict
+                  // > plus candidates iterated in (rel desc, vec_id) order
+                  // is NOT the same order, so compare ids explicitly
+                  if (score > bestScore || (score == bestScore && (best < 0 || c._2 < cand(best)._2))) {
+                    best = i; bestScore = score
+                  }
+                }
+                i += 1
+              }
+              val b = cand(best)
+              picked += ((qid, r.toLong, b._2, b._4, bestScore))
+              chosen += ((b._2, b._3))
+              r += 1
+            }
+            picked.iterator
+          }
+          .toDF("query_id", "pick_rank", "vec_id", "rel", "score")
+          .orderBy($"query_id", $"pick_rank")
+      },
+      oracle = Some(s07OracleSql)))
+
+  /** The s07 MMR oracle: candidate generation + MmrK unrolled greedy
+    * rounds. Scores are pure integers (7*rel - 3*max_sim), so every
+    * argmax tie-breaks identically to the Spark rounds. */
+  private def s07OracleSql: String = {
+    def cos(a: String, b: String): String =
+      s"CAST(floor(list_dot_product($a, $b) * 1000.0 / " +
+        s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))) AS BIGINT)"
+    val rounds = (2 to MmrK).map { r =>
+      s"""
+        selu${r - 1} AS (${(1 until r).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")}),
+        r$r AS (
+          SELECT c.query_id, c.vec_id, c.e, c.rel,
+                 CAST(c.rel * 7 - 3 * max(${cos("c.e", "s.e")}) AS BIGINT) AS score
+          FROM cand c JOIN selu${r - 1} s ON s.query_id = c.query_id
+          WHERE NOT EXISTS (SELECT 1 FROM selu${r - 1} x
+                            WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+          GROUP BY c.query_id, c.vec_id, c.e, c.rel),
+        s$r AS (
+          SELECT query_id, vec_id, e, rel, score, CAST($r AS BIGINT) AS pick_rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk
+            FROM r$r) WHERE rk = 1)"""
+    }.mkString(",")
+    val unionAll = (1 to MmrK).map(i => s"SELECT query_id, pick_rank, vec_id, rel, score FROM s$i")
+      .mkString("\n          UNION ALL ")
+    s"""
+        WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM t WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, t.vec_id, t.e, ${cos("q.qe", "t.e")} AS rel
+          FROM q JOIN t ON t.vec_id != q.query_id),
+        cand AS (
+          SELECT query_id, vec_id, e, rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rk
+            FROM scored) WHERE rk <= $MmrCandDepth),
+        s1 AS (
+          SELECT query_id, vec_id, e, rel, CAST(rel * 7 AS BIGINT) AS score,
+                 CAST(1 AS BIGINT) AS pick_rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rk
+            FROM cand) WHERE rk = 1),
+        $rounds
+        SELECT query_id, pick_rank, vec_id, rel, score FROM (
+          $unionAll)
+        ORDER BY query_id, pick_rank"""
+  }
 
   /** The two-stage (projected coarse + exact re-rank) oracle: the 16
     * projection rows as literals; both stages' rankings recomputed. */

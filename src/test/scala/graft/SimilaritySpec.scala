@@ -115,6 +115,36 @@ class SimilaritySpec extends SparkSpec {
       }
   }
 
+  test("MMR first pick is the relevance argmax and picks are distinct per query") {
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    val mmr = SparkEntry.queries("s07_mmr_diverse_topk")(spark, sf)
+      .select($"query_id", $"pick_rank", $"vec_id", $"rel")
+      .as[(Long, Long, Long, Long)].collect()
+    val s01 = SparkEntry.queries("s01_ann_bruteforce_topk")(spark, sf)
+      .select($"query_id", $"rank", $"vec_id")
+      .as[(Long, Long, Long)].collect()
+    val byQ = mmr.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, picks) =>
+      assert(picks.length === 5)
+      assert(picks.map(_._3).distinct.length === 5, s"query $q repeated a pick")
+      // pick 1 ignores diversity: must equal brute-force rank 1
+      val top1 = s01.find(r => r._1 == q && r._2 == 1L).get._3
+      assert(picks.minBy(_._2)._3 === top1, s"query $q first pick")
+    }
+    // diversity: MMR's picks are no more self-similar than the plain top-5,
+    // summed over queries (the objective it greedily optimizes)
+    val embs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    def pairSim(ids: Seq[Long]): Long =
+      ids.combinations(2).map(p => DedupQueries.cosMilliOf(embs(p(0)), embs(p(1)))).sum
+    val mmrSim = byQ.map { case (_, picks) => pairSim(picks.map(_._3).toSeq) }.sum
+    val topSim = s01.filter(_._2 <= 5).groupBy(_._1)
+      .map { case (_, rs) => pairSim(rs.map(_._3).toSeq) }.sum
+    assert(mmrSim <= topSim, s"MMR self-similarity $mmrSim > top-5 $topSim")
+  }
+
   test("k-means codebook is independent of input partitioning") {
     import spark.implicits._
     import graft.operators.SimilarityQueries

@@ -17,7 +17,7 @@ class PlanLintSpec extends SparkSpec {
     * 1-row broadcast scalar — onto the doc-term table (constant-size build
     * side by construction). Everything else must stay equi-join shaped. */
   private val bnljOk = Set("q21_range_join_buckets", "s01_ann_bruteforce_topk",
-    "s05_ann_projected_rerank", "t12_unigram_surprisal")
+    "s05_ann_projected_rerank", "s07_mmr_diverse_topk", "t12_unigram_surprisal")
 
   for (q <- SparkEntry.allDefs.filter(_.benchmark)) {
     test(s"${q.name}: no cartesian product, no stray nested-loop join, no mid-plan collect") {

@@ -97,6 +97,18 @@ class ScaleSpec extends SparkSpec {
       docCorpus(4000), docCorpus(40000))
   }
 
+  test("t14 boilerplate spans: 10x corpus => ~10x runtime and shared shingles") {
+    // every 10th doc shares 37 of its 8-gram shingles with its template
+    // doc, so true shared-shingle counts scale linearly by construction
+    import org.apache.spark.sql.functions.lit
+    assertTrend("t14",
+      df => graft.operators.TextQueries
+        .boilerplateSpans(df.withColumn("lang", lit("en")))
+        .agg(org.apache.spark.sql.functions.sum($"shared_shingles"))
+        .as[Long].collect()(0),
+      docCorpus(4000), docCorpus(40000))
+  }
+
   test("d06 embedding-LSH dedup: 10x corpus => ~10x runtime and pairs") {
     // K and the cosine bar are tuned for THIS corpus per the pipeline's
     // documented contract (K ~ 2*log2(n) - 10, threshold above the random

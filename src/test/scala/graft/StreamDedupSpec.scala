@@ -106,6 +106,36 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup equals batch on a synthetic templated corpus, any chunking") {
+    withRocksDb {
+      implicit val sq = spark.sqlContext
+      // ScaleSpec's deterministic corpus: every 10th doc near-dups its
+      // predecessor (jaccard 0.90) => exactly 30 true pairs in 300 docs
+      val docs = (0L until 300L).map(ScaleCorpus.doc)
+      val ms = MemoryStream[(Long, String)]
+      val q = StreamDedup.nearDupPairsStream(ms.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("sdedup_syn")
+        .outputMode("append").start()
+      try {
+        // adversarial chunking: singletons (pair split across batches at
+        // both ends) interleaved with large batches
+        val chunks = Seq(docs.take(1), docs.slice(1, 2), docs.slice(2, 149),
+          docs.slice(149, 150), docs.drop(150))
+        chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table("sdedup_syn")
+        .select($"doc_a", $"doc_b", $"j_milli")
+        .as[(Long, Long, Long)].collect()
+      assert(got.length === got.distinct.length)
+      val want = DedupQueries
+        .minhashNearDupPairs(spark, docs.toDF("doc_id", "text"))
+        .select($"doc_a", $"doc_b", $"j_milli")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(want.size === 30, s"corpus construction drifted: ${want.size} pairs")
+      assert(got.toSet === want)
+    }
+  }
+
   test("streaming embedding near-dup pairs equal batch d06 over the same vectors") {
     withRocksDb {
       implicit val sq = spark.sqlContext

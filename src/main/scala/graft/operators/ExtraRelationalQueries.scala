@@ -284,5 +284,56 @@ object ExtraRelationalQueries {
                    WHEN 0 THEN 1 WHEN 2 THEN 2 WHEN 4 THEN 24
                    WHEN 6 THEN 720 WHEN 8 THEN 40320 END + 1 AS value
           FROM range(36288000)
-          WHERE range % 2 = 0)""")))
+          WHERE range % 2 = 0)""")),
+
+    // ----- pivot (crosstab): rows -> columns ---------------------------------
+    // Explicit pivot values keep the output schema static (the distributed
+    // contract: no extra pass to discover values, and the plan is a plain
+    // hash agg with one conditional-sum column per value — exactly the
+    // conditional-aggregation SQL the oracle spells out).
+    QueryDef(
+      "q39_pivot",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupBy($"o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(sum(floor($"o_totalprice" * 100)).cast("long"))
+          .orderBy($"o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN floor(o_totalprice * 100) END) AS BIGINT) AS F,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN floor(o_totalprice * 100) END) AS BIGINT) AS O,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN floor(o_totalprice * 100) END) AS BIGINT) AS P
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ----- unpivot (melt): columns -> rows -----------------------------------
+    QueryDef(
+      "q40_unpivot",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(sum(floor($"l_quantity" * 100)).cast("long").as("qty_c"),
+            sum(floor($"l_extendedprice" * 100)).cast("long").as("price_c"),
+            sum(floor($"l_discount" * 100)).cast("long").as("disc_c"))
+          .unpivot(Array($"l_returnflag"),
+            Array($"qty_c", $"price_c", $"disc_c"), "metric", "value")
+          .orderBy($"l_returnflag", $"metric")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT l_returnflag,
+                 CAST(sum(floor(l_quantity * 100)) AS BIGINT) AS qty_c,
+                 CAST(sum(floor(l_extendedprice * 100)) AS BIGINT) AS price_c,
+                 CAST(sum(floor(l_discount * 100)) AS BIGINT) AS disc_c
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, metric, value FROM (
+          SELECT l_returnflag, 'qty_c' AS metric, qty_c AS value FROM w
+          UNION ALL SELECT l_returnflag, 'price_c', price_c FROM w
+          UNION ALL SELECT l_returnflag, 'disc_c', disc_c FROM w)
+        ORDER BY l_returnflag, metric""")))
 }

@@ -335,5 +335,112 @@ object ExtraRelationalQueries {
           SELECT l_returnflag, 'qty_c' AS metric, qty_c AS value FROM w
           UNION ALL SELECT l_returnflag, 'price_c', price_c FROM w
           UNION ALL SELECT l_returnflag, 'disc_c', disc_c FROM w)
-        ORDER BY l_returnflag, metric""")))
+        ORDER BY l_returnflag, metric""")),
+
+    // ----- correlation / covariance from exact integer sums ------------------
+    // Native corr()/covar_samp() are parallel double sums — order-dependent,
+    // so never bit-stable across engines or partitionings. Same cure as q23
+    // variance: aggregate the five moment sums as exact BIGINTs (associative,
+    // partitioning-independent), then combine per group with ONE double
+    // formula written identically on both engines. Sums that would overflow
+    // 2^63 when multiplied (n*spp at scale) are cast to double first — each
+    // sum is exact below 2^53, and scalar IEEE arithmetic in a fixed order is
+    // deterministic. Quantity enters as whole units and price as whole
+    // dollars to keep every BIGINT product inside 2^63 at bench scale.
+    QueryDef(
+      "q41_corr_covar_from_int_sums",
+      (s, d) => {
+        import s.implicits._
+        val qi = floor($"l_quantity").cast("long")
+        val pi = floor($"l_extendedprice").cast("long")
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(qi).as("sq"), sum(pi).as("sp"),
+            sum(qi * qi).as("sqq"), sum(pi * pi).as("spp"),
+            sum(qi * pi).as("sqp"))
+          .select($"l_returnflag", $"n",
+            floor(($"n" * $"sqp" - $"sq" * $"sp") * lit(1000.0) /
+              ($"n" * ($"n" - lit(1)))).cast("long").as("covar_samp_milli"),
+            floor(($"n" * $"sqp" - $"sq" * $"sp") * lit(1000000.0) /
+              sqrt(($"n".cast("double") * $"sqq" - $"sq".cast("double") * $"sq") *
+                   ($"n".cast("double") * $"spp" - $"sp".cast("double") * $"sp")))
+              .cast("long").as("corr_micro"))
+          .orderBy($"l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, n,
+               CAST(floor((n*sqp - sq*sp) * 1000.0 / (n * (n - 1))) AS BIGINT) AS covar_samp_milli,
+               CAST(floor((n*sqp - sq*sp) * 1000000.0 /
+                 sqrt((CAST(n AS DOUBLE)*sqq - CAST(sq AS DOUBLE)*sq) *
+                      (CAST(n AS DOUBLE)*spp - CAST(sp AS DOUBLE)*sp))) AS BIGINT) AS corr_micro
+        FROM (
+          SELECT l_returnflag, count(*) AS n,
+                 CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+                 CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sp,
+                 CAST(sum(CAST(floor(l_quantity) AS BIGINT) * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sqq,
+                 CAST(sum(CAST(floor(l_extendedprice) AS BIGINT) * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS spp,
+                 CAST(sum(CAST(floor(l_quantity) AS BIGINT) * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sqp
+          FROM lineitem GROUP BY l_returnflag)
+        ORDER BY l_returnflag""")),
+
+    // ----- RANGE-frame window: trailing 90-day revenue per customer ----------
+    // Value-based frames (RANGE BETWEEN n PRECEDING) vs the row-based frames
+    // q10/q26 cover: the frame is defined by the ORDER-BY value distance, so
+    // same-day peer rows always aggregate together regardless of their
+    // physical order — which is also what makes the result deterministic.
+    // One shuffle on the partition key; integer-cents sums stay exact.
+    QueryDef(
+      "q42_range_frame_trailing_window",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"day").rangeBetween(-90, 0)
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey",
+            datediff($"o_orderdate", lit("1992-01-01").cast("date")).cast("long").as("day"),
+            floor($"o_totalprice" * 100).cast("long").as("price_c"))
+          .withColumn("trailing_90d_c", sum($"price_c").over(w))
+          .orderBy($"o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, day, price_c,
+               CAST(sum(price_c) OVER (PARTITION BY o_custkey ORDER BY day
+                 RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_90d_c
+        FROM (
+          SELECT o_orderkey, o_custkey,
+                 CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+          FROM orders)
+        ORDER BY o_orderkey""")),
+
+    // ----- re-aggregatable sketch state: two-level HLL merge -----------------
+    // The 100 TB pattern q24 doesn't show: sketch ONCE at the fine level
+    // (nation), then roll up by MERGING sketch state (hll_union_agg) instead
+    // of re-scanning customers — exactly how a segment/partition-level sketch
+    // catalog serves arbitrary rollups. Oracle form as q24: exact counts both
+    // engines compute + a within-tolerance boolean from Spark's own sketches
+    // (lgConfigK=14 => rsd about 0.8%, so +-5% is a many-sigma bound).
+    QueryDef(
+      "q43_sketch_partial_merge",
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.customer(s, d)
+          .join(Tables.nation(s, d), $"c_nationkey" === $"n_nationkey")
+          .join(Tables.region(s, d), $"n_regionkey" === $"r_regionkey")
+        c.groupBy($"r_name", $"n_name")
+          .agg(count(lit(1)).as("exact_n"),
+            hll_sketch_agg($"c_custkey", lit(14)).as("sk"))
+          .groupBy($"r_name")
+          .agg(sum($"exact_n").as("exact_customers"),
+            hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+          .select($"r_name", $"exact_customers",
+            ($"est" >= $"exact_customers" * 0.95 &&
+             $"est" <= $"exact_customers" * 1.05).as("merged_within_5pct"))
+          .orderBy($"r_name")
+      },
+      oracle = Some("""
+        SELECT r_name, count(*) AS exact_customers, TRUE AS merged_within_5pct
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")))
 }

@@ -39,6 +39,13 @@ object SimilarityQueries {
   private val IvfHashMult = 0x9E3779B97F4A7C15L
   private val IvfHashMultUnsigned = java.lang.Long.toUnsignedString(IvfHashMult)
 
+  // PQ: 8 subspaces x 8 dims, 16 codewords each (4-bit codes). MUST be
+  // declared above `val all` — oracle strings interpolate these eagerly
+  // during Seq construction (object init is sequential).
+  private[graft] val PqM = 8            // subspaces
+  private[graft] val PqSubDim = Dim / PqM
+  private[graft] val PqK = 16           // codewords per subspace (4 bits)
+
   /** The codebook: the IvfK corpus vectors whose unsigned
     * (vec_id * IvfHashMult) mod 2^64 is smallest — a deterministic
     * hash-sample both engines can compute (Spark: signed order of
@@ -626,7 +633,146 @@ object SimilarityQueries {
           .toDF("query_id", "pick_rank", "vec_id", "rel", "score")
           .orderBy($"query_id", $"pick_rank")
       },
-      oracle = Some(s07OracleSql)))
+      oracle = Some(s07OracleSql)),
+
+    // ----- product-quantization ANN (ADC scan over 8-byte codes) ------------
+    // The compression endgame of the ANN stack: each 64-dim vector is cut
+    // into 8 subspaces of 8 dims; each subspace quantizes to one of 16
+    // codewords (4 bits), so a vector's search footprint is 8 nibbles —
+    // 32x smaller than the raw floats. At 100 TB that is the difference
+    // between an index that fits executor memory and one that doesn't:
+    // the scan touches ONLY the code table; raw vectors are never read at
+    // query time. Scoring is the classic ADC (asymmetric distance): per
+    // query, precompute a [subspace x codeword] table of exact integer
+    // squared-L2 distances (O(M*K*subdim), driver-side over the broadcast
+    // constant-size codebook), broadcast it, and each corpus row's
+    // approximate distance is 8 table lookups — no arithmetic on vectors
+    // at all. Everything runs in integer-milli space (milliOf): encoding
+    // argmins, the LUT, and the summed distances are exact BIGINTs, so
+    // the full approximate result set is DuckDB-reproducible (codebook =
+    // the same smallest-hash seed rows as s03, sliced per subspace).
+    QueryDef(
+      "s08_ann_pq_adc",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val bcCb = s.sparkContext.broadcast(pqCodebook(s, e))
+        val codes = e.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+          .mapPartitions { it =>
+            val cb = bcCb.value
+            it.map { case (id, emb) =>
+              val m = milliOf(emb)
+              (id, Seq.tabulate(PqM) { j =>
+                var best = 0; var bd = Long.MaxValue
+                var c = 0
+                while (c < cb(j).length) {
+                  val dist = subD2(m, j * PqSubDim, cb(j)(c))
+                  if (dist < bd) { bd = dist; best = c } // strict: tie keeps lower cw
+                  c += 1
+                }
+                best
+              })
+            }
+          }
+        // constant-size query set -> driver LUT build is O(nq*M*K*subdim)
+        val lut: Array[(Long, Array[Array[Long]])] = e.filter($"vec_id" < 5)
+          .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+          .collect().sortBy(_._1)
+          .map { case (qid, emb) =>
+            val m = milliOf(emb)
+            (qid, Array.tabulate(PqM)(j => bcCb.value(j).map(subD2(m, j * PqSubDim, _))))
+          }
+        val bcLut = s.sparkContext.broadcast(lut)
+        val w = Window.partitionBy($"query_id").orderBy($"adc_d2", $"vec_id")
+        codes.mapPartitions { it =>
+          val ts = bcLut.value
+          it.flatMap { case (id, cs) =>
+            ts.iterator.filter(_._1 != id).map { case (qid, t) =>
+              var dist = 0L; var j = 0
+              while (j < PqM) { dist += t(j)(cs(j)); j += 1 }
+              (qid, id, dist)
+            }
+          }
+        }.toDF("query_id", "vec_id", "adc_d2")
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 10)
+          .select($"query_id", $"rank", $"vec_id", $"adc_d2")
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = Some(s08OracleSql)))
+
+  // ----- PQ helpers ---------------------------------------------------------
+
+  /** Exact integer squared-L2 between `c` and the slice of `a` at `off`. */
+  private def subD2(a: Array[Long], off: Int, c: Array[Long]): Long = {
+    var dist = 0L; var i = 0
+    while (i < c.length) { val x = a(off + i) - c(i); dist += x * x; i += 1 }
+    dist
+  }
+
+  /** [subspace][codeword][subdim] codebook from the PqK smallest-hash seed
+    * vectors (the s03 deterministic hash-sample), sliced per subspace.
+    * Codeword index = rank in hash order, matching the oracle's
+    * row_number(). Constant size at any corpus scale: O(PqK) collect. */
+  private[graft] def pqCodebook(s: SparkSession, e: DataFrame): Array[Array[Array[Long]]] = {
+    import s.implicits._
+    val seeds = e.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .map { case (id, emb) => (milliOf(emb), (id * IvfHashMult) ^ Long.MinValue) }
+      .toDF("m", "h")
+      .orderBy($"h").limit(PqK)
+      .as[(Array[Long], Long)]
+      .collect().sortBy(_._2).map(_._1)
+    Array.tabulate(PqM)(j => seeds.map(_.slice(j * PqSubDim, (j + 1) * PqSubDim)))
+  }
+
+  /** The s08 oracle: same hash-sampled seeds as s03 give the codewords
+    * (row_number in hash order), list_slice cuts subvectors, the encode
+    * argmin and the ADC sum replay in exact BIGINT arithmetic (the
+    * |a-b|^2 = aa - 2ab + bb identity over integer-milli lists — every
+    * intermediate far below 2^53, so DOUBLE round-trips are exact). */
+  private def s08OracleSql: String = s"""
+        WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        mt AS (SELECT vec_id,
+                      list_transform(e, x -> CAST(floor(x * 1000) AS BIGINT)) AS m
+               FROM t),
+        seeds AS (
+          SELECT row_number() OVER (ORDER BY (CAST(vec_id AS HUGEINT) * $IvfHashMultUnsigned)
+                                             % 18446744073709551616) - 1 AS cw, m
+          FROM mt
+          ORDER BY (CAST(vec_id AS HUGEINT) * $IvfHashMultUnsigned) % 18446744073709551616
+          LIMIT $PqK),
+        sub AS (
+          SELECT cw, r.j AS j, list_slice(m, r.j * $PqSubDim + 1, (r.j + 1) * $PqSubDim) AS c
+          FROM seeds CROSS JOIN range(0, $PqM) r(j)),
+        vsub AS (
+          SELECT vec_id, r.j AS j, list_slice(m, r.j * $PqSubDim + 1, (r.j + 1) * $PqSubDim) AS v
+          FROM mt CROSS JOIN range(0, $PqM) r(j)),
+        enc AS (
+          SELECT vec_id, j, cw FROM (
+            SELECT v.vec_id, v.j, s.cw,
+                   row_number() OVER (PARTITION BY v.vec_id, v.j ORDER BY
+                     list_dot_product(v.v, v.v) - 2*list_dot_product(v.v, s.c)
+                       + list_dot_product(s.c, s.c), s.cw) AS rk
+            FROM vsub v JOIN sub s USING (j)) WHERE rk = 1),
+        lut AS (
+          SELECT q.vec_id AS query_id, q.j, s.cw,
+                 CAST(list_dot_product(q.v, q.v) - 2*list_dot_product(q.v, s.c)
+                      + list_dot_product(s.c, s.c) AS BIGINT) AS d2
+          FROM vsub q JOIN sub s USING (j)
+          WHERE q.vec_id < 5),
+        adc AS (
+          SELECT l.query_id, e.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+          FROM enc e JOIN lut l ON e.j = l.j AND e.cw = l.cw
+          WHERE e.vec_id != l.query_id
+          GROUP BY l.query_id, e.vec_id),
+        final AS (
+          SELECT query_id, vec_id, adc_d2,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_d2, vec_id) AS BIGINT) AS rank
+          FROM adc)
+        SELECT query_id, rank, vec_id, adc_d2
+        FROM final WHERE rank <= 10
+        ORDER BY query_id, rank"""
 
   /** The s07 MMR oracle: candidate generation + MmrK unrolled greedy
     * rounds. Scores are pure integers (7*rel - 3*max_sim), so every

@@ -170,4 +170,37 @@ class SimilaritySpec extends SparkSpec {
     assert(small.length === SimilarityQueries.IvfK)
     assert(big.length === SimilarityQueries.IvfK)
   }
+
+  test("PQ ADC recalls a meaningful fraction of brute-force neighbors") {
+    val bf = topk("s01_ann_bruteforce_topk")
+    val pq = topk("s08_ann_pq_adc")
+    pq.values.foreach(nbrs => assert(nbrs.map(_._1) === (1L to 10L)))
+    val recalls = bf.map { case (q, nbrs) =>
+      val bfSet = nbrs.map(_._2).toSet
+      val pqSet = pq.getOrElse(q, Seq.empty).map(_._2).toSet
+      pqSet.intersect(bfSet).size.toDouble / bfSet.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ ADC mean recall@10 = $mean%.2f")
+    // 4-bit codes (16 codewords/subspace) on weak-signal random fixture
+    // data: the approximation is coarse by design (0.28 measured at
+    // sf0.01); assert it beats the ~1.3% random-guess baseline widely
+    assert(mean >= 0.1, s"mean recall@10 = $mean")
+  }
+
+  test("PQ codebook shape is constant regardless of corpus size") {
+    import spark.implicits._
+    import graft.operators.SimilarityQueries
+    def corpus(n: Int) = spark.range(n).as[Long]
+      .map(i => (i, Array.tabulate(64)(j => ((i % 7) + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    // the compression contract: codes are PqM nibbles per vector and the
+    // codebook is PqM x PqK x PqSubDim integers at ANY corpus size
+    Seq(300, 3000).foreach { n =>
+      val cb = SimilarityQueries.pqCodebook(spark, corpus(n))
+      assert(cb.length === SimilarityQueries.PqM)
+      assert(cb.forall(_.length === SimilarityQueries.PqK))
+      assert(cb.forall(_.forall(_.length === SimilarityQueries.PqSubDim)))
+    }
+  }
 }

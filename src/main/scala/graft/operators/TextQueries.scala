@@ -797,5 +797,74 @@ object TextQueries {
                CAST(floor(sum(shared) * 1000.0 / sum(n_sh)) AS BIGINT) AS shared_milli
         FROM per_doc GROUP BY lang
         ORDER BY lang"""
-      }))
+      }),
+
+    // ----- bigram LM surprisal (t12's unigram model, one order up) ----------
+    // Conditional surprisal under a self-trained bigram model:
+    // bits(w2|w1) ~ log2(cf(w1·) / cf(w1 w2)), taken at integer-log2
+    // precision via the t12 bin-length trick (length(bin(x)) =
+    // floor(log2 x)+1, so the difference IS the integer log-ratio — no
+    // floats anywhere). The prefix count cf(w1·) sums bigram counts, so
+    // the model is properly normalized (sum_w2 P(w2|w1) = 1 at full
+    // precision). Pipeline shape: one corpus-scale pair explode feeding
+    // two map-side-combinable hash aggs (the bigram table and its prefix
+    // marginal), then a vocab-sized join back — the same narrow-join
+    // shape as t12, with the bigram table bounded by corpus token count.
+    // Per-doc conditional surprisal is THE repetition signal unigram
+    // models miss: a doc repeating one phrase has low bigram surprisal
+    // but normal unigram surprisal.
+    QueryDef(
+      "t15_bigram_surprisal",
+      (s, d) => {
+        import s.implicits._
+        val dt = Tables.documents(s, d)
+          .select($"doc_id", $"lang", TextFns.tokens($"text").as("t"))
+          .select($"doc_id", $"lang", explode(expr(
+            "transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("p"))
+          .select($"doc_id", $"lang", $"p.w1", $"p.w2")
+          .groupBy($"doc_id", $"lang", $"w1", $"w2").agg(count(lit(1)).as("tf"))
+        val big = dt.groupBy($"w1", $"w2").agg(sum($"tf").as("cf2"))
+        val pre = big.groupBy($"w1").agg(sum($"cf2").as("cf1"))
+        dt.join(big, Seq("w1", "w2")).join(pre, Seq("w1"))
+          .select($"doc_id", $"lang", $"tf",
+            ($"tf" * (length(bin($"cf1")) - length(bin($"cf2"))).cast("long")).as("sbits"),
+            ($"tf" * ($"cf2" === 1L).cast("long")).as("hap"))
+          .groupBy($"doc_id", $"lang")
+          .agg(sum($"tf").as("n_bi"), sum($"sbits").as("bits"), sum($"hap").as("haps"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_bi").as("total_bigrams"),
+            sum($"bits").as("total_surprisal_bits"),
+            floor(sum($"bits") * lit(1000.0) / sum($"n_bi")).cast("long").as("avg_bits_milli"),
+            sum($"haps").as("hapax_bigrams"))
+          .orderBy($"lang")
+      },
+      oracle = Some("""
+        WITH lst AS (
+          SELECT doc_id, lang,
+                 string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        pairs AS (
+          SELECT doc_id, lang,
+                 unnest(list_slice(t, 1, len(t)-1)) AS w1,
+                 unnest(list_slice(t, 2, len(t))) AS w2
+          FROM lst),
+        dt AS (SELECT doc_id, lang, w1, w2, count(*) AS tf
+               FROM pairs GROUP BY doc_id, lang, w1, w2),
+        big AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cf2 FROM dt GROUP BY w1, w2),
+        pre AS (SELECT w1, CAST(sum(cf2) AS BIGINT) AS cf1 FROM big GROUP BY w1),
+        per_doc AS (
+          SELECT doc_id, lang,
+                 CAST(sum(tf) AS BIGINT) AS n_bi,
+                 CAST(sum(tf * (length(bin(cf1)) - length(bin(cf2)))) AS BIGINT) AS bits,
+                 CAST(sum(CASE WHEN cf2 = 1 THEN tf ELSE 0 END) AS BIGINT) AS haps
+          FROM dt JOIN big USING (w1, w2) JOIN pre USING (w1)
+          GROUP BY doc_id, lang)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_bi) AS BIGINT) AS total_bigrams,
+               CAST(sum(bits) AS BIGINT) AS total_surprisal_bits,
+               CAST(floor(sum(bits) * 1000.0 / sum(n_bi)) AS BIGINT) AS avg_bits_milli,
+               CAST(sum(haps) AS BIGINT) AS hapax_bigrams
+        FROM per_doc GROUP BY lang
+        ORDER BY lang""")))
 }

@@ -138,6 +138,32 @@ class TextSpec extends SparkSpec {
     assert(t12.map(r => r._1 -> r._2).toMap === t03)
   }
 
+  test("t15: bigram totals cohere with t12 and bits respect integer-log2 bounds") {
+    val t15 = SparkEntry.queries("t15_bigram_surprisal")(spark, sf)
+      .select($"lang", $"n_docs", $"total_bigrams", $"total_surprisal_bits",
+        $"hapax_bigrams", $"avg_bits_milli")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(t15.nonEmpty)
+    val corpusTotal = t15.map(_._3).sum
+    val maxBits = 63 - java.lang.Long.numberOfLeadingZeros(corpusTotal)
+    t15.foreach { case (lang, nd, n, bits, hap, avg) =>
+      assert(hap <= n, s"$lang hapax $hap > $n")
+      assert(bits >= 0L && bits <= n * maxBits, s"$lang bits $bits outside [0, ${n * maxBits}]")
+      assert(avg === math.floor(bits * 1000.0 / n).toLong, s"$lang avg bits")
+    }
+    // every doc contributes len(tokens)-1 adjacent pairs, so per lang:
+    // total_bigrams = t12.total_tokens - n_docs (all fixture docs have >= 2
+    // tokens, so no doc drops out of the pair explode)
+    val t12 = SparkEntry.queries("t12_unigram_surprisal")(spark, sf)
+      .select($"lang", $"n_docs", $"total_tokens").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    t15.foreach { case (lang, nd, n, _, _, _) =>
+      val (docs12, toks12) = t12(lang)
+      assert(nd === docs12, s"$lang doc count")
+      assert(n === toks12 - docs12, s"$lang bigram total vs token total")
+    }
+  }
+
   test("t13: BPE merge fold is greedy, boundary-safe, and merge counts are monotone") {
     import graft.operators.TextQueries.applyBpeMerge
     // greedy left-to-right, non-overlapping

@@ -629,7 +629,53 @@ object DedupQueries {
                CAST(sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         FROM labels GROUP BY lang
         ORDER BY lang"""),
-      benchmark = false))
+      benchmark = false),
+
+    // ----- incremental dedup: new batch vs history --------------------------
+    // The daily-ingest shape batch d03 can't express: dedupe TODAY's crawl
+    // against the full historical corpus WITHOUT re-mining history against
+    // itself. Only the new slice's band rows drive the join's left side;
+    // history contributes lookups in matching (band, bucket) keys only, so
+    // the per-ingest cost is O(|new| * bucket occupancy) — history-squared
+    // never appears. (In production the history band table is a persisted
+    // index the ingest job reads; here both sides derive from the same
+    // fixture with a deterministic doc_id slice standing in for "today".)
+    // Pair contract is d03's: candidates from shared bands, verified with
+    // exact jaccard >= 800 — so the result is exactly the d03 pair set
+    // restricted to pairs touching the new slice, which is also what the
+    // oracle computes from the quadratic exact-jaccard CTE.
+    QueryDef(
+      "d11_dedup_incremental",
+      (s, d) => incrementalNearDupPairs(
+        s, Tables.documents(s, d), pmod(col("doc_id"), lit(10)) === 7),
+      oracle = Some(s"""
+        WITH pairs AS (${PairSqlNoOrder})
+        SELECT doc_a, doc_b, j_milli FROM pairs
+        WHERE doc_a % 10 = 7 OR doc_b % 10 = 7
+        ORDER BY doc_a, doc_b""")))
+
+  /** Incremental near-dup mining: all near-dup pairs touching the docs
+    * selected by `isNew` (a predicate over doc_id) — new-vs-history plus
+    * new-vs-new, never history-vs-history. See the d11 QueryDef scaladoc
+    * for the scale contract. */
+  def incrementalNearDupPairs(s: SparkSession, docs: DataFrame, isNew: org.apache.spark.sql.Column): DataFrame = {
+    import s.implicits._
+    val sh = cached(shinglesOf(s, docs.select($"doc_id", $"text")))
+    val bands = cached(bandRowsTyped(s, sh))
+    val cand = bands.filter(isNew)
+      .select($"band", $"bh", $"doc_id".as("id_n"))
+      .join(bands.select($"band", $"bh", $"doc_id".as("id_o")), Seq("band", "bh"))
+      .filter($"id_n" =!= $"id_o")
+      .select(least($"id_n", $"id_o").as("doc_a"),
+        greatest($"id_n", $"id_o").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
+      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b", TextFns.jaccardMilli($"sh_a", $"sh_b").as("j_milli"))
+      .filter($"j_milli" >= 800)
+      .orderBy($"doc_a", $"doc_b")
+  }
 
   /** JVM per-table sign-LSH bucket kernel — shared by batch d06 and the
     * streaming twin so both compute identical buckets. */

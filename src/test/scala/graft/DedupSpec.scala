@@ -121,4 +121,21 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) === sigs(2L))
     assert(sigs(1L)._1 !== sigs(3L)._1)
   }
+
+  test("incremental dedup equals the full pair set restricted to the new slice") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val full = DedupQueries.minhashNearDupPairs(spark, docs)
+      .select($"doc_a", $"doc_b", $"j_milli")
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = full.filter(p => p._1 % 10 == 7 || p._2 % 10 == 7)
+    val inc = DedupQueries.incrementalNearDupPairs(
+        spark, docs, pmod($"doc_id", lit(10)) === 7)
+      .as[(Long, Long, Long)].collect().toSet
+    // the asymmetric band join must find EXACTLY the touching-new pairs —
+    // no history-vs-history leakage, no lost new pairs
+    assert(inc === expected)
+    assert(inc.nonEmpty)
+  }
 }

@@ -45,6 +45,13 @@ object Bench {
       .filter(q => q.benchmark && only.forall(_.contains(q.name)))
       .map { q =>
         runOnce(q)                    // codegen-compile + JIT warmup, untimed
+        // Drain the ContextCleaner between queries: broadcast/shuffle/cache
+        // blocks are only reclaimed when their weak refs are collected, so a
+        // long suite accumulates block-manager backlog that inflates later
+        // cache-heavy queries severalfold (measured: full-suite d03 2.6 s vs
+        // 1.1 s isolated). Production drivers do the same via
+        // spark.cleaner.periodicGC.interval; untimed here.
+        System.gc()
         val timed = Seq.fill(2) {
           spark.catalog.clearCache()  // drop persisted intermediates: time the plan
           runOnce(q)

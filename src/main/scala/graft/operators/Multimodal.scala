@@ -162,5 +162,47 @@ object Multimodal {
                  list_filter(generate_series(0, nf - 1), i -> i % 2 = 0),
                  i -> least(1024, n - 1024 * i))) AS BIGINT) AS sampled_bytes
         FROM d
-        ORDER BY asset_id""")))
+        ORDER BY asset_id""")),
+
+    // ----- content-hash media dedup + storage-reclaim report ----------------
+    // The image/audio dedup baseline: assets are duplicates iff their
+    // payload BYTES hash equal (codec-independent, so it needs no decode —
+    // the one dedup signal that works on any modality unchanged). One
+    // map-side-combinable hash agg per (type, checksum) group, then a
+    // per-type rollup: asset/unique/duplicate counts and the bytes a
+    // keep-canonical pass (min asset_id per group, d07's policy) would
+    // reclaim. Same-bytes assets under different media types count per
+    // type — cross-type collisions are distinct assets by contract.
+    QueryDef(
+      "m04_media_dedup",
+      (s, d) => {
+        import s.implicits._
+        // group on the 16-byte checksum, never the payload — only hashes
+        // cross the shuffle wire (at 100 TB the payloads are the data)
+        assets(s, d).toDF()
+          .select($"media_type", md5($"payload").as("checksum"), $"n_bytes")
+          .groupBy($"media_type", $"checksum", $"n_bytes")
+          .agg(count(lit(1)).as("mult"))
+          .groupBy($"media_type")
+          .agg(sum($"mult").as("n_assets"),
+            count(lit(1)).as("n_unique"),
+            (sum($"mult") - count(lit(1))).as("dup_assets"),
+            sum(($"mult" - 1) * $"n_bytes").as("wasted_bytes"))
+          .orderBy($"media_type")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id AS asset_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+                 md5(text) AS checksum,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+          FROM documents),
+        g AS (SELECT media_type, checksum, n_bytes, count(*) AS mult
+              FROM a GROUP BY media_type, checksum, n_bytes)
+        SELECT media_type,
+               CAST(sum(mult) AS BIGINT) AS n_assets,
+               count(*) AS n_unique,
+               CAST(sum(mult) - count(*) AS BIGINT) AS dup_assets,
+               CAST(sum((mult - 1) * n_bytes) AS BIGINT) AS wasted_bytes
+        FROM g GROUP BY media_type ORDER BY media_type""")))
 }

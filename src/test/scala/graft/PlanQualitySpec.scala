@@ -94,4 +94,50 @@ class PlanQualitySpec extends SparkSpec {
       p.contains("SortMergeJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), s"candidate selection fell back to a scan: $p")
   }
+
+  test("q41: moment sums aggregate with a map-side partial phase, no join") {
+    // five exact BIGINT sums in ONE hash agg pass — a plan that computed
+    // each moment in its own aggregation (or joined them back) would scan
+    // the fact table repeatedly
+    val p = plan("q41_corr_covar_from_int_sums")
+    assert(p.contains("partial_"), s"no partial aggregation: $p")
+    assert(!p.contains("Join"), s"moments must not need a join: $p")
+  }
+
+  test("q42: RANGE window shuffles once on the partition key") {
+    val p = plan("q42_range_frame_trailing_window")
+    assert(p.contains("Window"), p)
+    // one exchange for the window partitioning, one for the output sort —
+    // a third would mean the frame recomputed the partitioning
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"$exchanges exchanges: $p")
+  }
+
+  test("q43: sketch rollup merges partial sketch state (object hash agg)") {
+    // hll_sketch_agg/hll_union_agg carry binary sketch buffers — they must
+    // plan as ObjectHashAggregate with a partial phase, i.e. sketch state
+    // merges upward instead of re-scanning customers at the region level
+    val p = plan("q43_sketch_partial_merge")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_"), s"no partial sketch phase: $p")
+  }
+
+  test("s08: ADC scan never joins or shuffles the corpus before scoring") {
+    // the PQ contract: scoring is a mapPartitions over the code table with
+    // a broadcast LUT; the only shuffle is the final per-query top-k window
+    val p = plan("s08_ann_pq_adc")
+    assert(!p.contains("Join"), s"ADC scoring must be join-free: $p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("m04: media dedup groups by checksum, payload never reaches the shuffle") {
+    val p = plan("m04_media_dedup")
+    assert(p.contains("partial_"), s"no map-side combine: $p")
+    // the payload column must be projected away before the exchange
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(exchangeIdx >= 0, p)
+    assert(!p.substring(0, exchangeIdx).contains("payload#") ||
+      p.indexOf("md5") < exchangeIdx,
+      s"payload bytes must be hashed before the shuffle: $p")
+  }
 }

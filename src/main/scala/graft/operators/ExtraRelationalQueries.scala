@@ -442,5 +442,116 @@ object ExtraRelationalQueries {
         SELECT r_name, count(*) AS exact_customers, TRUE AS merged_within_5pct
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
-        GROUP BY r_name ORDER BY r_name""")))
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // ----- time-series gap fill + forward fill -------------------------------
+    // The resample shape every metrics/feature pipeline needs: a dense date
+    // spine (priority x month-offset, generated — never scanned), left-join
+    // the sparse observed aggregate onto it, zero-fill the additive column
+    // and FORWARD-fill the state-like one with last(ignoreNulls) over a
+    // key-partitioned ordered window. Spine generation is explode(sequence)
+    // on a tiny dimension — at 100 TB the spine is still keys x months,
+    // never data-sized; the fill is one shuffle on the spine key. Month
+    // keys stay integer offsets ((year-1992)*12 + month-1) so both engines
+    // compute the join key with integer arithmetic only.
+    QueryDef(
+      "q44_gapfill_forward_fill",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d)
+        val base = o.filter($"o_totalprice" >= 350000)
+          .groupBy($"o_orderpriority".as("pri"),
+            ((year($"o_orderdate") - 1992) * 12 + month($"o_orderdate") - 1)
+              .cast("long").as("m"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(floor($"o_totalprice" * 100)).cast("long").as("cents"))
+        val spine = o.select($"o_orderpriority".as("pri")).distinct()
+          .select($"pri", explode(sequence(lit(0L), lit(79L))).as("m"))
+        val w = Window.partitionBy($"pri").orderBy($"m")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(base, Seq("pri", "m"), "left")
+          .select($"pri", $"m",
+            coalesce($"n_orders", lit(0L)).as("n_orders"),
+            coalesce(last($"cents", ignoreNulls = true).over(w), lit(0L))
+              .as("filled_cents"))
+          .orderBy($"pri", $"m")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT o_orderpriority AS pri,
+                 (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS m,
+                 count(*) AS n_orders,
+                 CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS cents
+          FROM orders WHERE o_totalprice >= 350000 GROUP BY 1, 2),
+        spine AS (
+          SELECT pri, g.m FROM (SELECT DISTINCT o_orderpriority AS pri FROM orders)
+          CROSS JOIN (SELECT unnest(generate_series(0, 79)) AS m) g),
+        j AS (
+          SELECT s.pri, s.m, coalesce(b.n_orders, 0) AS n_orders, b.cents
+          FROM spine s LEFT JOIN base b ON s.pri = b.pri AND s.m = b.m)
+        SELECT pri, m, CAST(n_orders AS BIGINT) AS n_orders,
+               CAST(coalesce(last_value(cents IGNORE NULLS) OVER (
+                 PARTITION BY pri ORDER BY m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS filled_cents
+        FROM j ORDER BY pri, m""")),
+
+    // ----- mode + exact discrete percentiles ---------------------------------
+    // Order statistics that return ACTUAL data values (mode; percentile_disc
+    // p25/p50/p75), with every tie broken by an explicit total order so both
+    // engines agree bit for bit: mode = argmax (count desc, value asc) via
+    // row_number; percentile_disc = min value whose cumulative fraction
+    // cum/n >= p (the ANSI cume_dist definition spelled out, identical SQL
+    // on both sides rather than trusting two engines' built-in tie rules).
+    // Scale shape = q22's: NEVER window over raw rows (one task would sort
+    // a whole group) — reduce to a value histogram first (parallel hash
+    // agg; bounded by the VALUE DOMAIN, not the row count) and window over
+    // that. cum/n is one double division of exact integers — parallel-safe.
+    QueryDef(
+      "q45_mode_percentile_disc",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val hist = li.groupBy($"l_linestatus".as("st"),
+            floor($"l_extendedprice" * 100).cast("long").as("c"))
+          .agg(count(lit(1)).as("hn"))
+        val wc = Window.partitionBy($"st").orderBy($"c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cd = hist
+          .withColumn("cum", sum($"hn").over(wc))
+          .withColumn("n", sum($"hn").over(Window.partitionBy($"st")))
+          .withColumn("d", $"cum" / $"n")
+        val pct = cd.groupBy($"st").agg(
+          min(when($"d" >= 0.25, $"c")).as("p25_c"),
+          min(when($"d" >= 0.5, $"c")).as("p50_c"),
+          min(when($"d" >= 0.75, $"c")).as("p75_c"))
+        val qc = li.groupBy($"l_linestatus".as("st"),
+            floor($"l_quantity").cast("long").as("q"))
+          .agg(count(lit(1)).as("n"))
+        val md = qc.withColumn("rk",
+            row_number().over(Window.partitionBy($"st").orderBy($"n".desc, $"q")))
+          .filter($"rk" === 1).select($"st", $"q".as("mode_qty"))
+        pct.join(md, Seq("st"))
+          .select($"st".as("l_linestatus"), $"mode_qty", $"p25_c", $"p50_c", $"p75_c")
+          .orderBy($"l_linestatus")
+      },
+      oracle = Some("""
+        WITH hist AS (SELECT l_linestatus AS st, CAST(floor(l_extendedprice * 100) AS BIGINT) AS c,
+                             count(*) AS hn
+                      FROM lineitem GROUP BY 1, 2),
+        cd AS (SELECT st, c,
+                      CAST(sum(hn) OVER (PARTITION BY st ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                      / CAST(sum(hn) OVER (PARTITION BY st) AS BIGINT) AS d
+               FROM hist),
+        pct AS (SELECT st, min(CASE WHEN d >= 0.25 THEN c END) AS p25_c,
+                       min(CASE WHEN d >= 0.5 THEN c END) AS p50_c,
+                       min(CASE WHEN d >= 0.75 THEN c END) AS p75_c
+                FROM cd GROUP BY st),
+        qc AS (SELECT l_linestatus AS st, CAST(floor(l_quantity) AS BIGINT) AS q, count(*) AS n
+               FROM lineitem GROUP BY 1, 2),
+        md AS (SELECT st, q AS mode_qty FROM (
+                 SELECT st, q, row_number() OVER (PARTITION BY st ORDER BY n DESC, q) AS rk FROM qc)
+               WHERE rk = 1)
+        SELECT st AS l_linestatus, mode_qty, p25_c, p50_c, p75_c
+        FROM pct JOIN md USING (st) ORDER BY l_linestatus""")))
 }

@@ -130,6 +130,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("q45: percentiles window over the value histogram, never raw rows") {
+    // unlike q22's single-branch plan, q45 joins two branches — so walk the
+    // tree: EVERY Window node must have an Aggregate strictly below it
+    // (the histogram) before any relation scan
+    val plan = SparkEntry.queries("q45_mode_percentile_disc")(spark, sf)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => WindowNode}
+    val windows = plan.collect { case w: WindowNode => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"window over raw rows (no aggregate below it): $w")
+    }
+  }
+
   test("m04: media dedup groups by checksum, payload never reaches the shuffle") {
     val p = plan("m04_media_dedup")
     assert(p.contains("partial_"), s"no map-side combine: $p")

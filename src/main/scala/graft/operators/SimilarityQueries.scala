@@ -699,7 +699,81 @@ object SimilarityQueries {
           .select($"query_id", $"rank", $"vec_id", $"adc_d2")
           .orderBy($"query_id", $"rank")
       },
-      oracle = Some(s08OracleSql)))
+      oracle = Some(s08OracleSql)),
+
+    // ----- kNN graph over the whole corpus (graph-clustering input) ---------
+    // Every node's top-5 neighbors — the all-nodes generalization of the
+    // fixed-query ANN ops, and the input structure semantic clustering /
+    // graph-based dedup builds on. Candidates come from d06's banded
+    // sign-LSH buckets (shared kernels => identical geometry), so the
+    // self-join is an equi-join on (table, bucket): per-node work is
+    // bounded by bucket occupancy (the K ~ 2*log2(n) tuning contract),
+    // never the corpus — the difference between O(n * occupancy) and the
+    // O(n^2) brute-force graph at 100 TB. Exact integer-milli cosine
+    // scoring, rank ties to the lower neighbor id.
+    QueryDef(
+      "s09_knn_graph",
+      (s, d) => {
+        import s.implicits._
+        val tables = DedupQueries.lshTableCount
+        val ppt = DedupQueries.lshPlanesPerTableCount
+        val planes = VectorFns.hyperplanes(tables * ppt, DedupQueries.embDim)
+        val vecs = Tables.embeddings(s, d).select($"vec_id", $"embedding").cache()
+        val buckets = vecs.as[(Long, Array[Float])]
+          .flatMap { case (id, emb) =>
+            val bks = DedupQueries.lshBucketsOf(emb, tables, ppt, planes)
+            (0 until tables).iterator.map(t => (id, t, bks(t)))
+          }.toDF("vec_id", "tbl", "bucket").cache()
+        val cand = buckets.select($"tbl", $"bucket", $"vec_id".as("src"))
+          .join(buckets.select($"tbl", $"bucket", $"vec_id".as("nbr")), Seq("tbl", "bucket"))
+          .filter($"src" =!= $"nbr")
+          .select($"src", $"nbr").distinct()
+        val w = Window.partitionBy($"src").orderBy($"cos_milli".desc, $"nbr")
+        cand
+          .join(vecs.select($"vec_id".as("src"), $"embedding".as("es")), Seq("src"))
+          .join(vecs.select($"vec_id".as("nbr"), $"embedding".as("en")), Seq("nbr"))
+          .select($"src", $"nbr", $"es", $"en")
+          .as[(Long, Long, Array[Float], Array[Float])]
+          .map { case (a, b, ea, eb) => (a, b, DedupQueries.cosMilliOf(ea, eb)) }
+          .toDF("src", "nbr", "cos_milli")
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 5)
+          .select($"src".as("vec_id"), $"rank", $"nbr".as("nbr_id"), $"cos_milli")
+          .orderBy($"vec_id", $"rank")
+      },
+      oracle = Some(s09OracleSql)))
+
+  /** The s09 oracle: d06's literal-plane bucket columns (same fixed-seed
+    * hyperplanes as the Spark kernel), symmetric shared-bucket join,
+    * exact-cosine rank — the established bucketed-candidate replay. */
+  private def s09OracleSql: String = {
+    val tables = DedupQueries.lshTableCount
+    val ppt = DedupQueries.lshPlanesPerTableCount
+    val planes = VectorFns.hyperplanes(tables * ppt, DedupQueries.embDim)
+    def bucket(t: Int): String = (0 until ppt).map { k =>
+      s"(CASE WHEN list_dot_product(e, ${planeLit(planes(t * ppt + k))}) >= 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+    val bcols = (0 until tables).map(t => s"(${bucket(t)}) AS b$t").mkString(",\n               ")
+    val cond = (0 until tables).map(t => s"a.b$t = b.b$t").mkString(" OR ")
+    s"""
+        WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        bk AS (SELECT vec_id, e,
+               $bcols
+               FROM t),
+        cand AS (
+          SELECT a.vec_id AS src, b.vec_id AS nbr,
+                 CAST(floor(list_dot_product(a.e, b.e) * 1000.0 /
+                   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) AS cos_milli
+          FROM bk a JOIN bk b ON a.vec_id != b.vec_id AND ($cond)),
+        rk AS (
+          SELECT src, nbr, cos_milli,
+                 CAST(row_number() OVER (PARTITION BY src
+                   ORDER BY cos_milli DESC, nbr) AS BIGINT) AS rank
+          FROM cand)
+        SELECT src AS vec_id, rank, nbr AS nbr_id, cos_milli
+        FROM rk WHERE rank <= 5
+        ORDER BY vec_id, rank"""
+  }
 
   // ----- PQ helpers ---------------------------------------------------------
 

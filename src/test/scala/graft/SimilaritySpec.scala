@@ -188,6 +188,22 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.1, s"mean recall@10 = $mean")
   }
 
+  test("kNN graph ranks are dense, self-free, and duplicate-free per node") {
+    import org.apache.spark.sql.Row
+    val g = SparkEntry.queries("s09_knn_graph")(spark, sf)
+      .select("vec_id", "rank", "nbr_id").collect()
+      .map { case Row(v: Long, r: Long, n: Long) => (v, r, n) }
+      .groupBy(_._1)
+    assert(g.nonEmpty)
+    g.foreach { case (v, edges) =>
+      val ranks = edges.map(_._2).sorted.toSeq
+      assert(ranks === (1L to ranks.length), s"node $v ranks not dense: $ranks")
+      assert(ranks.length <= 5)
+      assert(edges.forall(_._3 != v), s"node $v lists itself")
+      assert(edges.map(_._3).distinct.length === edges.length, s"node $v duplicate edges")
+    }
+  }
+
   test("PQ codebook shape is constant regardless of corpus size") {
     import spark.implicits._
     import graft.operators.SimilarityQueries

@@ -25,6 +25,38 @@ object ExtraRelationalQueries {
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** One SQL text executed verbatim by BOTH engines (q46): correlated
+    * EXISTS — TPC-H Q4's shape on this schema. Catalyst must DECORRELATE
+    * the per-row subquery into one left-semi join on the order key (gated
+    * in PlanQualitySpec); an engine that executed the subquery per row
+    * would rescan lineitem |orders| times. */
+  private val SqlExistsQ4 = """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""
+
+  /** One SQL text executed verbatim by BOTH engines (q47): correlated
+    * SCALAR subquery with an aggregate — TPC-H Q17's shape. Decorrelates
+    * to one grouped aggregate on l_partkey joined back to the fact scan.
+    * Deterministic across engines because per-part quantity sums are
+    * exact integers in double (values <= 50, far below 2^53), so the avg
+    * and the 0.5*avg threshold are bit-identical however the sum is
+    * parallelized. */
+  private val SqlScalarQ17 = """
+        SELECT l_returnflag, count(*) AS n_small,
+               CAST(sum(floor(l_extendedprice * 100)) AS BIGINT) AS small_rev_c
+        FROM lineitem l1
+        WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""
+
   /** One SQL text executed verbatim by BOTH engines (q38). */
   private val SqlApiQ3 = """
         SELECT l_orderkey,
@@ -461,7 +493,7 @@ object ExtraRelationalQueries {
         val o = Tables.orders(s, d)
         val base = o.filter($"o_totalprice" >= 350000)
           .groupBy($"o_orderpriority".as("pri"),
-            ((year($"o_orderdate") - 1992) * 12 + month($"o_orderdate") - 1)
+            ((year($"o_orderdate") - 1995) * 12 + month($"o_orderdate") - 1)
               .cast("long").as("m"))
           .agg(count(lit(1)).as("n_orders"),
             sum(floor($"o_totalprice" * 100)).cast("long").as("cents"))
@@ -479,7 +511,7 @@ object ExtraRelationalQueries {
       oracle = Some("""
         WITH base AS (
           SELECT o_orderpriority AS pri,
-                 (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS m,
+                 (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS m,
                  count(*) AS n_orders,
                  CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS cents
           FROM orders WHERE o_totalprice >= 350000 GROUP BY 1, 2),
@@ -553,5 +585,24 @@ object ExtraRelationalQueries {
                  SELECT st, q, row_number() OVER (PARTITION BY st ORDER BY n DESC, q) AS rk FROM qc)
                WHERE rk = 1)
         SELECT st AS l_linestatus, mode_qty, p25_c, p50_c, p75_c
-        FROM pct JOIN md USING (st) ORDER BY l_linestatus""")))
+        FROM pct JOIN md USING (st) ORDER BY l_linestatus""")),
+
+    // ----- correlated EXISTS subquery (decorrelation) ------------------------
+    QueryDef(
+      "q46_exists_subquery",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(SqlExistsQ4)
+      },
+      oracle = Some(SqlExistsQ4)),
+
+    // ----- correlated scalar-aggregate subquery (decorrelation) -------------
+    QueryDef(
+      "q47_scalar_subquery",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(SqlScalarQ17)
+      },
+      oracle = Some(SqlScalarQ17)))
 }

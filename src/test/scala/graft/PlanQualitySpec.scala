@@ -145,6 +145,20 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q46: correlated EXISTS decorrelates to one semi join, no per-row subquery") {
+    val p = plan("q46_exists_subquery")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join: $p")
+    assert(!p.contains("Subquery"), s"subquery must be decorrelated away: $p")
+  }
+
+  test("q47: correlated scalar aggregate decorrelates to a grouped join") {
+    val p = plan("q47_scalar_subquery")
+    // the per-part average must be ONE aggregate joined back, not a
+    // re-scan of lineitem per outer row
+    assert(p.contains("partial_avg") || p.contains("avg("), s"no decorrelated aggregate: $p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("m04: media dedup groups by checksum, payload never reaches the shuffle") {
     val p = plan("m04_media_dedup")
     assert(p.contains("partial_"), s"no map-side combine: $p")

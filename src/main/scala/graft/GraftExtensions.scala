@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Config-driven session integration: build sessions with
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`) and graft's SQL functions
+  * are injected at session construction — the standard library entry point
+  * when the application controls the builder. For sessions that arrive
+  * pre-built (this repo's driver contract), the runtime equivalent is
+  * [[org.apache.spark.sql.graft.Bridge.registerCosineMilli]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("cosine_milli"),
+      new ExpressionInfo("graft.functions.CosineMilliExpr", "cosine_milli"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.CosineMilliExpr(exprs(0), exprs(1))))
+}

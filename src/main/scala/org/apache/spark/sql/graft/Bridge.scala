@@ -26,4 +26,12 @@ object Bridge {
       FunctionIdentifier("cosine_milli"),
       new ExpressionInfo("graft.functions.CosineMilliExpr", "cosine_milli"),
       (exprs: Seq[Expression]) => graft.functions.CosineMilliExpr(exprs(0), exprs(1)))
+
+  /** Test hook: the injected-function names an extensions object would
+    * contribute to a new session (registerFunctions is private[sql]). */
+  def injectedFunctionNames(ext: org.apache.spark.sql.SparkSessionExtensions): Seq[String] = {
+    val reg = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
+    ext.registerFunctions(reg)
+    reg.listFunction().map(_.funcName)
+  }
 }

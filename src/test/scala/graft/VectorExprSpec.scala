@@ -45,6 +45,15 @@ class VectorExprSpec extends SparkSpec {
     assert(rows.forall(_ === 1000L), rows.toSeq) // cos(v, v) = 1.000
   }
 
+  test("GraftExtensions injects cosine_milli at session build time") {
+    // sessions here arrive pre-built, so apply the extensions object to a
+    // fresh SparkSessionExtensions and check what a new session would get
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val names = org.apache.spark.sql.graft.Bridge.injectedFunctionNames(ext)
+    assert(names.contains("cosine_milli"), names.filterNot(_.head.isLetter))
+  }
+
   test("fused cosine participates in whole-stage codegen") {
     val e = Tables.embeddings(spark, sf).limit(10)
     val b = e.select($"vec_id".as("vb"), $"embedding".as("eb"))

@@ -713,35 +713,43 @@ object SimilarityQueries {
     // scoring, rank ties to the lower neighbor id.
     QueryDef(
       "s09_knn_graph",
-      (s, d) => {
-        import s.implicits._
-        val tables = DedupQueries.lshTableCount
-        val ppt = DedupQueries.lshPlanesPerTableCount
-        val planes = VectorFns.hyperplanes(tables * ppt, DedupQueries.embDim)
-        val vecs = Tables.embeddings(s, d).select($"vec_id", $"embedding").cache()
-        val buckets = vecs.as[(Long, Array[Float])]
-          .flatMap { case (id, emb) =>
-            val bks = DedupQueries.lshBucketsOf(emb, tables, ppt, planes)
-            (0 until tables).iterator.map(t => (id, t, bks(t)))
-          }.toDF("vec_id", "tbl", "bucket").cache()
-        val cand = buckets.select($"tbl", $"bucket", $"vec_id".as("src"))
-          .join(buckets.select($"tbl", $"bucket", $"vec_id".as("nbr")), Seq("tbl", "bucket"))
-          .filter($"src" =!= $"nbr")
-          .select($"src", $"nbr").distinct()
-        val w = Window.partitionBy($"src").orderBy($"cos_milli".desc, $"nbr")
-        cand
-          .join(vecs.select($"vec_id".as("src"), $"embedding".as("es")), Seq("src"))
-          .join(vecs.select($"vec_id".as("nbr"), $"embedding".as("en")), Seq("nbr"))
-          .select($"src", $"nbr", $"es", $"en")
-          .as[(Long, Long, Array[Float], Array[Float])]
-          .map { case (a, b, ea, eb) => (a, b, DedupQueries.cosMilliOf(ea, eb)) }
-          .toDF("src", "nbr", "cos_milli")
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter($"rank" <= 5)
-          .select($"src".as("vec_id"), $"rank", $"nbr".as("nbr_id"), $"cos_milli")
-          .orderBy($"vec_id", $"rank")
-      },
+      (s, d) => knnGraph(s, Tables.embeddings(s, d)),
       oracle = Some(s09OracleSql)))
+
+  /** The s09 pipeline over an arbitrary (vec_id, embedding) table. Bucket
+    * geometry defaults to d06's fixture tuning; real corpora follow the
+    * same K ~ 2*log2(n) - 10 contract as [[DedupQueries.embeddingLshPairs]]
+    * (ScaleSpec drives this at K=14 over 2k/20k synthetic vectors). */
+  def knnGraph(s: SparkSession, embeddings: DataFrame,
+      tables: Int = DedupQueries.lshTableCount,
+      planesPerTable: Int = DedupQueries.lshPlanesPerTableCount,
+      dim: Int = DedupQueries.embDim,
+      k: Int = 5): DataFrame = {
+    import s.implicits._
+    val planes = VectorFns.hyperplanes(tables * planesPerTable, dim)
+    val vecs = embeddings.select($"vec_id", $"embedding").cache()
+    val buckets = vecs.as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        val bks = DedupQueries.lshBucketsOf(emb, tables, planesPerTable, planes)
+        (0 until tables).iterator.map(t => (id, t, bks(t)))
+      }.toDF("vec_id", "tbl", "bucket").cache()
+    val cand = buckets.select($"tbl", $"bucket", $"vec_id".as("src"))
+      .join(buckets.select($"tbl", $"bucket", $"vec_id".as("nbr")), Seq("tbl", "bucket"))
+      .filter($"src" =!= $"nbr")
+      .select($"src", $"nbr").distinct()
+    val w = Window.partitionBy($"src").orderBy($"cos_milli".desc, $"nbr")
+    cand
+      .join(vecs.select($"vec_id".as("src"), $"embedding".as("es")), Seq("src"))
+      .join(vecs.select($"vec_id".as("nbr"), $"embedding".as("en")), Seq("nbr"))
+      .select($"src", $"nbr", $"es", $"en")
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (a, b, ea, eb) => (a, b, DedupQueries.cosMilliOf(ea, eb)) }
+      .toDF("src", "nbr", "cos_milli")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"src".as("vec_id"), $"rank", $"nbr".as("nbr_id"), $"cos_milli")
+      .orderBy($"vec_id", $"rank")
+  }
 
   /** The s09 oracle: d06's literal-plane bucket columns (same fixed-seed
     * hyperplanes as the Spark kernel), symmetric shared-bucket join,

@@ -120,4 +120,13 @@ class ScaleSpec extends SparkSpec {
         tables = 12, planesPerTable = 14, minCosMilli = 850L).count(),
       vecCorpus(2000), vecCorpus(20000))
   }
+
+  test("s09 kNN graph: 10x corpus => ~10x runtime and edges") {
+    // same K ~ 2*log2(n) - 10 bucket contract as d06; edge count is capped
+    // at 5 per node, so it is exactly linear unless the bucket join floods
+    assertTrend("s09",
+      df => graft.operators.SimilarityQueries.knnGraph(spark, df,
+        tables = 12, planesPerTable = 14).count(),
+      vecCorpus(2000), vecCorpus(20000))
+  }
 }

@@ -121,6 +121,23 @@ class ScaleSpec extends SparkSpec {
       vecCorpus(2000), vecCorpus(20000))
   }
 
+  test("d08 cluster labels: 10x graph => ~10x runtime, linear cluster count") {
+    // chains of 8 consecutive ids (n divisible by 8): 10x nodes => 10x
+    // edges at CONSTANT diameter, so pointer-jumping round count stays
+    // fixed and per-round work must scale linearly; the metric is the
+    // number of distinct components (= n/8 by construction), which a
+    // mislabeling bug (or a flooded join) breaks before the clock does
+    def graph(n: Int): DataFrame = spark.range(n).toDF("doc_id")
+    def run(docs: DataFrame): Long = {
+      val ids = docs.select($"doc_id")
+      val edges = ids.filter($"doc_id" % 8 =!= 7)
+        .select($"doc_id".as("doc_a"), ($"doc_id" + 1).as("doc_b"))
+      DedupQueries.clusterLabels(docs, edges)
+        .select($"cluster_id").distinct().count()
+    }
+    assertTrend("d08", run, graph(40000), graph(400000))
+  }
+
   test("s09 kNN graph: 10x corpus => ~10x runtime and edges") {
     // same K ~ 2*log2(n) - 10 bucket contract as d06; edge count is capped
     // at 5 per node, so it is exactly linear unless the bucket join floods

@@ -534,28 +534,55 @@ object ExtraRelationalQueries {
     // row_number; percentile_disc = min value whose cumulative fraction
     // cum/n >= p (the ANSI cume_dist definition spelled out, identical SQL
     // on both sides rather than trusting two engines' built-in tie rules).
-    // Scale shape = q22's: NEVER window over raw rows (one task would sort
-    // a whole group) — reduce to a value histogram first (parallel hash
-    // agg; bounded by the VALUE DOMAIN, not the row count) and window over
-    // that. cum/n is one double division of exact integers — parallel-safe.
+    // Scale shape = q22's, upgraded for a near-continuous domain: NEVER
+    // window over raw rows (one task would sort a whole group), and don't
+    // window over a cents-level histogram either (the price domain is
+    // ~10M distinct cents — domain-bounded but a 3-partition sort tail).
+    // Two-level range-partition selection instead: a coarse histogram of
+    // 65536-cent buckets (parallel hash agg; <=~200 entries per group at
+    // ANY data size) locates the bucket holding each target rank, then a
+    // fine cents histogram restricted to those buckets (hash agg again;
+    // window input <= 65536 entries by construction) resolves the exact
+    // value. Every shuffle is a hash agg; both windows are constant-size.
     QueryDef(
       "q45_mode_percentile_disc",
       (s, d) => {
         import s.implicits._
         val li = Tables.lineitem(s, d)
-        val hist = li.groupBy($"l_linestatus".as("st"),
-            floor($"l_extendedprice" * 100).cast("long").as("c"))
+        val cents = floor($"l_extendedprice" * 100).cast("long")
+        val targets = Seq(0.25, 0.5, 0.75)
+        // pass 1: coarse bucket histogram -> the bucket containing each
+        // target rank, plus the cumulative count strictly before it
+        val coarse = li.groupBy($"l_linestatus".as("st"),
+            (cents / 65536L).cast("long").as("b"))
           .agg(count(lit(1)).as("hn"))
-        val wc = Window.partitionBy($"st").orderBy($"c")
+        val wb = Window.partitionBy($"st").orderBy($"b")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cd = hist
-          .withColumn("cum", sum($"hn").over(wc))
+        val cb = coarse
+          .withColumn("cum", sum($"hn").over(wb))
           .withColumn("n", sum($"hn").over(Window.partitionBy($"st")))
-          .withColumn("d", $"cum" / $"n")
-        val pct = cd.groupBy($"st").agg(
-          min(when($"d" >= 0.25, $"c")).as("p25_c"),
-          min(when($"d" >= 0.5, $"c")).as("p50_c"),
-          min(when($"d" >= 0.75, $"c")).as("p75_c"))
+        val picks = targets.map { p =>
+          // percentile_disc(p): min value whose cumulative fraction >= p
+          cb.filter($"cum" / $"n" >= p && ($"cum" - $"hn") / $"n" < p)
+            .select($"st", lit(p).as("p"), $"b", ($"cum" - $"hn").as("before"), $"n")
+        }.reduce(_ union _)
+        // pass 2: fine histogram ONLY inside the picked buckets (a few per
+        // group), then the same min-value-over-threshold selection
+        val fine = li
+          .select($"l_linestatus".as("st"), cents.as("c"), (cents / 65536L).cast("long").as("b"))
+          .join(broadcast(picks), Seq("st", "b"))
+          .groupBy($"st", $"p", $"before", $"n", $"c")
+          .agg(count(lit(1)).as("fn"))
+        val wf = Window.partitionBy($"st", $"p").orderBy($"c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val resolved = fine
+          .withColumn("cum", $"before" + sum($"fn").over(wf))
+          .filter($"cum" / $"n" >= $"p" && ($"cum" - $"fn") / $"n" < $"p")
+          .select($"st", $"p", $"c")
+        val pct = resolved.groupBy($"st").agg(
+          min(when($"p" === 0.25, $"c")).as("p25_c"),
+          min(when($"p" === 0.5, $"c")).as("p50_c"),
+          min(when($"p" === 0.75, $"c")).as("p75_c"))
         val qc = li.groupBy($"l_linestatus".as("st"),
             floor($"l_quantity").cast("long").as("q"))
           .agg(count(lit(1)).as("n"))

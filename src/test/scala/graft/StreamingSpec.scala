@@ -144,6 +144,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState FSM state survives a checkpointed restart") {
+    withRocksDb {
+      implicit val sq = spark.sqlContext
+      // kill the query mid-stream and restart from the checkpoint: per-key
+      // Mealy state must restore (a signup before the restart still arms
+      // purchases after it), and nothing already emitted may repeat —
+      // split-brain on restart is the classic production failure here
+      val ms = MemoryStream[(Long, Long, String, Double)]
+      val keyed = ms.toDS().map { case (u, id, t, v) => Keyed(u, id, (t, v, id)) }
+      val ckpt = java.nio.file.Files.createTempDirectory("fsm_ckpt").toString
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long, Long)]()
+      def start() = StreamFsm.fsmStreamTws(keyed, false) {
+        (st: Boolean, e: (String, Double, Long)) =>
+          e match {
+            case ("signup", _, _) => (!st, Nil)
+            case ("purchase", v, id) if st => (st, Seq((id, math.floor(v * 100).toLong)))
+            case _ => (st, Nil)
+          }
+      }.writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Keyed[(Long, Long)]], _: Long) =>
+          b.collect().foreach(k => assert(got.add((k.key, k.value._1, k.value._2)),
+            s"output re-emitted after restart: $k"))
+        }
+        .outputMode("append").start()
+      val evs = eventsTuples
+      val q1 = start()
+      try { ms.addData(evs.take(evs.size / 2)); q1.processAllAvailable() } finally q1.stop()
+      val q2 = start()
+      try { ms.addData(evs.drop(evs.size / 2)); q2.processAllAvailable() } finally q2.stop()
+      import scala.jdk.CollectionConverters._
+      val batch = SparkEntry.queries("r05_dsl_fsm_stateful")(spark, sf)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got.asScala.toSet === batch)
+      assert(got.size > 0)
+    }
+  }
+
   test("property: transformWithState FSM == interpreter on random Mealy machines") {
     withRocksDb {
       implicit val sq = spark.sqlContext

@@ -109,6 +109,32 @@ object SimilarityQueries {
       }.toDF("vec_id", "embedding", "cells")
   }
 
+  /** Parameterized IVF-flat search (the s03 pipeline as a library call):
+    * constant-size hash-sampled codebook (IvfK centroids whatever the
+    * corpus size), one narrow assignment pass over the corpus (O(N*k)),
+    * probe the queries' nprobe best cells, exact re-rank inside the
+    * probed cells. Corpus/queries are any frames with (vec_id,
+    * embedding); the broadcast is O(k), never corpus-sized. */
+  def ivfSearch(s: SparkSession, corpus: DataFrame, queries: DataFrame,
+      probes: Int = IvfProbes, topK: Int = 10): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(ivfCentroids(s, corpus))
+    val cells = assignCells(s, corpus, bc, 1)
+      .select($"vec_id", $"embedding", element_at($"cells", 1).as("cell"))
+    val probed = assignCells(s, queries, bc, probes)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"),
+        explode($"cells").as("cell"))
+    val wRank = Window.partitionBy($"query_id").orderBy($"cos_milli".desc, $"vec_id")
+    cells.join(broadcast(probed), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        VectorFns.cosineMilli($"q", $"embedding").as("cos_milli"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter($"rank" <= topK)
+      .select($"query_id", $"rank", $"vec_id", $"cos_milli")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** DuckDB literal for one hyperplane: Double.toString is shortest
     * round-trip, so the oracle parses back the identical IEEE doubles and
     * list_dot_product reproduces the JVM's sequential accumulation bit for
@@ -387,21 +413,7 @@ object SimilarityQueries {
       (s, d) => {
         import s.implicits._
         val e = Tables.embeddings(s, d)
-        val bc = s.sparkContext.broadcast(ivfCentroids(s, e))
-        val cells = assignCells(s, e, bc, 1)
-          .select($"vec_id", $"embedding", element_at($"cells", 1).as("cell"))
-        val probes = assignCells(s, e.filter($"vec_id" < 5), bc, IvfProbes)
-          .select($"vec_id".as("query_id"), $"embedding".as("q"),
-            explode($"cells").as("cell"))
-        val wRank = Window.partitionBy($"query_id").orderBy($"cos_milli".desc, $"vec_id")
-        cells.join(broadcast(probes), Seq("cell"))
-          .filter($"vec_id" =!= $"query_id")
-          .select($"query_id", $"vec_id",
-            VectorFns.cosineMilli($"q", $"embedding").as("cos_milli"))
-          .withColumn("rank", row_number().over(wRank).cast("long"))
-          .filter($"rank" <= 10)
-          .select($"query_id", $"rank", $"vec_id", $"cos_milli")
-          .orderBy($"query_id", $"rank")
+        ivfSearch(s, e, e.filter($"vec_id" < 5))
       },
       oracle = Some(s"""
         WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

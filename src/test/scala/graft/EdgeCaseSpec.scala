@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupQueries, SimilarityQueries, TextQueries}
+
+/** Degenerate-input behavior of the library entry points: empty corpora,
+  * singleton documents, empty text, corpora smaller than a codebook. A
+  * production ingest sees all of these (an empty partition, a first-day
+  * run, a blank document) — each must return a well-defined empty/reduced
+  * result, never throw. The ADVICE m03 finding (empty-text doc dropped on
+  * one side of an oracle only) is exactly this bug class. */
+class EdgeCaseSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def oneDoc =
+    Seq((1L, "a single perfectly ordinary document about spark engines")).toDF("doc_id", "text")
+  private def blankAndReal = Seq(
+    (1L, ""),
+    (2L, "real content here with enough distinct words to clear every admission gate " +
+      "because it keeps going well past twenty tokens of ordinary english text")
+  ).toDF("doc_id", "text")
+  private def noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+  private def fewVecs = (0L until 8L).map(ScaleCorpus.vec).toDF("vec_id", "embedding")
+
+  test("dedup pipelines return empty on an empty or singleton corpus") {
+    assert(DedupQueries.minhashNearDupPairs(spark, noDocs).count() === 0L)
+    assert(DedupQueries.minhashNearDupPairs(spark, oneDoc).count() === 0L)
+    assert(DedupQueries.incrementalNearDupPairs(spark, noDocs, col("doc_id") < 10).count() === 0L)
+    assert(DedupQueries.embeddingLshPairs(spark, noVecs).count() === 0L)
+  }
+
+  test("cluster labeling converges on empty input and labels a singleton to itself") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(DedupQueries.clusterLabels(noDocs.select($"doc_id"), noPairs).count() === 0L)
+    val labels = DedupQueries.clusterLabels(oneDoc.select($"doc_id"), noPairs)
+      .as[(Long, Long)].collect()
+    assert(labels.toSeq === Seq((1L, 1L)))
+  }
+
+  test("ANN search returns empty on an empty corpus, reduced results below k") {
+    assert(SimilarityQueries.ivfSearch(spark, noVecs, noVecs).count() === 0L)
+    // corpus (8) smaller than the codebook (64) and topK (10): every
+    // query still gets the 7 possible neighbors, ranked 1..7
+    val rows = SimilarityQueries.ivfSearch(spark, fewVecs, fewVecs.filter($"vec_id" < 2))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).distinct.sorted.toSeq === Seq(0L, 1L))
+    assert(rows.count(_._1 == 0L) === 7)
+    assert(rows.filter(_._1 == 0L).map(_._2).sorted.toSeq === (1L to 7L))
+    assert(SimilarityQueries.knnGraph(spark, noVecs).count() === 0L)
+  }
+
+  test("empty-text documents are rejected by the admission gate, not crashed on") {
+    val kept = TextQueries.admissionFeatures(blankAndReal)
+      .filter(TextQueries.admissionGate)
+      .select($"doc_id").as[Long].collect()
+    assert(kept.toSeq === Seq(2L))
+    assert(TextQueries.boilerplateSpans(noDocs.withColumn("lang", lit("en"))).count() === 0L)
+    // the per-lang summary row must count the blank doc without crashing
+    // and report zero cross-document shingles
+    val span = TextQueries.boilerplateSpans(blankAndReal.withColumn("lang", lit("en")))
+      .select($"lang", $"n_docs", $"shared_shingles").as[(String, Long, Long)].collect()
+    assert(span.toSeq === Seq(("en", 2L, 0L)))
+  }
+}

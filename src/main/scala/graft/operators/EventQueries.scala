@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -187,5 +188,108 @@ object EventQueries {
           GROUP BY user_id)
         WHERE first_signup IS NOT NULL AND first_purchase IS NOT NULL
           AND first_purchase >= first_signup
-        ORDER BY user_id""")))
+        ORDER BY user_id""")),
+
+    // ----- link-authority (PageRank) over the page-transition graph ----------
+    // Consecutive events per user (by event_id) define src -> dst transitions
+    // between pages (`props.k`); PageRank over that graph is the classic
+    // link-authority quality signal a web-corpus curation pipeline weights
+    // documents by. Ranks are fixed-point integers (micro-units) with
+    // truncating division applied BEFORE summation, so every intermediate is
+    // an exact BIGINT on both engines and the DuckDB oracle (10 unrolled
+    // iteration CTEs) matches bit-for-bit — the same cross-engine
+    // determinism trick as the cents convention (QueryDef scaladoc).
+    //
+    // Scale: edges are grouped to |distinct (src,dst)| rows once; each
+    // iteration is one join of the rank table (|V|) with edges (|E|) plus a
+    // hash agg — the standard distributed PageRank round, linear per
+    // iteration. On a cluster, edges would be pre-partitioned by src once
+    // and every iteration reuses that partitioning (here: cached + tiny
+    // ranks auto-broadcast). localCheckpoint every 5 rounds truncates
+    // lineage, same discipline as d08's label propagation (amortized —
+    // measured cheaper than both per-round and end-only checkpointing).
+    QueryDef(
+      "q48_pagerank_authority",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_id",
+            get_json_object($"props", "$.k").cast("long").as("k"))
+          .filter($"k".isNotNull)
+        val hop = ev.select($"k".as("src"),
+          lead($"k", 1).over(Window.partitionBy($"user_id").orderBy($"event_id"))
+            .as("dst"))
+        val edges = hop.filter($"dst".isNotNull)
+          .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+        pageRank(ev.select($"k").distinct(), edges, iters = 10)
+          .select($"k", $"r".as("rank_micro"))
+          .orderBy($"k")
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT user_id, event_id,
+                 CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+          FROM events
+          WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+        hop AS (
+          SELECT k AS src,
+                 lead(k) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
+          FROM ev),
+        edges AS (
+          SELECT src, dst, count(*) AS w FROM hop
+          WHERE dst IS NOT NULL GROUP BY src, dst),
+        outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+        ew AS (SELECT e.src, e.dst, e.w, o.ow FROM edges e JOIN outw o USING (src)),
+        nodes AS (SELECT DISTINCT k FROM ev),
+        pr0 AS (SELECT k, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        ${(1 to 10).map(prIterCte).mkString(",\n        ")}
+        SELECT k, r AS rank_micro FROM pr10 ORDER BY k"""))
+  )
+
+  /** One unrolled PageRank iteration as a DuckDB CTE (oracle helper):
+    * contributions use truncating integer division per edge before the sum,
+    * mirroring [[pageRank]] exactly. */
+  private def prIterCte(i: Int): String =
+    s"""pr$i AS (
+       |          SELECT n.k,
+       |                 CAST(150000 + (85 * COALESCE(c.c, 0)) // 100 AS BIGINT) AS r
+       |          FROM nodes n LEFT JOIN (
+       |            SELECT ew.dst AS k, sum((p.r * ew.w) // ew.ow) AS c
+       |            FROM pr${i - 1} p JOIN ew ON p.k = ew.src
+       |            GROUP BY ew.dst) c USING (k))""".stripMargin
+
+  /** Fixed-point PageRank (damping 0.85, teleport 0.15) over a weighted edge
+    * list. `nodes` must carry one `k` column (the vertex id); `edges` carries
+    * (`src`, `dst`, `w`). Ranks are micro-units (BIGINT, start 1_000_000);
+    * per-edge contributions are `(r * w) div out_w` — truncating division
+    * before the exact integer sum, so the result is independent of
+    * parallelism and reproducible on any engine. Dangling-node mass is
+    * dropped (sink-loss variant), deterministic on both sides.
+    *
+    * Each iteration is a join + hash agg, linear in |E|. The plan is linear
+    * in the previous round (no self-join doubling), so lineage only needs
+    * periodic truncation: an eager localCheckpoint every 5 rounds (and on
+    * the last) bounds analyzer depth while keeping the job count at
+    * iters/5, not iters — in-between rounds fuse into the next checkpoint's
+    * job (the d08 discipline, amortized). */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val s = nodes.sparkSession
+    import s.implicits._
+    val outw = edges.groupBy($"src").agg(sum($"w").as("ow"))
+    val ew = edges.join(outw, "src").cache()
+    val keyed = nodes.select($"k").cache()
+    var r = keyed.select($"k", lit(1000000L).as("r"))
+    for (i <- 1 to iters) {
+      val contrib = r.join(ew, r("k") === ew("src"))
+        .select($"dst".as("k"), expr("(r * w) div ow").as("c"))
+        .groupBy($"k").agg(sum($"c").as("c"))
+      r = keyed.join(contrib, Seq("k"), "left")
+        .select($"k",
+          (lit(150000L) + expr("(85 * coalesce(c, 0L)) div 100")).as("r"))
+      if (i % 5 == 0 || i == iters) r = r.localCheckpoint()
+    }
+    ew.unpersist()
+    keyed.unpersist()
+    r
+  }
 }

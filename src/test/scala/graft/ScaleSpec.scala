@@ -188,4 +188,32 @@ class ScaleSpec extends SparkSpec {
         tables = 12, planesPerTable = 14).count(),
       vecCorpus(2000), vecCorpus(20000))
   }
+
+  test("q48 pagerank: 10x graph => ~10x runtime, one rank per node") {
+    // ring + one pseudo-random out-edge per node: |E| = 2|V| exactly, so
+    // the 10 fixed iterations must each cost linear work; the output is
+    // exactly |V| rank rows at both sizes (a flooded contribution join or
+    // a dropped dangling node breaks the count before the clock moves)
+    def graph(n: Long): DataFrame = spark.range(n).toDF("k")
+    def run(nodes: DataFrame): Long = {
+      val n = nodes.count()
+      val mixUdf = org.apache.spark.sql.functions.udf(
+        (i: Long) => math.floorMod(ScaleCorpus.mix(i), n))
+      val edges = nodes.select($"k".as("src"), (($"k" + 1) % n).as("dst"),
+          org.apache.spark.sql.functions.lit(1L).as("w"))
+        .union(nodes.select($"k".as("src"), mixUdf($"k").as("dst"),
+          org.apache.spark.sql.functions.lit(1L).as("w")))
+      graft.operators.EventQueries.pageRank(nodes, edges, iters = 10).count()
+    }
+    val (small, big) = (graph(40000L), graph(400000L))
+    run(small) // warmup
+    spark.catalog.clearCache()
+    val (tS, nS) = timed(run(small))
+    val (tL, nL) = timed(run(big))
+    info(f"q48: 1x -> ${tS}%.2f s / $nS ranks, 10x -> ${tL}%.2f s / $nL ranks")
+    assert(nS === 40000L && nL === 400000L,
+      s"pageRank must emit exactly one rank per node: $nS / $nL")
+    assert(tL <= 25.0 * math.max(tS, 0.5),
+      f"q48 runtime grew super-linearly: ${tS}%.2f s -> ${tL}%.2f s for 10x graph")
+  }
 }

@@ -73,4 +73,42 @@ class SourcesSpec extends SparkSpec {
       .option("pathGlobFilter", "a.*").load(s"$tmp/blobs")
     assert(onlyA.count() === 1L)
   }
+
+  test("key-clustered sorted write: row-group stats prune the scan, file sizes bounded") {
+    // Writer-side data layout — the other half of the 100 TB read story:
+    // range-partition + sort by the hot filter key so every file covers a
+    // narrow key band, and parquet min/max stats let a point-range filter
+    // skip whole row groups. The same filter over a key-shuffled layout
+    // must materialize (roughly) every row; over the clustered layout the
+    // scan's OUTPUT row count collapses to the surviving band.
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // executes THIS df's plan, so its scan metrics populate
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_extendedprice")
+    val total = li.count()
+    li.repartitionByRange(8, $"l_orderkey").sortWithinPartitions($"l_orderkey")
+      .write.mode("overwrite").option("maxRecordsPerFile", "1000")
+      .parquet(s"$tmp/li_clustered")
+    // deterministic shuffle: order by a hash so key ranges smear across files
+    li.repartition(8, xxhash64($"l_orderkey", $"l_extendedprice"))
+      .write.mode("overwrite").option("maxRecordsPerFile", "1000")
+      .parquet(s"$tmp/li_shuffled")
+    val hot = $"l_orderkey" <= 100 // a narrow band of the key domain
+    val clustered = scanRows(spark.read.parquet(s"$tmp/li_clustered").filter(hot))
+    val shuffled = scanRows(spark.read.parquet(s"$tmp/li_shuffled").filter(hot))
+    assert(clustered < total / 4,
+      s"clustered layout should skip most row groups: scanned $clustered of $total")
+    assert(clustered < shuffled,
+      s"clustered scan ($clustered rows) must beat shuffled ($shuffled rows)")
+    // maxRecordsPerFile actually bounds files (layout stays compaction-friendly)
+    val files = new java.io.File(s"$tmp/li_clustered").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1, "expected multiple bounded files")
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= 1000L, s"${f.getName} exceeds maxRecordsPerFile: $n")
+    }
+  }
 }

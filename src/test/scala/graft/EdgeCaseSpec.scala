@@ -63,4 +63,16 @@ class EdgeCaseSpec extends SparkSpec {
       .select($"lang", $"n_docs", $"shared_shingles").as[(String, Long, Long)].collect()
     assert(span.toSeq === Seq(("en", 2L, 0L)))
   }
+
+  test("pageRank handles empty graphs: no nodes => no rows, no edges => teleport only") {
+    import graft.operators.EventQueries
+    val noNodes = Seq.empty[Long].toDF("k")
+    val noEdges = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(EventQueries.pageRank(noNodes, noEdges, iters = 10).count() === 0L)
+    // nodes with no edges at all: every rank is exactly the teleport term
+    val lonely = Seq(1L, 2L, 3L).toDF("k")
+    val r = EventQueries.pageRank(lonely, noEdges, iters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 150000L, 2L -> 150000L, 3L -> 150000L))
+  }
 }

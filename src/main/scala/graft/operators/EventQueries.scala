@@ -243,7 +243,56 @@ object EventQueries {
         nodes AS (SELECT DISTINCT k FROM ev),
         pr0 AS (SELECT k, CAST(1000000 AS BIGINT) AS r FROM nodes),
         ${(1 to 10).map(prIterCte).mkString(",\n        ")}
-        SELECT k, r AS rank_micro FROM pr10 ORDER BY k"""))
+        SELECT k, r AS rank_micro FROM pr10 ORDER BY k""")),
+
+    // ----- snapshot diff / period-over-period entity churn (CDC shape) ------
+    // Classify every (user, event_type) entity between two activity windows
+    // as added / removed / changed / unchanged — the incremental-refresh
+    // primitive of a corpus pipeline ("what entered, left, or changed since
+    // the last build?").
+    //
+    // Scale: each snapshot is one filtered partial aggregation (map-side
+    // combine, one shuffle on the entity key); the full outer join then
+    // reuses that same hash partitioning, so no second shuffle of either
+    // side and no broadcast. At 100 TB the period predicates prune at the
+    // scan (ts is the natural partition column), so cost tracks the two
+    // windows, not the full history.
+    QueryDef(
+      "q50_snapshot_diff",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        def snap(pred: org.apache.spark.sql.Column, as: String) =
+          ev.filter(pred).groupBy($"user_id", $"event_type")
+            .agg(count(lit(1)).as(as))
+        val before = snap($"ts" < lit("2024-01-04").cast("timestamp"), "n")
+        val after = snap($"ts" >= lit("2024-01-28").cast("timestamp"), "m")
+        before.join(after, Seq("user_id", "event_type"), "full_outer")
+          .select($"user_id", $"event_type",
+            coalesce($"n", lit(0L)).as("n_before"),
+            coalesce($"m", lit(0L)).as("n_after"),
+            when($"n".isNull, "added")
+              .when($"m".isNull, "removed")
+              .when($"n" === $"m", "unchanged")
+              .otherwise("changed").as("change_class"))
+          .orderBy($"user_id", $"event_type")
+      },
+      oracle = Some("""
+        WITH a AS (SELECT user_id, event_type, count(*) AS n FROM events
+                   WHERE ts < TIMESTAMP '2024-01-04 00:00:00' GROUP BY 1, 2),
+             b AS (SELECT user_id, event_type, count(*) AS m FROM events
+                   WHERE ts >= TIMESTAMP '2024-01-28 00:00:00' GROUP BY 1, 2)
+        SELECT coalesce(a.user_id, b.user_id) AS user_id,
+               coalesce(a.event_type, b.event_type) AS event_type,
+               coalesce(a.n, 0) AS n_before,
+               coalesce(b.m, 0) AS n_after,
+               CASE WHEN a.user_id IS NULL THEN 'added'
+                    WHEN b.user_id IS NULL THEN 'removed'
+                    WHEN a.n = b.m THEN 'unchanged'
+                    ELSE 'changed' END AS change_class
+        FROM a FULL OUTER JOIN b
+          ON a.user_id = b.user_id AND a.event_type = b.event_type
+        ORDER BY user_id, event_type"""))
   )
 
   /** One unrolled PageRank iteration as a DuckDB CTE (oracle helper):

@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+import RelationalQueries.cents
 
 /** Second tranche of CONTRACT-layer coverage (SURVEY.md §2.2): multiset set
   * ops, analytic window functions, ordered collect, map functions over JSON
@@ -631,5 +632,43 @@ object ExtraRelationalQueries {
         Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
         s.sql(SqlScalarQ17)
       },
-      oracle = Some(SqlScalarQ17)))
+      oracle = Some(SqlScalarQ17)),
+
+    // ----- bloom-filter semi-join pruning (runtime-filter pattern) ----------
+    // The selective dim predicate's surviving key set is compressed into a
+    // bloom filter (a driver collect of O(bits) — ~1.2 MB per million keys
+    // at 1% fpp, independent of the FACT table's size) and broadcast, so the
+    // fact scan is pruned BEFORE its shuffle. False positives are removed by
+    // the exact join that follows, so the result is bit-identical to the
+    // plain join — the bloom only cuts shuffled volume (~10x here; at 100 TB
+    // it is the difference between shuffling the whole fact table and
+    // shuffling roughly the matching slice). This is the explicit, testable
+    // form of Spark's own InjectRuntimeFilter, for when the dim side is too
+    // big to broadcast-hash-join but its keyset still fits a bloom.
+    QueryDef(
+      "q49_bloom_semijoin_prune",
+      (s, d) => {
+        import s.implicits._
+        val dim = Tables.orders(s, d)
+          .filter($"o_totalprice" > 450000.0)
+          .select($"o_orderkey")
+          .cache()
+        // Sized from the real key count (one cheap count over the cached dim);
+        // the merged bloom is deterministic — fixed-seed hashes, OR-merge.
+        val bloom = dim.stat.bloomFilter("o_orderkey", math.max(dim.count(), 1000L), 0.01)
+        val bc = s.sparkContext.broadcast(bloom)
+        val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+        Tables.lineitem(s, d)
+          .filter(mightContain($"l_orderkey"))
+          .join(dim, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"), cents($"l_extendedprice").as("rev_c"))
+          .orderBy($"l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(floor(l_extendedprice * 100)) AS BIGINT) AS rev_c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 450000.0
+        GROUP BY l_returnflag ORDER BY l_returnflag""")))
 }

@@ -169,4 +169,30 @@ class PlanQualitySpec extends SparkSpec {
       p.indexOf("md5") < exchangeIdx,
       s"payload bytes must be hashed before the shuffle: $p")
   }
+
+  test("q49: the bloom prunes the fact side before the join, with no false negatives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dim = Tables.orders(spark, sf)
+      .filter($"o_totalprice" > 450000.0).select($"o_orderkey")
+    val bloom = dim.stat.bloomFilter("o_orderkey", math.max(dim.count(), 1000L), 0.01)
+    val li = Tables.lineitem(spark, sf)
+    val total = li.count()
+    val matching = li.join(dim, $"l_orderkey" === $"o_orderkey").count()
+    val mightContain = udf((k: Long) => bloom.mightContainLong(k))
+    val kept = li.filter(mightContain($"l_orderkey")).count()
+    assert(kept >= matching, s"bloom dropped true matches: kept=$kept matching=$matching")
+    assert(kept <= matching + (total * 2) / 100 + 10,
+      s"bloom barely prunes (fpp blowout): kept=$kept matching=$matching total=$total")
+    assert(kept < total / 2, s"prune ineffective on this fixture: kept=$kept of $total")
+  }
+
+  test("q50: the two snapshot aggregates feed the outer join with one shuffle each") {
+    val p = plan("q50_snapshot_diff")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2,
+      s"expected exactly 2 hash exchanges (one per snapshot agg, join reuses them), got $hashEx:\n$p")
+    assert(p.contains("FullOuter"), p)
+    assert(p.contains("partial_count"), s"no map-side combine: $p")
+  }
 }

@@ -44,6 +44,8 @@ object TextQueries {
   private val TrainPct = 90
   private val PackShards = 8
   private val PackBudget = 512L
+  private val ChunkSize = 120
+  private val ChunkStride = 90
 
   private def saltedDocHash(salt: String): Column =
     TextFns.polyHash(concat(lit(salt), col("doc_id").cast("string")))
@@ -866,5 +868,61 @@ object TextQueries {
                CAST(floor(sum(bits) * 1000.0 / sum(n_bi)) AS BIGINT) AS avg_bits_milli,
                CAST(sum(haps) AS BIGINT) AS hapax_bigrams
         FROM per_doc GROUP BY lang
-        ORDER BY lang""")))
+        ORDER BY lang""")),
+
+    // ----- overlapping document chunking (retrieval / context prep) ---------
+    // Split every document into fixed-size character windows with overlap —
+    // the chunking primitive behind retrieval indexing and long-document
+    // context preparation. Chunk starts step by `ChunkStride`; the final
+    // window is allowed to run short. Emits per-chunk offsets, length, and
+    // an md5 content fingerprint so the oracle checks the chunk BYTES, not
+    // just the arithmetic.
+    //
+    // Scale: narrow projection + per-row explode — embarrassingly parallel,
+    // zero shuffles before the output sort; output size is input chars /
+    // stride, a constant factor. The chunk count formula stays in exact
+    // non-negative integer arithmetic so both engines agree on every edge
+    // (len <= size, len = size + 1, empty text => one empty chunk).
+    QueryDef(
+      "t16_chunk_overlap",
+      (s, d) => {
+        import s.implicits._
+        chunkDocs(Tables.documents(s, d), ChunkSize, ChunkStride)
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      oracle = Some(s"""
+        WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+                   FROM documents),
+        ex AS (
+          SELECT doc_id, text, len,
+                 unnest(generate_series(CAST(0 AS BIGINT),
+                   (greatest(len - $ChunkSize, 0) + ${ChunkStride - 1}) // $ChunkStride)) AS chunk_idx
+          FROM d)
+        SELECT doc_id, chunk_idx,
+               chunk_idx * $ChunkStride + 1 AS chunk_start,
+               CAST(length(substr(text, CAST(chunk_idx * $ChunkStride + 1 AS INTEGER), $ChunkSize)) AS BIGINT) AS chunk_len,
+               md5(substr(text, CAST(chunk_idx * $ChunkStride + 1 AS INTEGER), $ChunkSize)) AS chunk_md5
+        FROM ex
+        ORDER BY doc_id, chunk_idx""")))
+
+  /** Overlapping fixed-window chunker (t16), exposed as a library call:
+    * (doc_id, chunk_idx, chunk_start [1-based], chunk_len, chunk_md5).
+    * `size` is the window width in characters, `stride` the start step
+    * (overlap = size - stride); the last window may run short, and an
+    * empty document yields one empty chunk (locked in EdgeCaseSpec). */
+  def chunkDocs(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(0 < stride && stride <= size, s"need 0 < stride <= size, got $size/$stride")
+    val s = docs.sparkSession
+    import s.implicits._
+    val last = floor(
+      (greatest(length($"text").cast("long") - size, lit(0L)) + (stride - 1)) / stride)
+    docs
+      .select($"doc_id", $"text", explode(sequence(lit(0L), last)).as("chunk_idx"))
+      .select($"doc_id", $"chunk_idx",
+        ($"chunk_idx" * stride + 1).as("chunk_start"),
+        substring($"text", ($"chunk_idx" * stride + 1).cast("int"), lit(size)).as("c"))
+      .select($"doc_id", $"chunk_idx", $"chunk_start",
+        length($"c").cast("long").as("chunk_len"),
+        md5($"c".cast("binary")).as("chunk_md5"))
+  }
 }

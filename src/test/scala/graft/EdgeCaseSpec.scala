@@ -75,4 +75,32 @@ class EdgeCaseSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(r === Map(1L -> 150000L, 2L -> 150000L, 3L -> 150000L))
   }
+
+  test("chunkDocs covers every character, honors boundaries, keeps empty docs") {
+    // boundary lengths around size=10/stride=7: len<=size -> 1 chunk,
+    // len=size+1 -> 2 chunks, and the windows tile with exact 3-char overlap
+    val docs = Seq(
+      (1L, ""), (2L, "short"), (3L, "a" * 10), (4L, "abcdefghijk"), // len 11
+      (5L, ("abcdefghij" * 5).take(32))
+    ).toDF("doc_id", "text")
+    val rows = TextQueries.chunkDocs(docs, size = 10, stride = 7)
+      .orderBy($"doc_id", $"chunk_idx")
+      .select($"doc_id", $"chunk_idx", $"chunk_start", $"chunk_len")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc(1L).map(r => (r._3, r._4)) === Seq((1L, 0L))) // one empty chunk
+    assert(byDoc(2L).map(r => (r._3, r._4)) === Seq((1L, 5L)))
+    assert(byDoc(3L).map(r => (r._3, r._4)) === Seq((1L, 10L)))
+    assert(byDoc(4L).map(r => (r._3, r._4)) === Seq((1L, 10L), (8L, 4L)))
+    // full coverage: chunk spans [start, start+len) union to [1, docLen]
+    byDoc(5L).sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 <= a._3 + a._4, s"gap between chunks: $a -> $b")
+    }
+    assert(byDoc(5L).map(r => r._3 + r._4 - 1).max === 32L)
+    // md5 is over the chunk bytes: two identical windows fingerprint equal
+    val same = TextQueries.chunkDocs(
+      Seq((9L, "xyzxyzx")).toDF("doc_id", "text"), size = 3, stride = 3)
+      .select($"chunk_md5").as[String].collect()
+    assert(same(0) === same(1)) // "xyz" == "xyz"
+  }
 }

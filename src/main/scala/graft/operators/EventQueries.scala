@@ -315,30 +315,33 @@ object EventQueries {
     * parallelism and reproducible on any engine. Dangling-node mass is
     * dropped (sink-loss variant), deterministic on both sides.
     *
-    * Each iteration is a join + hash agg, linear in |E|. The plan is linear
-    * in the previous round (no self-join doubling), so lineage only needs
-    * periodic truncation: an eager localCheckpoint every 5 rounds (and on
-    * the last) bounds analyzer depth while keeping the job count at
-    * iters/5, not iters — in-between rounds fuse into the next checkpoint's
-    * job (the d08 discipline, amortized). */
+    * Each iteration is ONE join + ONE hash agg, linear in |E|: nodes enter
+    * the aggregate as zero-contribution rows unioned under the edge
+    * contributions (union is free — no shuffle, no join), so every vertex
+    * — including those with no inbound edges — gets its teleport term from
+    * the same sum, and the per-round teleport left-join is gone. The plan
+    * is linear in the previous round (no self-join doubling), so lineage
+    * only needs periodic truncation: an eager localCheckpoint every 5
+    * rounds (and on the last) bounds analyzer depth while keeping the job
+    * count at iters/5, not iters — in-between rounds fuse into the next
+    * checkpoint's job (the d08 discipline, amortized). */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val s = nodes.sparkSession
     import s.implicits._
     val outw = edges.groupBy($"src").agg(sum($"w").as("ow"))
     val ew = edges.join(outw, "src").cache()
-    val keyed = nodes.select($"k").cache()
-    var r = keyed.select($"k", lit(1000000L).as("r"))
+    val zeros = nodes.select($"k", lit(0L).as("c")).cache()
+    var r = zeros.select($"k", lit(1000000L).as("r"))
     for (i <- 1 to iters) {
-      val contrib = r.join(ew, r("k") === ew("src"))
+      r = r.join(ew, r("k") === ew("src"))
         .select($"dst".as("k"), expr("(r * w) div ow").as("c"))
+        .unionAll(zeros)
         .groupBy($"k").agg(sum($"c").as("c"))
-      r = keyed.join(contrib, Seq("k"), "left")
-        .select($"k",
-          (lit(150000L) + expr("(85 * coalesce(c, 0L)) div 100")).as("r"))
+        .select($"k", (lit(150000L) + expr("(85 * c) div 100")).as("r"))
       if (i % 5 == 0 || i == iters) r = r.localCheckpoint()
     }
     ew.unpersist()
-    keyed.unpersist()
+    zeros.unpersist()
     r
   }
 }

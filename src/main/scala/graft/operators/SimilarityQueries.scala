@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.VectorFns
+import graft.functions.{TextFns, VectorFns}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -38,6 +38,28 @@ object SimilarityQueries {
   // bijection on ids: no ties, selection spread uniformly over the corpus.
   private val IvfHashMult = 0x9E3779B97F4A7C15L
   private val IvfHashMultUnsigned = java.lang.Long.toUnsignedString(IvfHashMult)
+
+  // BM25 (s10): literal query set over the documents vocabulary ("dup" is
+  // the one rare term — df ~ 5% — so idf actually moves the ranking).
+  // MUST be declared above `val all` (object init is sequential).
+  private val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("hash", "join", "dup"),
+    2L -> Seq("window", "agg", "stream"),
+    3L -> Seq("vector", "scan", "order"))
+  private val Bm25Terms: Seq[(Long, String)] =
+    Bm25Queries.flatMap { case (q, ts) => ts.map(q -> _) }
+
+  /** The BM25 per-(term, doc) contribution in exact integer arithmetic,
+    * written once and rendered for either engine's integer-division
+    * operator (Spark `div`, DuckDB `//` — identical on the all-positive
+    * operands here). Expects columns tf, df, dl, n_docs, t_total in scope.
+    * Milli-scaled: rational idf * tf-saturation (k1 = 6/5, b = 3/4 with
+    * the rationals cleared — see the s10 comment). */
+  private def bm25Contrib(idiv: String): String =
+    s"((1000 * (n_docs - df + 1)) $idiv (df + 1)) * " +
+      s"((2200000 * tf) $idiv (1000 * tf + 300 + " +
+      s"(9 * ((1000000 * dl) $idiv ((1000 * t_total) $idiv n_docs))) $idiv 10))"
+  private val Bm25ContribExpr = bm25Contrib("div")
 
   // PQ: 8 subspaces x 8 dims, 16 codewords each (4-bit codes). MUST be
   // declared above `val all` — oracle strings interpolate these eagerly
@@ -726,7 +748,56 @@ object SimilarityQueries {
     QueryDef(
       "s09_knn_graph",
       (s, d) => knnGraph(s, Tables.embeddings(s, d)),
-      oracle = Some(s09OracleSql)))
+      oracle = Some(s09OracleSql)),
+
+    // ----- BM25 lexical retrieval (inverted-index scoring) ------------------
+    // The keyword-search complement to the ANN family: build the postings
+    // table (doc, term, tf) once, score a literal query set with BM25
+    // (k1 = 1.2, b = 0.75), return top-10 per query. All scoring stays in
+    // exact integer arithmetic so both engines agree bit for bit:
+    // truncating `div` at three defined points (avgdl, length norm, tf
+    // saturation) and a RATIONAL idf (N - df + 1)/(df + 1) instead of the
+    // classic log idf — log-free for cross-engine exactness, same
+    // monotone-in-df ordering. The tf-saturation term is the standard
+    // tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)) with the rationals cleared:
+    // k1 = 6/5, b = 3/4 => 2200*tf / (1000*tf + 300 + 900*dl/avgdl) in
+    // milli-units.
+    //
+    // Scale: postings are the one corpus-scale shuffle (map-side
+    // combinable, the same dt table t12 builds); the query-term join is a
+    // broadcast of |queries|*|terms| rows, so only the queried terms'
+    // postings — sum of df(t), not the corpus — survive into scoring; dl
+    // joins on doc_id; corpus stats are a 1-row broadcast. Per-query top-k
+    // is a window over that df-bounded candidate set (the s01 contract;
+    // hot terms at 100 TB would pre-prune with an impact-ordered index —
+    // the classic WAND trade, out of scope).
+    QueryDef(
+      "s10_bm25_retrieval",
+      (s, d) => {
+        import s.implicits._
+        val dt = Tables.documents(s, d)
+          .select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
+          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+          .cache()
+        val dl = dt.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+        val dft = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
+        val terms = Bm25Terms.toDF("query_id", "tok")
+        val qterms = terms.join(dft, "tok")
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_total"))
+        val w = Window.partitionBy($"query_id")
+          .orderBy($"score_milli".desc, $"doc_id")
+        dt.join(broadcast(qterms), "tok")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select($"query_id", $"doc_id", expr(Bm25ContribExpr).as("contrib"))
+          .groupBy($"query_id", $"doc_id")
+          .agg(expr("sum(contrib) div 1000").as("score_milli"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 10)
+          .select($"query_id", $"rank", $"doc_id", $"score_milli")
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = Some(s10OracleSql)))
 
   /** The s09 pipeline over an arbitrary (vec_id, embedding) table. Bucket
     * geometry defaults to d06's fixture tuning; real corpora follow the
@@ -970,6 +1041,43 @@ object SimilarityQueries {
                    ORDER BY cos_milli DESC, vec_id) AS BIGINT) AS rank
           FROM scored)
         SELECT query_id, rank, vec_id, cos_milli
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank"""
+  }
+
+  /** The s10 oracle: the SAME postings/df/dl/stats tables and the SAME
+    * integer contribution formula (rendered with DuckDB's `//`), so the
+    * scores hash-match bit for bit. */
+  private def s10OracleSql: String = {
+    val values = Bm25Terms
+      .map { case (q, t) => s"(CAST($q AS BIGINT), '$t')" }.mkString(", ")
+    s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+          FROM documents),
+        dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+               FROM toks GROUP BY doc_id, tok),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY doc_id),
+        dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS t_total FROM dl),
+        terms(query_id, tok) AS (VALUES $values),
+        scored AS (
+          SELECT query_id, doc_id,
+                 CAST(sum(${bm25Contrib("//")}) // 1000 AS BIGINT) AS score_milli
+          FROM dt
+          JOIN terms USING (tok)
+          JOIN dft USING (tok)
+          JOIN dl USING (doc_id)
+          CROSS JOIN st
+          GROUP BY query_id, doc_id),
+        ranked AS (
+          SELECT query_id, doc_id, score_milli,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT query_id, rank, doc_id, score_milli
         FROM ranked WHERE rank <= 10
         ORDER BY query_id, rank"""
   }

@@ -13,11 +13,13 @@ class PlanLintSpec extends SparkSpec {
     * is a constant-size bucket table), s01/s05 score a constant-size
     * broadcast query set against the streaming corpus (the BNLJ is the
     * algorithm — brute force and compressed-domain coarse scan; the
-    * LSH/IVF variants are the pruned path); t12 joins the corpus total — a
-    * 1-row broadcast scalar — onto the doc-term table (constant-size build
-    * side by construction). Everything else must stay equi-join shaped. */
+    * LSH/IVF variants are the pruned path); t12 and s10 join corpus stats
+    * — a 1-row broadcast scalar — onto the doc-term table (constant-size
+    * build side by construction). Everything else must stay equi-join
+    * shaped. */
   private val bnljOk = Set("q21_range_join_buckets", "s01_ann_bruteforce_topk",
-    "s05_ann_projected_rerank", "s07_mmr_diverse_topk", "t12_unigram_surprisal")
+    "s05_ann_projected_rerank", "s07_mmr_diverse_topk", "t12_unigram_surprisal",
+    "s10_bm25_retrieval")
 
   for (q <- SparkEntry.allDefs.filter(_.benchmark)) {
     test(s"${q.name}: no cartesian product, no stray nested-loop join, no mid-plan collect") {

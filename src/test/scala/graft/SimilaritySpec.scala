@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.lower
 
 class SimilaritySpec extends SparkSpec {
 
@@ -218,5 +219,35 @@ class SimilaritySpec extends SparkSpec {
       assert(cb.forall(_.length === SimilarityQueries.PqK))
       assert(cb.forall(_.forall(_.length === SimilarityQueries.PqSubDim)))
     }
+  }
+
+  test("BM25 results are dense top-10 with non-increasing scores") {
+    val rows = SparkEntry.queries("s10_bm25_retrieval")(spark, sf)
+      .select("query_id", "rank", "doc_id", "score_milli").collect()
+      .map { case Row(q: Long, r: Long, d: Long, s: Long) => (q, r, d, s) }
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet === Set(1L, 2L, 3L))
+    byQ.values.foreach { hits =>
+      val sorted = hits.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to 10L))
+      val scores = sorted.map(_._4).toSeq
+      assert(scores === scores.sorted.reverse, s"scores not non-increasing: $scores")
+      assert(scores.forall(_ > 0))
+    }
+  }
+
+  test("BM25 idf puts rare-term documents ahead of common-term ones") {
+    import spark.implicits._
+    // query 1 = "hash join dup": "dup" appears in ~5% of docs, the other
+    // terms in ~75% — every top hit must actually contain the rare term,
+    // or idf is not doing its job
+    val top = SparkEntry.queries("s10_bm25_retrieval")(spark, sf)
+      .filter($"query_id" === 1L && $"rank" <= 5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val dupDocs = Tables.documents(spark, sf)
+      .filter(lower($"text").contains("dup")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(top.subsetOf(dupDocs),
+      s"top-5 for the 'dup' query includes docs without 'dup': ${top -- dupDocs}")
   }
 }

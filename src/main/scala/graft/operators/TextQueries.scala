@@ -46,6 +46,7 @@ object TextQueries {
   private val PackBudget = 512L
   private val ChunkSize = 120
   private val ChunkStride = 90
+  private val SampleK = 20
 
   private def saltedDocHash(salt: String): Column =
     TextFns.polyHash(concat(lit(salt), col("doc_id").cast("string")))
@@ -903,7 +904,46 @@ object TextQueries {
                CAST(length(substr(text, CAST(chunk_idx * $ChunkStride + 1 AS INTEGER), $ChunkSize)) AS BIGINT) AS chunk_len,
                md5(substr(text, CAST(chunk_idx * $ChunkStride + 1 AS INTEGER), $ChunkSize)) AS chunk_md5
         FROM ex
-        ORDER BY doc_id, chunk_idx""")))
+        ORDER BY doc_id, chunk_idx""")),
+
+    // ----- deterministic bottom-k per-stratum sample -------------------------
+    // Fixed-BUDGET sampling (exactly K docs per language — eval-set and
+    // inspection-set construction), complementing t06/t11's fixed-RATE
+    // splits: keep each stratum's K smallest salted doc hashes. Bottom-k by
+    // a uniform hash IS a uniform sample, it is mergeable (the bottom-k of
+    // a union is the bottom-k of the parts' bottom-ks), and membership is a
+    // pure function of the id — retry-stable, engine-independent.
+    //
+    // Scale: rank<=K over a hash-partitioned window executes as
+    // WindowGroupLimit(Partial) -> shuffle -> WindowGroupLimit(Final):
+    // every input partition forwards at most K rows per stratum, so the
+    // shuffle carries O(partitions * K), never the corpus — the per-group
+    // generalization of q12's TakeOrderedAndProject (gated in
+    // PlanQualitySpec). Few-stratum reducer skew is bounded by the same
+    // partial limit.
+    QueryDef(
+      "t17_bottomk_sample",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang", saltedDocHash("sample:").as("h"))
+          .withColumn("sample_rank", row_number().over(w).cast("long"))
+          .filter($"sample_rank" <= SampleK)
+          .select($"lang", $"sample_rank", $"doc_id", $"h".as("sample_hash"))
+          .orderBy($"lang", $"sample_rank")
+      },
+      oracle = Some(s"""
+        WITH t AS (SELECT doc_id, lang,
+                          ${saltedDocHashSql("sample:")} AS h
+                   FROM documents),
+        r AS (SELECT lang, doc_id, h,
+                     CAST(row_number() OVER (PARTITION BY lang
+                       ORDER BY h, doc_id) AS BIGINT) AS sample_rank
+              FROM t)
+        SELECT lang, sample_rank, doc_id, h AS sample_hash
+        FROM r WHERE sample_rank <= $SampleK
+        ORDER BY lang, sample_rank""")))
 
   /** Overlapping fixed-window chunker (t16), exposed as a library call:
     * (doc_id, chunk_idx, chunk_start [1-based], chunk_len, chunk_md5).

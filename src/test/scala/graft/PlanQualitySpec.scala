@@ -42,6 +42,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("t17: per-stratum bottom-k pushes a partial group limit below the shuffle") {
+    // the per-group analogue of q12's gate: rank<=K must execute as
+    // WindowGroupLimit Partial (before the exchange) + Final, so the
+    // shuffle carries O(partitions * K) rows, never the corpus
+    val p = plan("t17_bottomk_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), s"no partial window group limit: $p")
+  }
+
   test("q21: interval join broadcasts the tiny bucket table") {
     val p = plan("q21_range_join_buckets")
     assert(p.contains("BroadcastNestedLoopJoin"), p)

@@ -797,7 +797,34 @@ object SimilarityQueries {
           .select($"query_id", $"rank", $"doc_id", $"score_milli")
           .orderBy($"query_id", $"rank")
       },
-      oracle = Some(s10OracleSql)))
+      oracle = Some(s10OracleSql)),
+
+    // ----- semantic clusters: connected components over the mutual-kNN graph
+    // The SemDeDup-family capstone: label every vector with a semantic
+    // cluster id by running connected components over the MUTUAL kNN graph
+    // (keep edge a—b only if b is in a's top-k AND a is in b's top-k — the
+    // standard symmetrization that stops hub nodes from gluing unrelated
+    // neighborhoods into one giant component). Composes two proven scale
+    // paths end to end: s09's bucket-bounded kNN edges (per-node work =
+    // bucket occupancy, never the corpus) feed d08's pointer-jumping
+    // label propagation (O(log diameter) rounds, loud on non-convergence).
+    // The mutual filter is a self-semi-join on the reversed edge — an
+    // equi-join on both key columns, linear in edges.
+    QueryDef(
+      "s11_semantic_clusters",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val dir = knnGraph(s, e).select($"vec_id".as("a"), $"nbr_id".as("b")).cache()
+        val mutual = dir
+          .join(dir.select($"b".as("a"), $"a".as("b")), Seq("a", "b"), "left_semi")
+          .filter($"a" < $"b")
+        val labels = DedupQueries.clusterLabels(
+          e.select($"vec_id".as("doc_id")),
+          mutual.select($"a".as("doc_a"), $"b".as("doc_b")))
+        labels.select($"doc_id".as("vec_id"), $"cluster_id").orderBy($"vec_id")
+      },
+      oracle = Some(s11OracleSql)))
 
   /** The s09 pipeline over an arbitrary (vec_id, embedding) table. Bucket
     * geometry defaults to d06's fixture tuning; real corpora follow the
@@ -1081,4 +1108,29 @@ object SimilarityQueries {
         FROM ranked WHERE rank <= 10
         ORDER BY query_id, rank"""
   }
+
+  /** The s11 oracle: s09's full kNN oracle nested as a CTE, the same
+    * mutual-edge filter, then the d08 recursive-CTE transitive closure
+    * with min-reachable-id labels. */
+  private def s11OracleSql: String = s"""
+        WITH RECURSIVE knn AS ($s09OracleSql),
+        dir AS (SELECT vec_id AS a, nbr_id AS b FROM knn),
+        mutual AS (
+          SELECT a, b FROM dir
+          WHERE a < b AND EXISTS (
+            SELECT 1 FROM dir d2 WHERE d2.a = dir.b AND d2.b = dir.a)),
+        edges AS (
+          SELECT a, b FROM mutual
+          UNION ALL
+          SELECT b, a FROM mutual),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (
+          SELECT t.vec_id,
+                 least(t.vec_id, coalesce(min(r.b), t.vec_id)) AS cluster_id
+          FROM embeddings t LEFT JOIN reach r ON r.a = t.vec_id
+          GROUP BY t.vec_id)
+        SELECT vec_id, cluster_id FROM labels ORDER BY vec_id"""
 }

@@ -236,6 +236,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic clusters are valid equivalence classes over mutual-kNN edges") {
+    import spark.implicits._
+    import graft.operators.SimilarityQueries
+    val labels = SparkEntry.queries("s11_semantic_clusters")(spark, sf)
+      .collect().map { case Row(v: Long, c: Long) => v -> c }.toMap
+    // every vector labeled exactly once; representative = min member id
+    assert(labels.keySet.size === 500)
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min === cid, s"cluster $cid: representative is not the min member")
+    }
+    // endpoints of every mutual kNN edge share a label
+    val dir = SimilarityQueries.knnGraph(spark, Tables.embeddings(spark, sf))
+      .select($"vec_id".as("a"), $"nbr_id".as("b"))
+    val mutual = dir.join(dir.select($"b".as("a"), $"a".as("b")), Seq("a", "b"), "left_semi")
+      .filter($"a" < $"b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mutual.nonEmpty, "fixture produced no mutual kNN edges")
+    mutual.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"mutual edge ($a,$b) split across clusters")
+    }
+    // symmetrization must actually prune: strictly fewer merges than the
+    // directed edge set would produce
+    assert(mutual.length < dir.count(), "mutual filter pruned nothing")
+  }
+
   test("BM25 idf puts rare-term documents ahead of common-term ones") {
     import spark.implicits._
     // query 1 = "hash join dup": "dup" appears in ~5% of docs, the other

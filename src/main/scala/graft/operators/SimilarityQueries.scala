@@ -812,19 +812,29 @@ object SimilarityQueries {
     // equi-join on both key columns, linear in edges.
     QueryDef(
       "s11_semantic_clusters",
-      (s, d) => {
-        import s.implicits._
-        val e = Tables.embeddings(s, d)
-        val dir = knnGraph(s, e).select($"vec_id".as("a"), $"nbr_id".as("b")).cache()
-        val mutual = dir
-          .join(dir.select($"b".as("a"), $"a".as("b")), Seq("a", "b"), "left_semi")
-          .filter($"a" < $"b")
-        val labels = DedupQueries.clusterLabels(
-          e.select($"vec_id".as("doc_id")),
-          mutual.select($"a".as("doc_a"), $"b".as("doc_b")))
-        labels.select($"doc_id".as("vec_id"), $"cluster_id").orderBy($"vec_id")
-      },
+      (s, d) => semanticClusters(s, Tables.embeddings(s, d)),
       oracle = Some(s11OracleSql)))
+
+  /** The s11 pipeline over an arbitrary (vec_id, embedding) table:
+    * (vec_id, cluster_id) labels from connected components over the
+    * mutual-kNN graph. Bucket geometry and k follow [[knnGraph]]'s
+    * defaults and tuning contract. */
+  def semanticClusters(s: SparkSession, embeddings: DataFrame,
+      tables: Int = DedupQueries.lshTableCount,
+      planesPerTable: Int = DedupQueries.lshPlanesPerTableCount,
+      dim: Int = DedupQueries.embDim,
+      k: Int = 5): DataFrame = {
+    import s.implicits._
+    val dir = knnGraph(s, embeddings, tables, planesPerTable, dim, k)
+      .select($"vec_id".as("a"), $"nbr_id".as("b")).cache()
+    val mutual = dir
+      .join(dir.select($"b".as("a"), $"a".as("b")), Seq("a", "b"), "left_semi")
+      .filter($"a" < $"b")
+    val labels = DedupQueries.clusterLabels(
+      embeddings.select($"vec_id".as("doc_id")),
+      mutual.select($"a".as("doc_a"), $"b".as("doc_b")))
+    labels.select($"doc_id".as("vec_id"), $"cluster_id").orderBy($"vec_id")
+  }
 
   /** The s09 pipeline over an arbitrary (vec_id, embedding) table. Bucket
     * geometry defaults to d06's fixture tuning; real corpora follow the

@@ -923,16 +923,7 @@ object TextQueries {
     // partial limit.
     QueryDef(
       "t17_bottomk_sample",
-      (s, d) => {
-        import s.implicits._
-        val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
-        Tables.documents(s, d)
-          .select($"doc_id", $"lang", saltedDocHash("sample:").as("h"))
-          .withColumn("sample_rank", row_number().over(w).cast("long"))
-          .filter($"sample_rank" <= SampleK)
-          .select($"lang", $"sample_rank", $"doc_id", $"h".as("sample_hash"))
-          .orderBy($"lang", $"sample_rank")
-      },
+      (s, d) => bottomKSample(Tables.documents(s, d), SampleK),
       oracle = Some(s"""
         WITH t AS (SELECT doc_id, lang,
                           ${saltedDocHashSql("sample:")} AS h
@@ -944,6 +935,23 @@ object TextQueries {
         SELECT lang, sample_rank, doc_id, h AS sample_hash
         FROM r WHERE sample_rank <= $SampleK
         ORDER BY lang, sample_rank""")))
+
+  /** Deterministic bottom-k per-stratum sample (t17), exposed as a library
+    * call: the k docs per language with the smallest salted doc hashes —
+    * a uniform, mergeable, retry-stable fixed-budget sample. Output:
+    * (lang, sample_rank [1..k], doc_id, sample_hash). */
+  def bottomKSample(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+    docs
+      .select($"doc_id", $"lang", saltedDocHash("sample:").as("h"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter($"sample_rank" <= k)
+      .select($"lang", $"sample_rank", $"doc_id", $"h".as("sample_hash"))
+      .orderBy($"lang", $"sample_rank")
+  }
 
   /** Overlapping fixed-window chunker (t16), exposed as a library call:
     * (doc_id, chunk_idx, chunk_start [1-based], chunk_len, chunk_md5).

@@ -103,4 +103,36 @@ class EdgeCaseSpec extends SparkSpec {
       .select($"chunk_md5").as[String].collect()
     assert(same(0) === same(1)) // "xyz" == "xyz"
   }
+
+  test("bottomKSample: empty input, k past the stratum size, partition-stable") {
+    val docs = Seq(
+      (1L, "aa", "en"), (2L, "bb", "en"), (3L, "cc", "en"),
+      (4L, "dd", "de")
+    ).toDF("doc_id", "text", "lang")
+    assert(TextQueries.bottomKSample(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang"), 5).count() === 0L)
+    // k exceeds every stratum: all rows sampled, ranks dense per stratum
+    val all = TextQueries.bottomKSample(docs, 10)
+      .select($"lang", $"sample_rank", $"doc_id")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(all.length === 4)
+    assert(all.filter(_._1 == "en").map(_._2).sorted === Seq(1L, 2L, 3L))
+    assert(all.filter(_._1 == "de").map(_._2) === Seq(1L))
+    // membership is a pure function of the ids: shuffling the input's
+    // physical layout must not change the sample
+    val a = TextQueries.bottomKSample(docs, 2).collect().toSeq
+    val b = TextQueries.bottomKSample(docs.repartition(7), 2).collect().toSeq
+    assert(a === b)
+  }
+
+  test("semanticClusters: empty corpus => no labels; tiny corpus all labeled") {
+    assert(SimilarityQueries.semanticClusters(spark, noVecs).count() === 0L)
+    val labels = SimilarityQueries.semanticClusters(spark, fewVecs)
+      .as[(Long, Long)].collect().toSeq
+    assert(labels.map(_._1).sorted === (0L until 8L))
+    // representative is always the min member of its cluster
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid)
+    }
+  }
 }

@@ -240,11 +240,18 @@ object DedupQueries {
     val edges = pairs.select($"doc_a", $"doc_b")
       .union(pairs.select($"doc_b", $"doc_a"))
       .toDF("src", "dst").cache()
+    // Iterate ONLY over nodes that have at least one edge: an isolated
+    // node's label can never change, so it joins back once at the end
+    // with cluster_id = its own id. At corpus scale this is the
+    // difference between per-round joins over the near-dup SUBGRAPH
+    // (pairs are a small fraction of docs) and per-round joins over the
+    // whole corpus.
+    val touched = edges.select($"src".as("doc_id")).distinct()
     // localCheckpoint (eager) per round: the pointer-jump self-join would
     // otherwise DOUBLE the logical plan every round (2^rounds analyzer
     // nodes — lineage, not data, becomes the bottleneck; the standard
     // iterative-graph discipline, same reason GraphX checkpoints)
-    var labels = docs.select($"doc_id", $"doc_id".as("cluster_id")).localCheckpoint()
+    var labels = touched.select($"doc_id", $"doc_id".as("cluster_id")).localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -274,7 +281,10 @@ object DedupQueries {
       s"near-dup clustering did not converge after $rounds rounds " +
         s"($changed labels still changing); raise maxRounds")
     edges.unpersist()
-    labels.orderBy($"doc_id")
+    // isolated nodes re-enter with their own id as the label
+    docs.select($"doc_id").join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+      .orderBy($"doc_id")
   }
 
   /** Exact-jaccard verified pair set — shared by the quadratic baseline and

@@ -934,7 +934,114 @@ object TextQueries {
               FROM t)
         SELECT lang, sample_rank, doc_id, h AS sample_hash
         FROM r WHERE sample_rank <= $SampleK
-        ORDER BY lang, sample_rank""")))
+        ORDER BY lang, sample_rank""")),
+
+    // ----- BPE tokenizer APPLICATION at corpus scale -------------------------
+    // The other half of t13: learn the merge table (same 3 greedy rounds),
+    // then tokenize the WHOLE corpus with it and report per-lang token
+    // economics (characters vs post-merge BPE tokens, compression ratio).
+    // The scale trick is that application never touches documents again:
+    // after the one corpus shuffle into per-(lang, word) counts, merges
+    // are applied to the DISTINCT-WORD table (vocab-sized, MBs) and the
+    // per-lang totals come from cnt-weighted sums over the vocab — exactly
+    // how production tokenizer-stats jobs avoid re-scanning the corpus per
+    // vocab revision. Merge learning is t13's loop (argmax = a 1-row
+    // driver decision per round) carried over a (w, sym, freq) table so
+    // each word keeps its identity through the rewrites.
+    QueryDef(
+      "t18_bpe_tokenize",
+      (s, d) => {
+        import s.implicits._
+        val lw = Tables.documents(s, d)
+          .select($"lang", explode(TextFns.tokens($"text")).as("w"))
+          .groupBy($"lang", $"w").agg(count(lit(1)).as("cnt")).cache()
+        var words = lw.groupBy($"w").agg(sum($"cnt").as("freq"))
+          .as[(String, Long)]
+          .map { case (w, f) =>
+            val chars = w.codePoints().toArray
+              .map(cp => new String(Character.toChars(cp)))
+            (w, chars.mkString(" "), f)
+          }
+          .toDF("w", "sym", "freq").cache()
+        for (_ <- 1 to BpeRounds) {
+          val top = words.as[(String, String, Long)]
+            .flatMap { case (_, sym, f) =>
+              val ps = sym.split(' ')
+              (0 until ps.length - 1).iterator.map(i => (ps(i), ps(i + 1), f))
+            }
+            .toDF("s1", "s2", "f")
+            .groupBy($"s1", $"s2").agg(sum($"f").as("cnt"))
+            .orderBy($"cnt".desc, $"s1", $"s2").limit(1)
+            .as[(String, String, Long)].collect()(0)
+          val (m1, m2) = (top._1, top._2)
+          val next = words.as[(String, String, Long)]
+            .map { case (w, sym, f) => (w, applyBpeMerge(sym, m1, m2), f) }
+            .toDF("w", "sym", "freq").cache()
+          words.unpersist()
+          words = next
+        }
+        val nsym = words.as[(String, String, Long)]
+          .map { case (w, sym, _) => (w, sym.split(' ').length.toLong) }
+          .toDF("w", "nsym")
+        lw.join(nsym, "w")
+          .groupBy($"lang")
+          .agg(sum($"cnt").as("n_words"),
+            sum($"cnt" * length($"w").cast("long")).as("char_tokens"),
+            sum($"cnt" * $"nsym").as("bpe_tokens"))
+          .select($"lang", $"n_words", $"char_tokens", $"bpe_tokens",
+            floor($"bpe_tokens" * lit(1000.0) /
+              greatest($"char_tokens", lit(1L))).cast("long").as("compression_milli"))
+          .orderBy($"lang")
+      },
+      oracle = Some(t18OracleSql)))
+
+  /** The t18 oracle: t13's unrolled merge-learning CTE chain (same pair
+    * counts, same argmax order, same list_reduce merge fold) carried over a
+    * (w, sym, freq) table so each vocab word keeps its identity, one extra
+    * merge application (words4 = merge3 applied), then cnt-weighted
+    * per-lang sums over the vocab. */
+  private def t18OracleSql: String = {
+    def pairsOf(wordsCte: String, n: Int): String = s"""
+        pairs$n AS (
+          SELECT p.s1 AS s1, p.s2 AS s2, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+            SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+                     i -> {'s1': s[i], 's2': s[i+1]})) AS p, freq
+            FROM (SELECT string_split(sym, ' ') AS s, freq FROM $wordsCte))
+          GROUP BY 1, 2),
+        merge$n AS (SELECT s1, s2, cnt FROM pairs$n ORDER BY cnt DESC, s1, s2 LIMIT 1)"""
+    def mergedWords(prev: String, n: Int): String = s"""
+        words$n AS (
+          SELECT w, list_reduce(string_split(sym, ' '),
+                   (acc, x) -> CASE WHEN x = m.s2 AND (acc = m.s1 OR ends_with(acc, ' ' || m.s1))
+                               THEN acc || x ELSE acc || ' ' || x END) AS sym, freq
+          FROM $prev, merge${n - 1} m)"""
+    s"""
+        WITH toks AS (
+          SELECT lang,
+                 unnest(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+          FROM documents),
+        lw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY lang, w),
+        w0 AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS freq FROM lw GROUP BY w),
+        words1 AS (
+          SELECT w, array_to_string(list_transform(generate_series(1, length(w)),
+                   i -> substring(w, i, 1)), ' ') AS sym, freq
+          FROM w0),
+        ${pairsOf("words1", 1)},
+        ${mergedWords("words1", 2)},
+        ${pairsOf("words2", 2)},
+        ${mergedWords("words2", 3)},
+        ${pairsOf("words3", 3)},
+        ${mergedWords("words3", 4)},
+        nsym AS (SELECT w, CAST(len(string_split(sym, ' ')) AS BIGINT) AS nsym FROM words4)
+        SELECT lang,
+               CAST(sum(cnt) AS BIGINT) AS n_words,
+               CAST(sum(cnt * length(w)) AS BIGINT) AS char_tokens,
+               CAST(sum(cnt * nsym) AS BIGINT) AS bpe_tokens,
+               CAST(floor(sum(cnt * nsym) * 1000.0 /
+                 greatest(sum(cnt * length(w)), 1)) AS BIGINT) AS compression_milli
+        FROM lw JOIN nsym USING (w)
+        GROUP BY lang ORDER BY lang"""
+  }
 
   /** Deterministic bottom-k per-stratum sample (t17), exposed as a library
     * call: the k docs per language with the smallest salted doc hashes —

@@ -214,4 +214,24 @@ class TextSpec extends SparkSpec {
       assert(shared <= tot)
     }
   }
+
+  test("t18: BPE tokenization compresses, never pads, and word totals match t12") {
+    val rows = SparkEntry.queries("t18_bpe_tokenize")(spark, sf)
+      .select($"lang", $"n_words", $"char_tokens", $"bpe_tokens", $"compression_milli")
+      .as[(String, Long, Long, Long, Long)].collect()
+    rows.foreach { case (lang, nw, chars, bpe, cm) =>
+      // each merge only ever shrinks a word's symbol count, and a word has
+      // at least one symbol: n_words <= bpe_tokens <= char_tokens (empty
+      // words cost 1 bpe token and 0 chars, so chars uses a planted floor)
+      assert(bpe <= math.max(chars, nw), s"$lang: bpe=$bpe > chars=$chars")
+      assert(nw <= bpe, s"$lang: fewer bpe tokens than words")
+      assert(cm === bpe * 1000L / math.max(chars, 1L), s"$lang: ratio mismatch")
+    }
+    // the corpus-wide word totals must agree with t12's per-lang token counts
+    val t12 = SparkEntry.queries("t12_unigram_surprisal")(spark, sf)
+      .select($"lang", $"total_tokens").as[(String, Long)].collect().toMap
+    rows.foreach { case (lang, nw, _, _, _) =>
+      assert(t12(lang) === nw, s"$lang: t18 n_words=$nw != t12 total=${t12(lang)}")
+    }
+  }
 }

@@ -13,10 +13,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[org.apache.spark.sql.graft.Bridge.registerCosineMilli]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_milli"),
       new ExpressionInfo("graft.functions.CosineMilliExpr", "cosine_milli"),
       (exprs: Seq[Expression]) =>
         graft.functions.CosineMilliExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo("graft.functions.PolyHashExpr", "poly_hash"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.PolyHashExpr(exprs(0))))
+  }
 }

@@ -45,11 +45,19 @@ object TextFns {
   /** Polynomial rolling hash of a string (mod 2^31-1), char-at-a-time:
     * acc = (acc * 31 + code) mod p. Reproducible in DuckDB via
     * list_reduce over the same char codes — used as an oracle-checkable
-    * document fingerprint alongside md5. */
-  def polyHash(c: Column): Column = {
-    // split("") yields the char array in one O(n) pass; indexing with
-    // substring(s, i, 1) instead is O(n) per char on UTF8 strings (O(n^2)
-    // per doc — measured 23s vs ~1s over 5000 docs at sf0.1)
+    * document fingerprint alongside md5. Backed by the codegen'd
+    * [[PolyHashExpr]] (one fused loop; the higher-order formulation below
+    * runs interpreted outside whole-stage codegen). */
+  def polyHash(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      PolyHashExpr(org.apache.spark.sql.graft.Bridge.expression(c)))
+
+  /** The original transform/aggregate formulation — kept as the
+    * equivalence oracle for [[PolyHashExpr]] (VectorExprSpec). split("")
+    * yields the char array in one O(n) pass; indexing with
+    * substring(s, i, 1) instead is O(n) per char on UTF8 strings (O(n^2)
+    * per doc — measured 23s vs ~1s over 5000 docs at sf0.1). */
+  def polyHashInterpreted(c: Column): Column = {
     val codes = transform(split(c, ""), ch => ascii(ch))
     aggregate(codes, lit(0L), (acc, code) => pmod(acc * 31 + code, lit(2147483647L)))
   }

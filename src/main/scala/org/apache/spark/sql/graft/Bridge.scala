@@ -27,6 +27,13 @@ object Bridge {
       new ExpressionInfo("graft.functions.CosineMilliExpr", "cosine_milli"),
       (exprs: Seq[Expression]) => graft.functions.CosineMilliExpr(exprs(0), exprs(1)))
 
+  /** Register `poly_hash(s)` for SQL use on an existing session. */
+  def registerPolyHash(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo("graft.functions.PolyHashExpr", "poly_hash"),
+      (exprs: Seq[Expression]) => graft.functions.PolyHashExpr(exprs(0)))
+
   /** Test hook: the injected-function names an extensions object would
     * contribute to a new session (registerFunctions is private[sql]). */
   def injectedFunctionNames(ext: org.apache.spark.sql.SparkSessionExtensions): Seq[String] = {

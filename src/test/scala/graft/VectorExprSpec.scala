@@ -62,4 +62,40 @@ class VectorExprSpec extends SparkSpec {
       .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
     assert(plan.contains("WholeStageCodegen"), plan.take(1500))
   }
+
+  test("poly_hash expression is bit-identical to the interpreted form") {
+    import graft.functions.TextFns
+    // synthetic strings covering empties, whitespace, BMP unicode, long
+    // runs — plus every doc in the fixture corpus
+    val synth = Seq("", " ", "a", "abc", "The quick brown fox!",
+      "tabs\tand\nnewlines", "中文字符串", "mixed 中文 and ascii 123",
+      "x" * 5000).toDF("s")
+    val fixture = Tables.documents(spark, sf).select($"text".as("s"))
+    for (df <- Seq(synth, fixture)) {
+      val diff = df.select(
+        TextFns.polyHash($"s").as("fused"),
+        TextFns.polyHashInterpreted($"s").as("interp"))
+        .filter($"fused" =!= $"interp")
+      assert(diff.count() === 0L)
+    }
+    // null in, null out — matching the builtin formulation
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(TextFns.polyHash($"s")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("poly_hash registers as a SQL function and matches the Column form") {
+    org.apache.spark.sql.graft.Bridge.registerPolyHash(spark)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(org.apache.spark.sql.graft.Bridge.injectedFunctionNames(ext)
+      .contains("poly_hash"))
+    Tables.documents(spark, sf).limit(20).createOrReplaceTempView("docs_tmp")
+    val diff = spark.sql(
+      "SELECT poly_hash(text) AS h FROM docs_tmp").collect().map(_.getLong(0))
+      .zip(Tables.documents(spark, sf).limit(20)
+        .select(graft.functions.TextFns.polyHash($"text")).collect().map(_.getLong(0)))
+      .filter { case (a, b) => a != b }
+    assert(diff.isEmpty)
+  }
 }

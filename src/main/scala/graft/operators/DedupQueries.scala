@@ -263,9 +263,13 @@ object DedupQueries {
           least($"cluster_id", coalesce($"nmin", $"cluster_id")).as("cluster_id"))
         .cache()
       // pointer jump: label := min(label, label(label)) — roughly doubles
-      // the propagated distance every round. The pre-round label rides
-      // along as `old` so the convergence check below is a filter over the
-      // checkpointed result, not another join.
+      // the propagated distance every round. (A second jump per round was
+      // measured at sf0.1 and only cut 8 rounds to 7 on the long-chain
+      // mutual-kNN graph — the per-round reach is gated by the one-hop
+      // nbrMin step, not jump depth — while deepening every round's plan;
+      // not worth it.) The pre-round label rides along as `old` so the
+      // convergence check below is a filter over the checkpointed result,
+      // not another join.
       val next = stepped.join(
           stepped.select($"doc_id".as("cluster_id"), $"cluster_id".as("ll")),
           Seq("cluster_id"), "left")
@@ -280,6 +284,8 @@ object DedupQueries {
     require(changed == 0,
       s"near-dup clustering did not converge after $rounds rounds " +
         s"($changed labels still changing); raise maxRounds")
+    org.slf4j.LoggerFactory.getLogger("graft.DedupQueries")
+      .info(s"clusterLabels converged in $rounds rounds")
     edges.unpersist()
     // isolated nodes re-enter with their own id as the label
     docs.select($"doc_id").join(labels, Seq("doc_id"), "left")

@@ -189,6 +189,17 @@ class ScaleSpec extends SparkSpec {
       vecCorpus(2000), vecCorpus(20000))
   }
 
+  test("s11 semantic clusters: 10x corpus => ~10x runtime, one label per vector") {
+    // the full composition (kNN edges -> mutual filter -> pointer-jumping
+    // labels): output is exactly |V| labels, so linearity shows up purely
+    // in the clock; the round count grows only with component diameter
+    // (log-jumped), not corpus size
+    assertTrend("s11",
+      df => graft.operators.SimilarityQueries.semanticClusters(spark, df,
+        tables = 12, planesPerTable = 14).count(),
+      vecCorpus(2000), vecCorpus(20000))
+  }
+
   test("q48 pagerank: 10x graph => ~10x runtime, one rank per node") {
     // ring + one pseudo-random out-edge per node: |E| = 2|V| exactly, so
     // the 10 fixed iterations must each cost linear work; the output is

@@ -204,5 +204,69 @@ object Multimodal {
                count(*) AS n_unique,
                CAST(sum(mult) - count(*) AS BIGINT) AS dup_assets,
                CAST(sum((mult - 1) * n_bytes) AS BIGINT) AS wasted_bytes
-        FROM g GROUP BY media_type ORDER BY media_type""")))
+        FROM g GROUP BY media_type ORDER BY media_type""")),
+
+    // ----- cross-asset repeated frames (shared intro/outro detection) -------
+    // Frame-granular dedup: a frame FINGERPRINT (here the stub decoder's
+    // feature tuple; in production a perceptual hash of the pixels/PCM)
+    // that appears in >= 2 distinct assets of the same media type marks
+    // shared content — title cards, intros, watermark stills. Shape: one
+    // hash agg over fingerprints (count distinct assets per fp), one
+    // equi-join of the frame table back on the fingerprint — d01's dedup
+    // shape at frame granularity. Only the 4-int fingerprint tuple ever
+    // crosses the shuffle; payloads stay columnar at the scan. Frame count
+    // is bytes/1024 — linear — and the join key is narrow, so the plan
+    // survives a 100x scale-up unchanged.
+    QueryDef(
+      "m05_shared_frames",
+      (s, d) => sharedFrames(assets(s, d)),
+      oracle = Some("""
+        WITH chars AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+                 (i - 1) // 1024 AS frame_no,
+                 CAST(ascii(substring(text, i, 1)) AS BIGINT) AS c
+          FROM documents, unnest(generate_series(1, length(text))) AS u(i)),
+        frames AS (
+          SELECT doc_id, media_type, frame_no,
+                 count(*) AS fb, sum(c) AS bs, min(c) AS bmin, max(c) AS bmax
+          FROM chars GROUP BY doc_id, media_type, frame_no),
+        fp AS (
+          SELECT media_type, fb, bs, bmin, bmax,
+                 count(DISTINCT doc_id) AS na
+          FROM frames GROUP BY media_type, fb, bs, bmin, bmax)
+        SELECT f.media_type,
+               count(*) AS n_frames,
+               CAST(sum(CASE WHEN p.na >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_frames,
+               CAST(count(DISTINCT (f.fb, f.bs, f.bmin, f.bmax)) AS BIGINT) AS n_fingerprints,
+               CAST(max(p.na) AS BIGINT) AS max_assets_per_fp
+        FROM frames f
+        JOIN fp p ON f.media_type = p.media_type AND f.fb = p.fb
+                 AND f.bs = p.bs AND f.bmin = p.bmin AND f.bmax = p.bmax
+        GROUP BY f.media_type ORDER BY f.media_type""")))
+
+  /** The m05 pipeline over an arbitrary asset set: per-media-type frame
+    * counts, frames whose fingerprint appears in >= 2 distinct assets of
+    * that type, distinct fingerprints, and the hottest fingerprint's
+    * asset count. */
+  def sharedFrames(a: Dataset[MediaAsset]): DataFrame = {
+    val s = a.sparkSession
+    import s.implicits._
+    // media_type rides along through the decode — no frames-to-assets
+    // join afterwards (at scale that join would re-shuffle every frame)
+    val f = a.mapPartitions(_.flatMap(x => stubDecode(x).map(fr =>
+        (x.media_type, fr.asset_id, fr.frame_bytes, fr.byte_sum, fr.byte_min, fr.byte_max))))
+      .toDF("media_type", "asset_id", "frame_bytes", "byte_sum", "byte_min", "byte_max")
+    val fpKey = Seq("media_type", "frame_bytes", "byte_sum", "byte_min", "byte_max")
+    val fp = f.groupBy(fpKey.map(col): _*)
+      .agg(countDistinct($"asset_id").as("na"))
+    f.join(fp, fpKey)
+      .groupBy($"media_type")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(($"na" >= 2).cast("long")).as("shared_frames"),
+        countDistinct(
+          $"frame_bytes", $"byte_sum", $"byte_min", $"byte_max").as("n_fingerprints"),
+        max($"na").as("max_assets_per_fp"))
+      .orderBy($"media_type")
+  }
 }

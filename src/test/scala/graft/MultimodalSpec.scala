@@ -30,4 +30,36 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.nonEmpty)
     assert(sampled.forall(_.frame_no % 2 == 0))
   }
+
+  test("m05 flags every frame of an exact-duplicate asset pair as shared") {
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    // shape invariants over the fixture corpus
+    val rows = SparkEntry.queries("m05_shared_frames")(spark, sf)
+      .collect().map {
+        case Row(mt: String, nf: Long, sh: Long, fps: Long, mx: Long) =>
+          (mt, nf, sh, fps, mx)
+      }
+    assert(rows.map(_._1).toSeq === Seq("audio/wav", "image/png"))
+    rows.foreach { case (mt, nf, sh, fps, mx) =>
+      assert(sh <= nf, s"$mt: more shared frames than frames")
+      assert(fps <= nf, s"$mt: more fingerprints than frames")
+      assert(mx >= 1L)
+    }
+    // plant an exact-duplicate asset pair: EVERY frame of both copies must
+    // flag as shared, and the hot fingerprint must report 2 assets
+    val payload = Array.tabulate[Byte](2500)(i => (i % 251).toByte)
+    val planted = Seq(
+      Multimodal.MediaAsset(1L, payload, "video/mp4", payload.length.toLong),
+      Multimodal.MediaAsset(2L, payload, "video/mp4", payload.length.toLong),
+      Multimodal.MediaAsset(3L, payload.map(b => (b ^ 1).toByte), "image/png",
+        payload.length.toLong)
+    ).toDS()
+    val got = Multimodal.sharedFrames(planted).collect().map {
+      case Row(mt: String, nf: Long, sh: Long, fps: Long, mx: Long) =>
+        mt -> (nf, sh, fps, mx)
+    }.toMap
+    assert(got("video/mp4") === ((6L, 6L, 3L, 2L))) // 3 frames x 2 copies, all shared
+    assert(got("image/png") === ((3L, 0L, 3L, 1L))) // perturbed copy shares nothing
+  }
 }

@@ -773,30 +773,7 @@ object SimilarityQueries {
     // the classic WAND trade, out of scope).
     QueryDef(
       "s10_bm25_retrieval",
-      (s, d) => {
-        import s.implicits._
-        val dt = Tables.documents(s, d)
-          .select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
-          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-          .cache()
-        val dl = dt.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-        val dft = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
-        val terms = Bm25Terms.toDF("query_id", "tok")
-        val qterms = terms.join(dft, "tok")
-        val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_total"))
-        val w = Window.partitionBy($"query_id")
-          .orderBy($"score_milli".desc, $"doc_id")
-        dt.join(broadcast(qterms), "tok")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .select($"query_id", $"doc_id", expr(Bm25ContribExpr).as("contrib"))
-          .groupBy($"query_id", $"doc_id")
-          .agg(expr("sum(contrib) div 1000").as("score_milli"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter($"rank" <= 10)
-          .select($"query_id", $"rank", $"doc_id", $"score_milli")
-          .orderBy($"query_id", $"rank")
-      },
+      (s, d) => bm25Search(Tables.documents(s, d), Bm25Queries, k = 10),
       oracle = Some(s10OracleSql)),
 
     // ----- semantic clusters: connected components over the mutual-kNN graph
@@ -814,6 +791,40 @@ object SimilarityQueries {
       "s11_semantic_clusters",
       (s, d) => semanticClusters(s, Tables.embeddings(s, d)),
       oracle = Some(s11OracleSql)))
+
+  /** The s10 pipeline over an arbitrary (doc_id, text) table: BM25 top-k
+    * per query in exact integer-milli arithmetic (see the s10 comment).
+    * Query terms absent from the corpus contribute nothing; a query with
+    * no matching term returns no rows. */
+  def bm25Search(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+      k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val s = docs.sparkSession
+    import s.implicits._
+    val dt = docs
+      .select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .cache()
+    val dl = dt.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val dft = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val terms = queries
+      .flatMap { case (q, ts) => ts.distinct.map(q -> _) }
+      .toDF("query_id", "tok")
+    val qterms = terms.join(dft, "tok")
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_total"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"score_milli".desc, $"doc_id")
+    dt.join(broadcast(qterms), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"query_id", $"doc_id", expr(Bm25ContribExpr).as("contrib"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(expr("sum(contrib) div 1000").as("score_milli"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"doc_id", $"score_milli")
+      .orderBy($"query_id", $"rank")
+  }
 
   /** The s11 pipeline over an arbitrary (vec_id, embedding) table:
     * (vec_id, cluster_id) labels from connected components over the

@@ -125,6 +125,17 @@ class EdgeCaseSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("bm25Search: empty corpus, unknown terms, k past the match count") {
+    val qs = Seq(1L -> Seq("spark", "engines"), 2L -> Seq("zzz_not_a_word"))
+    assert(SimilarityQueries.bm25Search(noDocs, qs, 10).count() === 0L)
+    val hits = SimilarityQueries.bm25Search(oneDoc, qs, 10)
+      .select($"query_id", $"rank", $"doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // query 1 matches the one doc (k truncates to the match count); the
+    // unknown-term query returns no rows at all rather than zero scores
+    assert(hits === Seq((1L, 1L, 1L)))
+  }
+
   test("semanticClusters: empty corpus => no labels; tiny corpus all labeled") {
     assert(SimilarityQueries.semanticClusters(spark, noVecs).count() === 0L)
     val labels = SimilarityQueries.semanticClusters(spark, fewVecs)

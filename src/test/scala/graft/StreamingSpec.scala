@@ -518,6 +518,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bottom-k sample equals batch t17 on the same documents") {
+    // the mergeability claim, live: bottom-k(A ∪ B) = bottom-k of the
+    // parts' bottom-ks, so folding micro-batches into a k-row state must
+    // reproduce the one-shot sample exactly. Docs arrive hash-DESCENDING
+    // per stratum (worst case: every batch's rows initially enter the
+    // sample, then are evicted by later smaller hashes), and the last
+    // batch is re-delivered to prove at-least-once redelivery is dropped
+    // by id instead of double-counted.
+    implicit val sq = spark.sqlContext
+    val k = 7
+    val ms = MemoryStream[(Long, String)]
+    val (q, state) = graft.streaming.StreamSample.start(
+      ms.toDF().toDF("doc_id", "lang"), k)
+    try {
+      val batchResult = graft.operators.TextQueries
+        .bottomKSample(Tables.documents(spark, sf), k)
+        .as[(String, Long, Long, Long)].collect().toVector
+      val byHash = graft.operators.TextQueries
+        .bottomKSample(Tables.documents(spark, sf), Int.MaxValue)
+        .as[(String, Long, Long, Long)].collect()
+        .sortBy { case (lang, r, _, _) => (lang, -r) } // per-stratum hash-desc
+        .map { case (lang, _, id, _) => (id, lang) }.toSeq
+      val chunks = byHash.grouped(math.max(1, byHash.size / 4 + 1)).toSeq
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+      ms.addData(chunks.last); q.processAllAvailable() // redelivery
+      val streamed = state.sample.as[(String, Long, Long, Long)].collect().toVector
+      assert(streamed === batchResult)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("fsm with processing-time timeout emits on silence (pelican P4 shape)") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[(Long, Long, String)]

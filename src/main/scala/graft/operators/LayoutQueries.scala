@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import RelationalQueries.cents
+
+/** Physical-layout operators (SURVEY.md §2.2 partitioning / data layout):
+  * the write-side techniques that make 100 TB reads cheap. Both queries here
+  * produce layout-independent answers (their oracles are plain SQL over the
+  * original table); what the layout changes is the PLAN — gated in
+  * [[graft.LayoutSpec]] — not the result.
+  *
+  *  - q51: bucketed co-located join. Writing both fact tables bucketed (and
+  *    per-bucket sorted) on the join key removes the join's exchanges
+  *    entirely: each task reads bucket i of both sides and merges. At 100 TB
+  *    the bucketed write is paid ONCE and every subsequent fact-fact join on
+  *    that key is shuffle-free, which converts the cluster's scarcest
+  *    resource (shuffle I/O) into its cheapest (parallel scans).
+  *  - q52: z-order (Morton) clustering. A 1-D sort can only cluster one
+  *    column; interleaving the bits of two filter columns gives every file /
+  *    row group a narrow min-max envelope in BOTH dimensions, so parquet
+  *    stats prune rectangle predicates on either column — the standard
+  *    multi-dimensional data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER).
+  */
+object LayoutQueries {
+
+  /** Morton (z-order) interleave of the low `bits` bits of two non-negative
+    * integer columns: bit i of `a` lands at position 2i, bit i of `b` at
+    * 2i+1. Statically unrolled into plain shift/and/or Catalyst expressions,
+    * so it stays inside whole-stage codegen. 21 bits per dimension (42-bit
+    * z-value) covers key domains up to 2M; raise `bits` (≤31) for larger
+    * domains. Negative inputs are not supported (sign bits would interleave
+    * into garbage) — callers pass surrogate keys.
+    */
+  def zValue2(a: Column, b: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    val av = a.cast("long")
+    val bv = b.cast("long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      val abit = shiftleft(shiftright(av, i).bitwiseAND(lit(1L)), 2 * i)
+      val bbit = shiftleft(shiftright(bv, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      acc.bitwiseOR(abit).bitwiseOR(bbit)
+    }
+  }
+
+  /** Rewrite `df` into `files` files clustered by the z-value of the two
+    * columns: range-partition by z (files cover disjoint z-ranges) and sort
+    * within each so row-group min/max stats are tight on BOTH source columns.
+    * The z column is dropped before the write — pruning happens on the
+    * ORIGINAL columns' stats, the z-value only dictates row placement.
+    *
+    * Both columns are first rescaled onto a common 2^16 grid (one cheap
+    * max() pass): raw interleaving of unequal-width domains makes the wider
+    * key's high bits dominate the ordering, producing tiles elongated along
+    * the narrow dimension and little skipping there (measured in LayoutSpec:
+    * 41% -> ~15% scanned after normalization). Production layouts (Delta /
+    * Iceberg OPTIMIZE ZORDER) normalize via per-column range-bucket ids for
+    * skew-robustness; max-scaling is the right cost point for uniform
+    * surrogate keys. */
+  def zOrderWrite(df: org.apache.spark.sql.DataFrame, c1: String, c2: String,
+                  files: Int, path: String, maxRecordsPerFile: Int = 4096): Unit = {
+    val m = df.agg(max(col(c1)).cast("long"), max(col(c2)).cast("long")).head
+    def safeMax(i: Int) = if (m.isNullAt(i)) 1L else math.max(m.getLong(i), 1L)
+    val (m1, m2) = (safeMax(0), safeMax(1))
+    val grid = 1L << 16
+    val n1 = col(c1).cast("long") * grid / (m1 + 1)
+    val n2 = col(c2).cast("long") * grid / (m2 + 1)
+    df.withColumn("__z", zValue2(n1, n2, bits = 16))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(path)
+  }
+
+  /** Stable per-SF scratch dir for layout rewrites (same input => same
+    * path, so repeated Verify/Bench runs overwrite rather than accumulate). */
+  private def scratch(sfDir: String, name: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_layout/$tag/$name"
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ----- bucketed co-located fact-fact join (shuffle-free) ---------------
+    // Both sides written bucketBy(join key) + sortBy, then joined with a
+    // merge hint: the SMJ reads bucket i of each table in task i — no
+    // Exchange below the join (gated in LayoutSpec). The groupBy above it
+    // still shuffles |priorities| rows, which is noise. hint("merge") keeps
+    // the plan shape identical at every SF (no broadcast flip at small SF).
+    QueryDef(
+      "q51_bucketed_colocated_join",
+      (s, d) => {
+        import s.implicits._
+        bucketedPair(s, d)
+        s.table("graft_layout.q51_li").hint("merge")
+          .join(s.table("graft_layout.q51_ord").hint("merge"),
+            $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"), cents($"l_extendedprice").as("rev_c"))
+          .orderBy($"o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(floor(l_extendedprice * 100)) AS BIGINT) AS rev_c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ----- z-order clustering: 2-D data skipping ---------------------------
+    // lineitem rewritten clustered by z(l_partkey, l_suppkey); a rectangle
+    // predicate on both columns then reads only the files/row groups whose
+    // stats envelope intersects the rectangle (LayoutSpec measures the skip
+    // on each dimension independently). The answer is layout-independent —
+    // the oracle runs the same rectangle over the original table.
+    QueryDef(
+      "q52_zorder_skipping",
+      (s, d) => {
+        import s.implicits._
+        val path = scratch(d, "li_zorder")
+        zOrderWrite(
+          Tables.lineitem(s, d).select($"l_partkey", $"l_suppkey", $"l_extendedprice"),
+          "l_partkey", "l_suppkey", files = 16, path = path)
+        s.read.parquet(path)
+          .filter($"l_partkey".between(100, 299) && $"l_suppkey".between(10, 29))
+          .groupBy($"l_suppkey")
+          .agg(count(lit(1)).as("n"), cents($"l_extendedprice").as("rev_c"))
+          .orderBy($"l_suppkey")
+      },
+      oracle = Some("""
+        SELECT l_suppkey, count(*) AS n,
+               CAST(sum(floor(l_extendedprice * 100)) AS BIGINT) AS rev_c
+        FROM lineitem
+        WHERE l_partkey BETWEEN 100 AND 299 AND l_suppkey BETWEEN 10 AND 29
+        GROUP BY l_suppkey ORDER BY l_suppkey""")))
+
+  /** Write the q51 bucketed pair into the session catalog (idempotent:
+    * overwrite mode, per-SF-stable external paths). 8 buckets at test SF;
+    * at cluster scale the bucket count is sized to target-file-size and
+    * reused by every downstream join on the key. */
+  private def bucketedPair(s: SparkSession, d: String): Unit = {
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_layout")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", scratch(d, "q51_li"))
+      .saveAsTable("graft_layout.q51_li")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", scratch(d, "q51_ord"))
+      .saveAsTable("graft_layout.q51_ord")
+  }
+}

@@ -634,6 +634,44 @@ object ExtraRelationalQueries {
       },
       oracle = Some(SqlScalarQ17)),
 
+    // ----- mergeable heavy-hitters summary (Misra–Gries) --------------------
+    // A k=4 MG summary over an exponentially-skewed derived key (the t12
+    // integer floor-log2 of l_orderkey%100+1: level L holds ~2^L of every
+    // 100 keys, so high levels are true heavy hitters). The summary contents
+    // depend on execution order, so the query emits only its ORDER-INVARIANT
+    // guarantees next to the exact counts (q24's convention): the estimate
+    // never overestimates, underestimates by at most floor(n/(k+1)), and any
+    // item above that threshold must be tracked. At 100 TB only the O(k)
+    // summary runs (partial-agg tree, no key shuffle); the exact groupBy
+    // here is the verification harness, not the operator.
+    QueryDef(
+      "q53_heavy_hitters_mg",
+      (s, d) => {
+        import s.implicits._
+        val k = 4
+        val lvl = (length(bin(lit(1) + col("l_orderkey") % 100)) - 1).cast("long")
+        val keys = Tables.lineitem(s, d).select(lvl.as("lvl"))
+        val summary: Map[Long, Long] =
+          keys.as[Long].select(new graft.functions.MisraGries(k).toColumn).head()
+        val exact = keys.groupBy($"lvl").agg(count(lit(1)).as("n"))
+        val total = Tables.lineitem(s, d).count()
+        val bound = graft.functions.MisraGries.bound(total, k)
+        val est = summary.toSeq.toDF("lvl", "est")
+        exact.join(broadcast(est), Seq("lvl"), "left")
+          .withColumn("e", coalesce($"est", lit(0L)))
+          .select(
+            $"lvl", $"n",
+            ($"e" <= $"n" && $"e" >= $"n" - bound).as("within_bound"),
+            (!($"n" > bound) || $"e" > 0).as("survivor_tracked"))
+          .orderBy($"lvl")
+      },
+      oracle = Some("""
+        WITH x AS (SELECT length(bin(1 + (l_orderkey % 100))) - 1 AS lvl
+                   FROM lineitem)
+        SELECT lvl, count(*) AS n,
+               TRUE AS within_bound, TRUE AS survivor_tracked
+        FROM x GROUP BY lvl ORDER BY lvl""")),
+
     // ----- bloom-filter semi-join pruning (runtime-filter pattern) ----------
     // The selective dim predicate's surviving key set is compressed into a
     // bloom filter (a driver collect of O(bits) — ~1.2 MB per million keys

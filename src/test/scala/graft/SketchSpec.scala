@@ -49,4 +49,45 @@ class SketchSpec extends SparkSpec {
         s"${r.getString(0)}: approx median $m outside [${bounds(0)}, ${bounds(1)}]")
     }
   }
+
+  test("Misra–Gries: exact when distinct keys fit the summary") {
+    val mg = new graft.functions.MisraGries(8)
+    val data = (0L until 1000L).map(_ % 5) // 5 distinct <= k=8: never evicts
+    val got = spark.createDataset(data).repartition(7).select(mg.toColumn).head()
+    assert(got === data.groupBy(identity).map { case (k, v) => k -> v.size.toLong })
+  }
+
+  test("Misra–Gries guarantees hold under multi-partition merge on skewed keys") {
+    val k = 3
+    val mg = new graft.functions.MisraGries(k)
+    // zipf-ish: key K appears 2^K times, K = 0..11 (4095 rows, heavy tail)
+    val data = for (key <- 0 until 12; _ <- 0 until (1 << key)) yield key.toLong
+    val exact = data.groupBy(identity).map { case (x, v) => x -> v.size.toLong }
+    val n = data.size.toLong
+    val bound = graft.functions.MisraGries.bound(n, k)
+    // adversarial placement: run the same summary over several partitionings
+    for (parts <- Seq(1, 4, 13)) {
+      val got = spark.createDataset(data.toSeq).repartition(parts)
+        .select(mg.toColumn).head()
+      assert(got.size <= k, s"summary overflow at parts=$parts: $got")
+      got.foreach { case (key, est) =>
+        assert(est <= exact(key), s"overestimate of $key at parts=$parts")
+        assert(est >= exact(key) - bound,
+          s"$key underestimated past the bound at parts=$parts: $est vs ${exact(key)}")
+      }
+      exact.foreach { case (key, c) =>
+        if (c > bound)
+          assert(got.contains(key), s"guaranteed survivor $key lost at parts=$parts")
+      }
+    }
+  }
+
+  test("q53's guarantee flags are all true (oracle-checkable form)") {
+    val rows = SparkEntry.queries("q53_heavy_hitters_mg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"lvl ${r.getLong(0)}: estimate outside MG bound")
+      assert(r.getBoolean(3), s"lvl ${r.getLong(0)}: guaranteed survivor missing")
+    }
+  }
 }

@@ -329,6 +329,10 @@ object EventQueries {
     val s = nodes.sparkSession
     import s.implicits._
     val outw = edges.groupBy($"src").agg(sum($"w").as("ow"))
+    // The join with outw shuffles both sides on src, so the CACHED ew is
+    // already hash-partitioned on the per-iteration join key — don't add an
+    // explicit repartition here (measured: it only inserts a redundant
+    // pre-cache shuffle; the loop below never re-shuffles ew as-is).
     val ew = edges.join(outw, "src").cache()
     val zeros = nodes.select($"k", lit(0L).as("c")).cache()
     var r = zeros.select($"k", lit(1000000L).as("r"))

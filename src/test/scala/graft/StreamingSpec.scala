@@ -549,6 +549,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Misra–Gries summary keeps q53's guarantees for any batch split") {
+    // The mergeable-summary claim, live: per-batch distributed MG partials
+    // folded into an O(k) driver state must satisfy the SAME deterministic
+    // bounds as a one-shot run over the whole stream — est ≤ exact,
+    // est ≥ exact − floor(n/(k+1)), every key above the threshold tracked.
+    // Keys arrive zipf-skewed and deterministically shuffled; the last
+    // batch's merge is re-invoked under its batchId to prove foreachBatch
+    // retries fold at most once (a counting sketch cannot dedup rows).
+    implicit val sq = spark.sqlContext
+    val k = 3
+    val data = (for (key <- 0 until 12; i <- 0 until (1 << key))
+      yield (key.toLong, i)).sortBy { case (key, i) => (key * 31 + i * 17) % 101 }
+      .map(_._1)
+    val exact = data.groupBy(identity).map { case (x, v) => x -> v.size.toLong }
+    val bound = graft.functions.MisraGries.bound(data.size.toLong, k)
+    val ms = MemoryStream[Long]
+    val (q, state) = graft.streaming.StreamHeavyHitters.start(ms.toDF(), k)
+    try {
+      data.grouped(data.size / 5 + 1).foreach { c =>
+        ms.addData(c); q.processAllAvailable()
+      }
+      assert(state.total === data.size.toLong)
+      val got = state.summary
+      assert(got.size <= k)
+      got.foreach { case (key, est) =>
+        assert(est <= exact(key), s"stream overestimated $key")
+        assert(est >= exact(key) - bound, s"stream broke the bound for $key")
+      }
+      exact.foreach { case (key, c) =>
+        if (c > bound) assert(got.contains(key), s"survivor $key lost in stream")
+      }
+      // exactly-once fold: a retry of an already-folded batchId is a no-op
+      // (foreachBatch re-delivers a failed batch under the SAME id)
+      val before = (state.summary, state.total)
+      state.merge(0L, spark.createDataset(data.take(50)))
+      assert((state.summary, state.total) === before,
+        "retried batchId must not double-count")
+      ms.addData(data.take(50)); q.processAllAvailable() // NEW batchId: folds
+      assert(state.total === before._2 + 50)
+    } finally q.stop()
+  }
+
+  test("streaming Misra–Gries is exact when distinct keys fit the summary") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val data = (0L until 400L).map(_ % 5)
+    val (q, state) = graft.streaming.StreamHeavyHitters.start(ms.toDF(), 8)
+    try {
+      data.grouped(90).foreach { c => ms.addData(c); q.processAllAvailable() }
+      assert(state.summary ===
+        data.groupBy(identity).map { case (x, v) => x -> v.size.toLong })
+    } finally q.stop()
+  }
+
   test("fsm with processing-time timeout emits on silence (pelican P4 shape)") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[(Long, Long, String)]

@@ -245,6 +245,60 @@ object EventQueries {
         ${(1 to 10).map(prIterCte).mkString(",\n        ")}
         SELECT k, r AS rank_micro FROM pr10 ORDER BY k""")),
 
+    // ----- triangle counting over the page-transition graph -----------------
+    // Per-node triangle participation (the local-density signal behind
+    // clustering coefficients / link-spam scores) via degree-ordered
+    // orientation — see [[triangleCounts]] for the scale argument. The
+    // oracle counts the same canonical triangle set with plain u<v
+    // self-joins (orientation changes the execution, never the result).
+    QueryDef(
+      "q54_triangle_counts",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_id",
+            get_json_object($"props", "$.k").cast("long").as("k"))
+          .filter($"k".isNotNull)
+        val hop = ev.select($"k".as("src"),
+          lead($"k", 1).over(Window.partitionBy($"user_id").orderBy($"event_id"))
+            .as("dst"))
+        val und = hop.filter($"dst".isNotNull && $"src" =!= $"dst")
+          .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+          .distinct()
+        triangleCounts(und).orderBy($"node")
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT user_id, event_id,
+                 CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+          FROM events
+          WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+        hop AS (
+          SELECT k AS src,
+                 lead(k) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
+          FROM ev),
+        edges AS (
+          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM hop WHERE dst IS NOT NULL AND src <> dst),
+        tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM edges e1
+          JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+          JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v),
+        pernode AS (
+          SELECT node, count(*) AS n_tri FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+          GROUP BY node),
+        deg AS (
+          SELECT node, count(*) AS degree FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+          GROUP BY node)
+        SELECT d.node, d.degree, coalesce(p.n_tri, 0) AS n_tri
+        FROM deg d LEFT JOIN pernode p USING (node)
+        ORDER BY node""")),
+
     // ----- snapshot diff / period-over-period entity churn (CDC shape) ------
     // Classify every (user, event_type) entity between two activity windows
     // as added / removed / changed / unchanged — the incremental-refresh
@@ -325,6 +379,51 @@ object EventQueries {
     * rounds (and on the last) bounds analyzer depth while keeping the job
     * count at iters/5, not iters — in-between rounds fuse into the next
     * checkpoint's job (the d08 discipline, amortized). */
+  /** Per-node triangle counts over an undirected simple graph given as
+    * canonical edges (u < v, distinct, no self-loops): (node, degree, n_tri)
+    * for every node, zero-triangle nodes included.
+    *
+    * Algorithm: degree-ordered orientation (the MapReduce triangle-counting
+    * scheme of Suri & Vassilvitskii, WWW'11). Each edge is directed from its
+    * (degree, id)-smaller endpoint to the larger, so every out-degree is
+    * O(sqrt(m)) no matter how skewed the degree distribution — a celebrity
+    * node with 10^8 neighbors contributes wedges only through the few
+    * higher-ordered ones, not C(10^8, 2) pairs. Wedges (two out-edges of one
+    * node, ordered) are closed by one equi-join back on the oriented edge
+    * set; each triangle materializes exactly once, at its orientation-least
+    * node. Everything is equi-joins + hash aggregation: shuffles on node
+    * ids, no driver state, AQE-rebalanceable at 100 TB.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val deg = edges.select($"u".as("n")).unionAll(edges.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    // total orientation order: (degree, id); ord struct compares lexically
+    val withOrd = edges
+      .join(deg.select($"n".as("u"), struct($"deg", $"n").as("uo")), "u")
+      .join(deg.select($"n".as("v"), struct($"deg", $"n").as("vo")), "v")
+    val oriented = withOrd.select(
+      when($"uo" < $"vo", $"u").otherwise($"v").as("src"),
+      when($"uo" < $"vo", $"v").otherwise($"u").as("dst"),
+      when($"uo" < $"vo", $"vo").otherwise($"uo").as("dord")).cache()
+    val wedges = oriented.as("o1")
+      .join(oriented.as("o2"),
+        $"o1.src" === $"o2.src" && $"o1.dord" < $"o2.dord")
+      .select($"o1.src".as("a"), $"o1.dst".as("b"), $"o2.dst".as("c"))
+    // the closing edge is oriented b -> c (b precedes c in the total order)
+    val tri = wedges.join(oriented.select($"src".as("b"), $"dst".as("c")),
+      Seq("b", "c"))
+    val perNode = tri.select($"a".as("node"))
+      .unionAll(tri.select($"b".as("node")))
+      .unionAll(tri.select($"c".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+    val out = deg.select($"n".as("node"), $"deg".as("degree"))
+      .join(perNode, Seq("node"), "left")
+      .select($"node", $"degree", coalesce($"n_tri", lit(0L)).as("n_tri"))
+    out
+  }
+
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val s = nodes.sparkSession
     import s.implicits._

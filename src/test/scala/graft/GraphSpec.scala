@@ -60,4 +60,34 @@ class GraphSpec extends SparkSpec {
     // ranks differentiate: a real transition graph is not rank-uniform
     assert(a.map(_.getLong(1)).distinct.length > 1)
   }
+
+  test("triangleCounts on a known graph: shared-edge triangles + triangle-free tail") {
+    // 1-2-3 and 2-3-4 are triangles sharing edge (2,3); (4,5) closes nothing
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val got = EventQueries.triangleCounts(edges).orderBy($"node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 3L, 2L),
+      (4L, 3L, 1L), (5L, 1L, 0L)))
+  }
+
+  test("triangleCounts on a hub star: orientation keeps the celebrity cheap") {
+    // 1 hub + 40 leaves + ONE leaf-leaf edge: exactly one triangle. The
+    // degree orientation points every leaf at the hub, so the hub has no
+    // out-wedges — the shape that makes skewed graphs tractable at scale.
+    val star = (2L to 41L).map(l => (1L, l))
+    val edges = (star :+ (2L, 3L)).map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("u", "v")
+    val got = EventQueries.triangleCounts(edges)
+    assert(got.agg(sum($"n_tri")).head.getLong(0) === 3L) // one triangle x 3 roles
+    assert(got.filter($"node".isin(1L, 2L, 3L) && $"n_tri" === 1L).count() === 3L)
+    assert(got.filter($"n_tri" === 0L).count() === 38L)
+  }
+
+  test("q54 triangle totals are divisible by three roles and nodes cover the graph") {
+    val rows = SparkEntry.queries("q54_triangle_counts")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).sum % 3 === 0)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+  }
 }

@@ -146,4 +146,32 @@ class EdgeCaseSpec extends SparkSpec {
       assert(members.map(_._1).min === cid)
     }
   }
+
+  test("zOrderWrite handles empty and single-row inputs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_edge_z").toString
+    val empty = Seq.empty[(Long, Long, Double)].toDF("a", "b", "x")
+    graft.operators.LayoutQueries.zOrderWrite(empty, "a", "b", 4, s"$tmp/empty")
+    assert(spark.read.parquet(s"$tmp/empty").count() === 0L)
+    val one = Seq((5L, 7L, 1.0)).toDF("a", "b", "x")
+    graft.operators.LayoutQueries.zOrderWrite(one, "a", "b", 4, s"$tmp/one")
+    assert(spark.read.parquet(s"$tmp/one").as[(Long, Long, Double)].collect()
+      .toSeq === Seq((5L, 7L, 1.0)))
+  }
+
+  test("triangleCounts on empty and triangle-free graphs") {
+    val none = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(graft.operators.EventQueries.triangleCounts(none).count() === 0L)
+    // a path graph has edges but no triangles: nodes still reported, all 0
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = graft.operators.EventQueries.triangleCounts(path)
+    assert(got.count() === 4L)
+    assert(got.filter($"n_tri" =!= 0L).count() === 0L)
+  }
+
+  test("MisraGries degenerate shapes: k=1, empty input, single key") {
+    val mg1 = new graft.functions.MisraGries(1)
+    assert(spark.createDataset(Seq.empty[Long]).select(mg1.toColumn).head() === Map.empty)
+    val single = spark.createDataset(Seq.fill(100)(42L)).repartition(3)
+    assert(single.select(mg1.toColumn).head() === Map(42L -> 100L))
+  }
 }

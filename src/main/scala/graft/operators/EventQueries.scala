@@ -299,6 +299,51 @@ object EventQueries {
         FROM deg d LEFT JOIN pernode p USING (node)
         ORDER BY node""")),
 
+    // ----- BFS shortest-path levels from a source page -----------------------
+    // Hop distance from page 0 over the DIRECTED transition graph; -1 for
+    // unreachable pages. The Spark side iterates frontier expansion to an
+    // EMPTY frontier (no depth cap — correct at any diameter); the oracle's
+    // recursive CTE needs a finite bound, set far past any possible
+    // distance in the 100-page fixture domain (distance < node count).
+    QueryDef(
+      "q55_bfs_levels",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_id",
+            get_json_object($"props", "$.k").cast("long").as("k"))
+          .filter($"k".isNotNull)
+        val hop = ev.select($"k".as("src"),
+          lead($"k", 1).over(Window.partitionBy($"user_id").orderBy($"event_id"))
+            .as("dst"))
+        val edges = hop.filter($"dst".isNotNull && $"src" =!= $"dst").distinct()
+        bfsLevels(ev.select($"k").distinct(), edges, source = 0L).orderBy($"node")
+      },
+      oracle = Some("""
+        WITH RECURSIVE ev AS (
+          SELECT user_id, event_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        hop AS (
+          SELECT k AS src,
+                 lead(k) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
+          FROM ev),
+        edges AS (
+          SELECT DISTINCT src, dst FROM hop
+          WHERE dst IS NOT NULL AND src <> dst),
+        bfs(node, lvl) AS (
+          SELECT CAST(0 AS BIGINT), 0
+          UNION
+          SELECT e.dst, bfs.lvl + 1
+          FROM bfs JOIN edges e ON e.src = bfs.node
+          WHERE bfs.lvl < 120),
+        lv AS (SELECT node, min(lvl) AS lvl FROM bfs GROUP BY node),
+        nodes AS (SELECT DISTINCT k FROM ev)
+        SELECT n.k AS node, CAST(coalesce(lv.lvl, -1) AS BIGINT) AS lvl
+        FROM nodes n LEFT JOIN lv ON lv.node = n.k
+        ORDER BY node""")),
+
     // ----- snapshot diff / period-over-period entity churn (CDC shape) ------
     // Classify every (user, event_type) entity between two activity windows
     // as added / removed / changed / unchanged — the incremental-refresh
@@ -422,6 +467,43 @@ object EventQueries {
       .join(perNode, Seq("node"), "left")
       .select($"node", $"degree", coalesce($"n_tri", lit(0L)).as("n_tri"))
     out
+  }
+
+  /** Hop distance of every node from `source` over directed `edges`
+    * (src, dst): (node, lvl), lvl = -1 when unreachable. Classic frontier
+    * BFS as iterated joins: each round joins the CURRENT frontier (not the
+    * whole visited set) against the edge table, anti-joins out already
+    * visited nodes, and stops when the frontier empties — the number of
+    * Spark jobs is the graph's eccentricity from the source, and each
+    * round's shuffle is proportional to the frontier's out-edges, not the
+    * graph. The per-round count() is the demand-driven convergence check
+    * (same discipline as d08 / hics); localCheckpoint truncates the
+    * accumulating union lineage. */
+  def bfsLevels(nodes: DataFrame, edges: DataFrame, source: Long): DataFrame = {
+    val s = nodes.sparkSession
+    import s.implicits._
+    val src = nodes.filter($"k" === source)
+      .select($"k".as("node"), lit(0L).as("lvl"))
+    var levels = src.localCheckpoint()
+    var frontier = levels
+    var depth = 0L
+    var more = frontier.limit(1).count() > 0
+    while (more) {
+      depth += 1
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select($"dst".as("node")).distinct()
+        .join(levels, Seq("node"), "left_anti")
+        .select($"node", lit(depth).as("lvl"))
+        .localCheckpoint()
+      if (next.limit(1).count() == 0) more = false
+      else {
+        levels = levels.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    nodes.select($"k".as("node"))
+      .join(levels, Seq("node"), "left")
+      .select($"node", coalesce($"lvl", lit(-1L)).as("lvl"))
   }
 
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {

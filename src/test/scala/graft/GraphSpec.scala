@@ -84,6 +84,27 @@ class GraphSpec extends SparkSpec {
     assert(got.filter($"n_tri" === 0L).count() === 38L)
   }
 
+  test("bfsLevels: path + unreachable component, cycle, and direction respected") {
+    def nodes(ks: Long*) = ks.toDF("k")
+    def edges(es: (Long, Long)*) = es.toDF("src", "dst")
+    val got = EventQueries.bfsLevels(
+      nodes(1L, 2L, 3L, 4L, 5L, 6L), edges((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)), 1L)
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, -1L), (6L, -1L)))
+    val cyc = EventQueries.bfsLevels(
+      nodes(1L, 2L, 3L), edges((1L, 2L), (2L, 3L), (3L, 1L)), 1L)
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    assert(cyc === Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+    // edges are DIRECTED: 2 -> 1 gives source 1 no way out
+    val dir = EventQueries.bfsLevels(nodes(1L, 2L), edges((2L, 1L)), 1L)
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    assert(dir === Seq((1L, 0L), (2L, -1L)))
+    // absent source: everything unreachable
+    val none = EventQueries.bfsLevels(nodes(1L, 2L), edges((1L, 2L)), 9L)
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    assert(none === Seq((1L, -1L), (2L, -1L)))
+  }
+
   test("q54 triangle totals are divisible by three roles and nodes cover the graph") {
     val rows = SparkEntry.queries("q54_triangle_counts")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -227,4 +227,51 @@ class ScaleSpec extends SparkSpec {
     assert(tL <= 25.0 * math.max(tS, 0.5),
       f"q48 runtime grew super-linearly: ${tS}%.2f s -> ${tL}%.2f s for 10x graph")
   }
+
+  test("q54 triangles: 10x celebrity graph => ~10x runtime (orientation beats the hub)") {
+    // Hub-and-ring: node 0 adjacent to ALL n leaves, leaves form a ring —
+    // exactly n triangles (hub + each ring edge). An id-canonical
+    // orientation would give the hub out-degree n and enumerate C(n,2)
+    // wedges (5e9 at the large size — minutes, not seconds); the degree
+    // ordering points every leaf AT the hub, so wedge work stays linear.
+    def run(n: Long): Long = {
+      val hub = spark.range(1, n + 1).select(
+        org.apache.spark.sql.functions.lit(0L).as("u"), $"id".as("v"))
+      val ring = spark.range(1, n).select($"id".as("u"), ($"id" + 1).as("v"))
+        .union(Seq((1L, n)).toDF("u", "v"))
+      val got = graft.operators.EventQueries.triangleCounts(hub.union(ring))
+      assert(got.count() === n + 1, "one row per node")
+      got.agg(org.apache.spark.sql.functions.sum($"n_tri")).head.getLong(0)
+    }
+    run(20000L) // warmup
+    spark.catalog.clearCache()
+    val (tS, triS) = timed(run(20000L))
+    val (tL, triL) = timed(run(200000L))
+    info(f"q54: 1x -> ${tS}%.2f s, 10x -> ${tL}%.2f s (hub degree 200k)")
+    // n ring triangles, each counted at 3 member nodes
+    assert(triS === 3 * 20000L && triL === 3 * 200000L)
+    assert(tL <= 25.0 * math.max(tS, 0.5),
+      f"q54 runtime grew super-linearly on the hub: ${tS}%.2f s -> ${tL}%.2f s")
+  }
+
+  test("q52 z-order rewrite: 10x rows => ~10x write time") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scale_z").toString
+    def run(n: Long): Long = {
+      val df = spark.range(n).select(
+        ($"id" % 10000).as("a"),
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64($"id"),
+          org.apache.spark.sql.functions.lit(10000L)).as("b"),
+        $"id".as("x"))
+      graft.operators.LayoutQueries.zOrderWrite(df, "a", "b", 16, s"$tmp/z_$n")
+      spark.read.parquet(s"$tmp/z_$n").count()
+    }
+    run(60000L) // warmup
+    val (tS, nS) = timed(run(60000L))
+    val (tL, nL) = timed(run(600000L))
+    info(f"q52 write: 1x -> ${tS}%.2f s / $nS rows, 10x -> ${tL}%.2f s / $nL rows")
+    assert(nS === 60000L && nL === 600000L)
+    assert(tL <= 25.0 * math.max(tS, 0.5),
+      f"z-order write grew super-linearly: ${tS}%.2f s -> ${tL}%.2f s for 10x rows")
+  }
 }

@@ -120,8 +120,16 @@ object TextQueries {
   def boilerplateSpans(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // Shingle identity is only ever used as a grouping/join key (the output
+    // aggregates counts, never the shingle text), so collapse each ~70-byte
+    // 8-token string to a 64-bit hash before it crosses a shuffle: the df
+    // agg + join-back then move 8-byte longs, ~10x fewer shuffle bytes and
+    // a far lighter cache. A 64-bit collision would merge two shingles'
+    // df counts; at n distinct shingles the chance is ~n^2/2^65 (4M
+    // shingles -> ~5e-7), the same accepted risk as d01's md5 keys.
     val ex = shingles8(docs)
-      .select($"doc_id", $"lang", explode($"sh").as("g"))
+      .select($"doc_id", $"lang", explode($"sh").as("gs"))
+      .select($"doc_id", $"lang", xxhash64($"gs").as("g"))
       .cache() // read twice: document-frequency agg + the join back
     val docFreq = ex.groupBy($"g").agg(count(lit(1)).as("df"))
     val perDoc = ex.join(docFreq, Seq("g"))
@@ -359,11 +367,16 @@ object TextQueries {
         val sh = shingles8(Tables.documents(s, d))
           .withColumn("split", when(splitBucket < TrainPct, "train").otherwise("heldout"))
           .cache()
+        // the shingle is only a join key here (the output never shows it):
+        // hash to 64 bits so the distinct + semi-join shuffles move longs,
+        // not ~70-byte strings — same collision budget as boilerplateSpans
         val trainSh = sh.filter($"split" === "train")
-          .select(explode($"sh").as("g")).distinct()
+          .select(explode($"sh").as("gs"))
+          .select(xxhash64($"gs").as("g")).distinct()
         val heldout = sh.filter($"split" === "heldout")
         val contaminated = heldout
-          .select($"doc_id", $"lang", explode($"sh").as("g"))
+          .select($"doc_id", $"lang", explode($"sh").as("gs"))
+          .select($"doc_id", $"lang", xxhash64($"gs").as("g"))
           .join(trainSh, Seq("g"), "left_semi")
           .select($"doc_id", $"lang").distinct()
         heldout.groupBy($"lang").agg(count(lit(1)).as("n_heldout"))

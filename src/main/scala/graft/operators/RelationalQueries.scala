@@ -607,18 +607,32 @@ object RelationalQueries {
           .groupBy($"l_returnflag")
           .agg(count(lit(1)).as("exact_parts"),
             approx_count_distinct($"l_partkey", 0.01).as("ap"))
-        // exact median via the q22 value-histogram trick (cents domain):
-        // the sketch's reference value costs one hash agg + a window over
-        // the bounded histogram — not a sort-based percentile() object agg
-        // over every raw row (measured 1.9 s -> sub-second at sf0.1)
-        val wc = Window.partitionBy($"l_returnflag").orderBy($"c")
+        // exact median via q45's two-level range-partition selection: the
+        // price domain has ~10M distinct cents, so a window over the full
+        // cents histogram degenerates to a 3-partition sort tail (measured
+        // 1.5 s of this query's 2.5 s at sf0.1). Coarse 65536-cent buckets
+        // (parallel hash agg, window over <=~200 entries) locate the
+        // bucket straddling rank n/2; a fine cents histogram inside that
+        // one bucket resolves the exact value. Both windows constant-size
+        // at any data scale.
+        val cents = floor($"l_extendedprice" * 100).cast("long")
+        val wb = Window.partitionBy($"l_returnflag").orderBy($"b")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val em = li.groupBy($"l_returnflag",
-            floor($"l_extendedprice" * 100).cast("long").as("c"))
+        val pick = li.groupBy($"l_returnflag", (cents / 65536L).cast("long").as("b"))
           .agg(count(lit(1)).as("hn"))
-          .withColumn("cum", sum($"hn").over(wc))
+          .withColumn("cum", sum($"hn").over(wb))
           .withColumn("n", sum($"hn").over(Window.partitionBy($"l_returnflag")))
           .filter($"cum" * 2 >= $"n" && ($"cum" - $"hn") * 2 < $"n")
+          .select($"l_returnflag", $"b", ($"cum" - $"hn").as("before"), $"n")
+        val wf = Window.partitionBy($"l_returnflag").orderBy($"c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val em = li
+          .select($"l_returnflag", cents.as("c"), (cents / 65536L).cast("long").as("b"))
+          .join(broadcast(pick), Seq("l_returnflag", "b"))
+          .groupBy($"l_returnflag", $"before", $"n", $"c")
+          .agg(count(lit(1)).as("fn"))
+          .withColumn("cum", $"before" + sum($"fn").over(wf))
+          .filter($"cum" * 2 >= $"n" && ($"cum" - $"fn") * 2 < $"n")
           .select($"l_returnflag", ($"c" / 100.0).as("em"))
         val prices = li.groupBy($"l_returnflag")
           .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("am"))

@@ -772,7 +772,7 @@ object DedupQueries {
     * from literal planes (list_dot_product matches the JVM kernel's
     * sequential double accumulation bit for bit), candidates = pairs
     * sharing any table bucket, verified with the exact cosine. */
-  private def d06OracleSql: String = {
+  private[operators] def d06OracleSql: String = {
     val planes = graft.functions.VectorFns.hyperplanes(LshTables * LshPlanesPerTable, EmbDim)
     def bucket(t: Int): String = (0 until LshPlanesPerTable).map { k =>
       s"(CASE WHEN list_dot_product(e, ${SimilarityQueries.planeLit(planes(t * LshPlanesPerTable + k))}) >= 0 THEN ${1L << k} ELSE 0 END)"

@@ -790,7 +790,28 @@ object SimilarityQueries {
     QueryDef(
       "s11_semantic_clusters",
       (s, d) => semanticClusters(s, Tables.embeddings(s, d)),
-      oracle = Some(s11OracleSql)))
+      oracle = Some(s11OracleSql)),
+
+    // ----- contrastive hard negatives (embedding-training data mining) ------
+    // Contrastive/embedding training needs, per anchor, negatives that are
+    // CLOSE but not duplicates — random negatives are trivially separable
+    // and teach nothing. Hard negative = a top-cosine kNN neighbor that is
+    // not a semantic near-duplicate: rank s09's bucket-bounded kNN edges
+    // per anchor, remove the d06 positive pairs, keep the top-3 survivors.
+    // The general form anti-joins an arbitrary positive set (any dedup
+    // decision, a curated blocklist); the default positives are d06's
+    // pairs, and because s09 and d06 share bucket geometry, a kNN edge is
+    // a d06 positive iff its exact cosine clears d06's bar — so the
+    // default path folds the anti-join into a filter on the already-
+    // computed cosine, ONE bucket+cosine pass over the corpus
+    // (SimilaritySpec asserts the fold equals the real anti-join; the
+    // oracle replays the general NOT EXISTS form against the full d06
+    // pair CTE). Scale: everything downstream of the kNN graph is linear
+    // in its edges — k rows per anchor, never the corpus.
+    QueryDef(
+      "s12_hard_negatives",
+      (s, d) => hardNegatives(s, Tables.embeddings(s, d)),
+      oracle = Some(s12OracleSql)))
 
   /** The s10 pipeline over an arbitrary (doc_id, text) table: BM25 top-k
     * per query in exact integer-milli arithmetic (see the s10 comment).
@@ -825,6 +846,60 @@ object SimilarityQueries {
       .select($"query_id", $"rank", $"doc_id", $"score_milli")
       .orderBy($"query_id", $"rank")
   }
+
+  /** The s12 pipeline over an arbitrary (vec_id, embedding) table: per
+    * anchor, the top-`n` highest-cosine kNN neighbors that are NOT
+    * positives. `positives` is any (vec_a, vec_b) pair set (orientation
+    * irrelevant); None derives d06's near-dup pairs, and — since the kNN
+    * edges come from the same bucket geometry — folds the anti-join into
+    * `cos_milli < minCosMilli` on the edges themselves: a kNN edge shares
+    * a bucket by construction, so it is a d06 pair iff its exact cosine
+    * clears the bar. One bucket+cosine pass instead of two. */
+  def hardNegatives(s: SparkSession, embeddings: DataFrame,
+      tables: Int = DedupQueries.lshTableCount,
+      planesPerTable: Int = DedupQueries.lshPlanesPerTableCount,
+      dim: Int = DedupQueries.embDim,
+      k: Int = 5, n: Int = 3, minCosMilli: Long = 400L,
+      positives: Option[DataFrame] = None): DataFrame = {
+    require(n <= k, s"need n <= k, got n=$n k=$k")
+    import s.implicits._
+    val knn = knnGraph(s, embeddings, tables, planesPerTable, dim, k)
+    val nonDup = positives match {
+      case Some(pos) =>
+        // general form: drop an edge if EITHER orientation is a positive
+        val both = pos.select($"vec_a".as("vec_id"), $"vec_b".as("nbr_id"))
+          .unionByName(pos.select($"vec_b".as("vec_id"), $"vec_a".as("nbr_id")))
+        knn.join(both, Seq("vec_id", "nbr_id"), "left_anti")
+      case None => knn.filter($"cos_milli" < minCosMilli)
+    }
+    val w = Window.partitionBy($"vec_id").orderBy($"cos_milli".desc, $"nbr_id")
+    nonDup
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter($"neg_rank" <= n)
+      .select($"vec_id", $"neg_rank", $"nbr_id", $"cos_milli")
+      .orderBy($"vec_id", $"neg_rank")
+  }
+
+  /** The s12 oracle: the GENERAL form — s09's kNN oracle anti-joined
+    * (NOT EXISTS, both orientations) against d06's full pair oracle, then
+    * re-ranked. The Spark default path folds the anti-join into a cosine
+    * filter; the oracle deliberately does not, so a hash match also
+    * certifies the fold's equivalence. */
+  private def s12OracleSql: String = s"""
+        WITH knn AS ($s09OracleSql),
+        sem AS (${DedupQueries.d06OracleSql.replace("ORDER BY vec_a, vec_b", "")}),
+        neg AS (
+          SELECT k.vec_id, k.nbr_id, k.cos_milli,
+                 CAST(row_number() OVER (PARTITION BY k.vec_id
+                   ORDER BY k.cos_milli DESC, k.nbr_id) AS BIGINT) AS neg_rank
+          FROM knn k
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sem s
+            WHERE (s.vec_a = k.vec_id AND s.vec_b = k.nbr_id)
+               OR (s.vec_a = k.nbr_id AND s.vec_b = k.vec_id)))
+        SELECT vec_id, neg_rank, nbr_id, cos_milli
+        FROM neg WHERE neg_rank <= 3
+        ORDER BY vec_id, neg_rank"""
 
   /** The s11 pipeline over an arbitrary (vec_id, embedding) table:
     * (vec_id, cluster_id) labels from connected components over the

@@ -260,6 +260,37 @@ class SimilaritySpec extends SparkSpec {
     assert(mutual.length < dir.count(), "mutual filter pruned nothing")
   }
 
+  test("s12 fold path equals the general anti-join path and excludes every positive") {
+    import spark.implicits._
+    import graft.operators.{DedupQueries, SimilarityQueries}
+    val e = Tables.embeddings(spark, sf)
+    val folded = SimilarityQueries.hardNegatives(spark, e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the documented equivalence, executed: the default cosine-filter fold
+    // must produce bit-identical rows to anti-joining the full d06 pair set
+    val general = SimilarityQueries.hardNegatives(spark, e,
+        positives = Some(DedupQueries.embeddingLshPairs(spark, e)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(folded.nonEmpty, "fixture produced no hard negatives")
+    assert(folded === general, "cosine-filter fold diverged from the anti-join")
+    // no emitted negative may be a near-dup positive, in either orientation
+    val pos = DedupQueries.embeddingLshPairs(spark, e)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    folded.foreach { case (v, _, nb, _) =>
+      assert(!pos((math.min(v, nb), math.max(v, nb))),
+        s"hard negative ($v,$nb) is a d06 positive pair")
+    }
+    // per-anchor ranks are dense from 1 and cosines non-increasing
+    folded.groupBy(_._1).foreach { case (v, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length),
+        s"anchor $v: ranks not dense")
+      assert(sorted.map(_._4).toSeq.reverse.sorted.reverse === sorted.map(_._4).toSeq,
+        s"anchor $v: cosines increase with rank")
+    }
+  }
+
   test("BM25 idf puts rare-term documents ahead of common-term ones") {
     import spark.implicits._
     // query 1 = "hash join dup": "dup" appears in ~5% of docs, the other

@@ -30,12 +30,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: session init, codegen JIT, parquet footers
     Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
+    // A query that throws must never be reported as a timing: round 3's 13
+    // events-dead queries "benched" at their ~0.065 s fail-fast exception
+    // time inside a green rc=0 run. Failures propagate → entry dropped from
+    // the JSON, run exits nonzero.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def runOnce(q: QueryDef): Double = {
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
+      q.fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
     // optional comma-separated name filter for targeted profiling runs
@@ -43,25 +45,35 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.allDefs
       .filter(q => q.benchmark && only.forall(_.contains(q.name)))
-      .map { q =>
-        runOnce(q)                    // codegen-compile + JIT warmup, untimed
-        // Drain the ContextCleaner between queries: broadcast/shuffle/cache
-        // blocks are only reclaimed when their weak refs are collected, so a
-        // long suite accumulates block-manager backlog that inflates later
-        // cache-heavy queries severalfold (measured: full-suite d03 2.6 s vs
-        // 1.1 s isolated). Production drivers do the same via
-        // spark.cleaner.periodicGC.interval; untimed here.
-        System.gc()
-        val timed = Seq.fill(2) {
-          spark.catalog.clearCache()  // drop persisted intermediates: time the plan
-          runOnce(q)
+      .flatMap { q =>
+        try {
+          runOnce(q)                  // codegen-compile + JIT warmup, untimed
+          // Drain the ContextCleaner between queries: broadcast/shuffle/cache
+          // blocks are only reclaimed when their weak refs are collected, so a
+          // long suite accumulates block-manager backlog that inflates later
+          // cache-heavy queries severalfold (measured: full-suite d03 2.6 s vs
+          // 1.1 s isolated). Production drivers do the same via
+          // spark.cleaner.periodicGC.interval; untimed here.
+          System.gc()
+          val timed = Seq.fill(2) {
+            spark.catalog.clearCache() // drop persisted intermediates: time the plan
+            runOnce(q)
+          }
+          Some(q.name -> timed.min)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+          failed += q.name
+          None
         }
-        q.name -> timed.min
       }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED (no timing recorded): ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

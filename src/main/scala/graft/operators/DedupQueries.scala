@@ -747,25 +747,39 @@ object DedupQueries {
     val vecs = cached(embeddings.select($"vec_id", $"embedding"))
     // (vec_id, table, bucket) rows — JVM kernel, same materialize-before-
     // self-join principle as d03's band rows
+    // Bucket rows carry the vector's FULL bucket signature so a pair
+    // colliding in several tables is emitted exactly once — at its minimal
+    // shared table (the same exactly-once trick StreamDedup uses). That
+    // replaces the round-3 global `distinct` over the exploded candidate
+    // set, which was a full extra Exchange on the widest intermediate.
     val buckets = cached(vecs.as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
         val bks = lshBucketsOf(emb, tables, planesPerTable, planes)
-        (0 until tables).iterator.map(t => (id, t, bks(t)))
-      }.toDF("vec_id", "tbl", "bucket"))
-    val cand = buckets.select($"tbl", $"bucket", $"vec_id".as("vec_a"))
-      .join(buckets.select($"tbl", $"bucket", $"vec_id".as("vec_b")), Seq("tbl", "bucket"))
-      .filter($"vec_a" < $"vec_b")
-      .select($"vec_a", $"vec_b").distinct()
+        (0 until tables).iterator.map(t => (id, t, bks(t), bks))
+      }.toDF("vec_id", "tbl", "bucket", "sig"))
+    val cand = buckets.select($"tbl", $"bucket", $"vec_id".as("vec_a"), $"sig".as("sig_a"))
+      .join(buckets.select($"tbl", $"bucket", $"vec_id".as("vec_b"), $"sig".as("sig_b")), Seq("tbl", "bucket"))
+      .filter($"vec_a" < $"vec_b" && minSharedTable)
+      .select($"vec_a", $"vec_b")
     cand
       .join(vecs.select($"vec_id".as("vec_a"), $"embedding".as("ea")), Seq("vec_a"))
       .join(vecs.select($"vec_id".as("vec_b"), $"embedding".as("eb")), Seq("vec_b"))
-      .select($"vec_a", $"vec_b", $"ea", $"eb")
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (idA, idB, ea, eb) => (idA, idB, cosMilliOf(ea, eb)) }
-      .toDF("vec_a", "vec_b", "cos_milli")
+      // codegen'd fused cosine (CosineMilliExpr) — bit-equal to the typed
+      // cosMilliOf loop (VectorExprSpec) but stays in whole-stage codegen:
+      // no row ser/deser on the verify hot path
+      .select($"vec_a", $"vec_b", graft.functions.VectorFns.cosineMilli($"ea", $"eb").as("cos_milli"))
       .filter($"cos_milli" >= minCosMilli)
       .orderBy($"vec_a", $"vec_b")
   }
+
+  /** True iff `tbl` is the FIRST table in which `sig_a` and `sig_b` collide
+    * — over 12-element signature arrays this interpreted predicate is
+    * negligible next to the shuffle it replaces. The join key already
+    * guarantees collision AT `tbl`, so "no earlier collision" makes each
+    * colliding pair survive from exactly one (tbl, bucket) group. */
+  private[operators] def minSharedTable: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      "NOT exists(zip_with(slice(sig_a, 1, tbl), slice(sig_b, 1, tbl), (x, y) -> x = y), c -> c)")
 
   /** d06 is deterministic given the fixed-seed hyperplanes, so — like s02 —
     * it gets a full oracle: per-table 4-bit buckets recomputed in DuckDB

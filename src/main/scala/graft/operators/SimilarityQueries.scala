@@ -934,23 +934,25 @@ object SimilarityQueries {
     import s.implicits._
     val planes = VectorFns.hyperplanes(tables * planesPerTable, dim)
     val vecs = embeddings.select($"vec_id", $"embedding").cache()
+    // Full-signature bucket rows + minimal-shared-table filter: each
+    // directed candidate pair is emitted exactly once, replacing the
+    // round-3 global `distinct` Exchange (see DedupQueries.minSharedTable).
     val buckets = vecs.as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
         val bks = DedupQueries.lshBucketsOf(emb, tables, planesPerTable, planes)
-        (0 until tables).iterator.map(t => (id, t, bks(t)))
-      }.toDF("vec_id", "tbl", "bucket").cache()
-    val cand = buckets.select($"tbl", $"bucket", $"vec_id".as("src"))
-      .join(buckets.select($"tbl", $"bucket", $"vec_id".as("nbr")), Seq("tbl", "bucket"))
-      .filter($"src" =!= $"nbr")
-      .select($"src", $"nbr").distinct()
+        (0 until tables).iterator.map(t => (id, t, bks(t), bks))
+      }.toDF("vec_id", "tbl", "bucket", "sig").cache()
+    val cand = buckets.select($"tbl", $"bucket", $"vec_id".as("src"), $"sig".as("sig_a"))
+      .join(buckets.select($"tbl", $"bucket", $"vec_id".as("nbr"), $"sig".as("sig_b")), Seq("tbl", "bucket"))
+      .filter($"src" =!= $"nbr" && DedupQueries.minSharedTable)
+      .select($"src", $"nbr")
     val w = Window.partitionBy($"src").orderBy($"cos_milli".desc, $"nbr")
     cand
       .join(vecs.select($"vec_id".as("src"), $"embedding".as("es")), Seq("src"))
       .join(vecs.select($"vec_id".as("nbr"), $"embedding".as("en")), Seq("nbr"))
-      .select($"src", $"nbr", $"es", $"en")
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (a, b, ea, eb) => (a, b, DedupQueries.cosMilliOf(ea, eb)) }
-      .toDF("src", "nbr", "cos_milli")
+      // codegen'd fused cosine — bit-equal to cosMilliOf (VectorExprSpec),
+      // keeps the scoring stage inside whole-stage codegen
+      .select($"src", $"nbr", VectorFns.cosineMilli($"es", $"en").as("cos_milli"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= k)
       .select($"src".as("vec_id"), $"rank", $"nbr".as("nbr_id"), $"cos_milli")

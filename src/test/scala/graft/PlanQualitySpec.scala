@@ -196,6 +196,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(kept < total / 2, s"prune ineffective on this fixture: kept=$kept of $total")
   }
 
+  test("s09/d06: pair dedup happens at the minimal shared table, scored in codegen") {
+    // Round 3 planned a global `distinct` over the exploded candidate set —
+    // a full extra Exchange on the widest intermediate — then scored with a
+    // typed .map (row ser/deser on the hot path). The fixed plan emits each
+    // pair exactly once from its first shared (tbl, bucket) group, so there
+    // must be NO aggregate anywhere, and scoring must be the codegen'd
+    // cosine_milli expression.
+    for (name <- Seq("s09_knn_graph", "d06_dedup_embedding_lsh")) {
+      val p = plan(name)
+      assert(!p.contains("HashAggregate"),
+        s"$name: candidate distinct (an extra Exchange) is back:\n$p")
+      assert(p.contains("cosine_milli"),
+        s"$name: scoring must stay in whole-stage codegen via CosineMilliExpr:\n$p")
+      assert(!p.contains("MapElements"),
+        s"$name: typed .map re-introduced on the scoring path:\n$p")
+    }
+  }
+
   test("q50: the two snapshot aggregates feed the outer join with one shuffle each") {
     val p = plan("q50_snapshot_diff")
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))

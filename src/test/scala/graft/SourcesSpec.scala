@@ -54,6 +54,32 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(s_suppkey), LessThanOrEqual(s_suppkey,10)"), plan)
   }
 
+  test("Avro round-trip preserves rows and values") {
+    // The avro reader/writer classes ship inside spark-sql 4.1
+    // (org.apache.spark.sql.avro) but this deployment lacks the separate
+    // spark-avro module's service registration, so the library registers
+    // AvroFileFormat itself (src/main/resources/META-INF/services) — that
+    // is what makes the "avro" short name resolve here.
+    // Avro is a row format: no column stats, so no pushed-filter gate here
+    // (that contract belongs to parquet/ORC); correctness + partition
+    // pruning on the directory layout is the Avro-side scale story.
+    val src = Tables.part(spark, sf)
+    src.write.mode("overwrite").format("avro").save(s"$tmp/part_avro")
+    val back = spark.read.format("avro").load(s"$tmp/part_avro")
+    assert(back.schema === src.schema)
+    assert(back.orderBy($"p_partkey").collect().toSeq ===
+      src.orderBy($"p_partkey").collect().toSeq)
+    // partitioned avro write still prunes at listing time
+    src.withColumn("brand", $"p_brand")
+      .write.mode("overwrite").format("avro").partitionBy("brand")
+      .save(s"$tmp/part_avro_part")
+    val one = spark.read.format("avro").load(s"$tmp/part_avro_part")
+      .filter($"brand" === "Brand#11")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(brand"), plan)
+    assert(one.count() === src.filter($"p_brand" === "Brand#11").count())
+  }
+
   test("binaryFile source ingests raw files with path metadata") {
     // the production ingest path for multimodal assets (Multimodal.scala):
     // each file becomes (path, modificationTime, length, content)
@@ -72,6 +98,41 @@ class SourcesSpec extends SparkSpec {
     val onlyA = spark.read.format("binaryFile")
       .option("pathGlobFilter", "a.*").load(s"$tmp/blobs")
     assert(onlyA.count() === 1L)
+  }
+
+  test("events loader adapts to every ts encoding the driver has shipped (fixture-drift guard)") {
+    // Round 3 post-mortem: the driver regenerated fixtures with events.ts as
+    // timestamp[us] while the loader assumed nanos-as-long — 13 queries died
+    // at analysis time. This guard writes events-shaped parquet in all three
+    // Spark-visible encodings and asserts Tables.events normalizes each to
+    // the same session-zone TimestampType values, so the next fixture
+    // regeneration cannot silently kill a family of queries again.
+    import org.apache.spark.sql.types._
+    val micros = Seq(1700000000000000L, 1700000123456789L, 1712345678901234L)
+    def writeEnc(sub: String)(col: org.apache.spark.sql.Column): String = {
+      val dir = s"$tmp/$sub"
+      micros.toDF("us").select(col.as("ts"), $"us".as("event_id"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // (1) nanos-since-epoch long — the Spark-visible shape of the round-1/2
+    //     TIMESTAMP(NANOS) fixtures under spark.sql.legacy.parquet.nanosAsLong
+    val nanosDir = writeEnc("ev_nanos")($"us" * 1000L)
+    // (2) timestamp[us] without UTC adjustment → loads as TIMESTAMP_NTZ
+    //     (the round-3 regenerated fixtures)
+    val ntzDir = writeEnc("ev_ntz")(timestamp_micros($"us").cast(TimestampNTZType))
+    // (3) UTC-adjusted micros → loads as session-zone TimestampType directly
+    val ltzDir = writeEnc("ev_ltz")(timestamp_micros($"us"))
+    val loaded = Seq(nanosDir, ntzDir, ltzDir).map { d =>
+      val df = Tables.events(spark, d)
+      assert(df.schema("ts").dataType === TimestampType,
+        s"$d: loader must normalize ts to session-zone TimestampType")
+      df.select(unix_micros($"ts"), date_trunc("hour", $"ts").cast("string"))
+        .orderBy($"event_id").as[(Long, String)].collect().toSeq
+    }
+    assert(loaded(0).map(_._1) === micros, "nanos encoding: exact micros truncation")
+    assert(loaded.distinct.size === 1,
+      s"all encodings must load identically, got: $loaded")
   }
 
   test("key-clustered sorted write: row-group stats prune the scan, file sizes bounded") {

@@ -433,6 +433,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded-channel backpressure under a live producer: cap holds, nothing lost") {
+    // The stricter half of OvereagerReceiver::channel(cap>0) semantics
+    // (overeager_receivers.rs:29-32): with a BLOCKING producer feeding the
+    // bounded buffer concurrently, the consumer still never admits more
+    // than `cap` per pull, and every produced element is eventually
+    // consumed exactly once. Spark has no blocking send — sources buffer
+    // durably and admission is capped per trigger — so the preserved
+    // invariants are (a) per-batch admission <= cap under concurrent
+    // production and (b) lossless exactly-once drain, which is what the
+    // reference's bounded channel guarantees end-to-end.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_bp_live").toString
+    val ckpt = Files.createTempDirectory("graft_bp_live_ckpt").toString
+    def produce(i: Int): Unit =
+      Seq((i.toLong, s"file_$i")).toDF("id", "tag")
+        .coalesce(1).write.mode("append").parquet(dir)
+    produce(1) // schema seed
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(dir)
+    val q = stream.writeStream.format("memory").queryName("bp_live_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // producer races the running query: 7 more files while it drains
+      (2 to 8).foreach { i => produce(i); if (i % 3 == 0) q.processAllAvailable() }
+      q.processAllAvailable()
+      val got = spark.table("bp_live_out").as[(Long, String)].collect()
+      assert(got.map(_._1).sorted.toVector === (1L to 8L).toVector,
+        s"lost or duplicated elements: ${got.toVector}")
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.forall(_.numInputRows <= 2L),
+        s"admission cap violated: ${batches.map(_.numInputRows).toVector}")
+      assert(batches.length >= 4, // 8 rows / cap 2 => at least 4 non-empty pulls
+        s"expected >=4 capped micro-batches, got ${batches.length}")
+    } finally q.stop()
+  }
+
   test("event-time TWS timers fire on watermark passage and drop late data") {
     // extension beyond reference parity (rspl has no event time): a
     // session-gap detector arms a timer 60 event-time seconds after each

@@ -27,7 +27,18 @@ object Interpreter {
   }
 
   /** Convenience: evaluate over a finite input, taking at most `max`
-    * outputs (guards Put-only loops). */
+    * outputs (guards Put-only loops).
+    *
+    * Example (run verbatim by DocExamplesSpec): a fused map∘filter pipeline
+    * and a Put-only generator:
+    * {{{
+    * val evens = SP.compose(SP.filter((n: Int) => n % 2 == 0), SP.map((n: Int) => n * 10))
+    * Interpreter.evalN(evens, Seq(1, 2, 3, 4)) == Vector(20, 40)
+    *
+    * val fib = SP.generate[Unit, Long, (Long, Long)](s => (s._1, (s._2, s._1 + s._2)), (0L, 1L))
+    * Interpreter.evalN(fib, Seq.empty[Unit], max = 6) == Vector(0L, 1L, 1L, 2L, 3L, 5L)
+    * }}}
+    */
   def evalN[A, B](sp: SP[A, B], input: Seq[A], max: Int = Int.MaxValue): Vector[B] =
     eval(sp, input.iterator).take(max).toVector
 }

@@ -51,7 +51,17 @@ object SP {
 
   /** Event-driven FSM sugar (reference design pattern P1, `src/lib.rs:81-129`,
     * `tests/events.rs:32-55`): Mealy transition emitting 0..n outputs per
-    * input. */
+    * input.
+    *
+    * Example (run verbatim by DocExamplesSpec): count consecutive 'x'
+    * presses, emitting the run length at each 'end':
+    * {{{
+    * val counter = SP.fsm(0) { (n: Int, e: Char) =>
+    *   if (e == 'x') (n + 1, Nil) else (0, Seq(n))
+    * }
+    * Interpreter.evalN(counter, "xx.x.".toSeq) == Vector(2, 1)
+    * }}}
+    */
   def fsm[S, A, B](state: S)(t: (S, A) => (S, Seq[B])): SP[A, B] =
     Get[A, B] { a =>
       val (s2, outs) = t(state, a)

@@ -16,7 +16,14 @@ object TextFns {
   def normalize(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
-  /** Whitespace tokens of the normalized text. */
+  /** Whitespace tokens of the normalized text.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * Seq("  Hello   WORLD ").toDF("text")
+    *   .select(TextFns.tokens($"text")).as[Seq[String]].head == Seq("hello", "world")
+    * }}}
+    */
   def tokens(c: Column): Column = split(normalize(c), " ")
 
   /** Distinct n-token shingles ("w1 w2 w3"). Docs shorter than n tokens

@@ -24,7 +24,15 @@ object VectorFns {
     * [[CosineMilliExpr]] (one loop instead of three interpreted
     * higher-order passes — bit-identical by construction; see its
     * scaladoc). [[cosineMilliInterpreted]] keeps the pure-builtin form as
-    * the equivalence oracle. */
+    * the equivalence oracle.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val df = Seq((Array(1f, 0f), Array(1f, 0f)), (Array(1f, 0f), Array(0f, 1f)))
+    *   .toDF("a", "b")
+    * df.select(VectorFns.cosineMilli($"a", $"b")).as[Long].collect().toSeq == Seq(1000L, 0L)
+    * }}}
+    */
   def cosineMilli(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       CosineMilliExpr(

@@ -234,6 +234,15 @@ object DedupQueries {
     * hit without convergence the query FAILS rather than silently emitting
     * wrong labels (templated corpora produce arbitrarily long near-dup
     * chains; a silent cap would mislabel them). */
+  /** Example (run verbatim by DocExamplesSpec): a 2-chain, an edgeless
+    * singleton, and a pair collapse to min-id cluster labels:
+    * {{{
+    * val docs  = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    * val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    * DedupQueries.clusterLabels(docs, pairs).as[(Long, Long)].collect().toSeq ==
+    *   Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+    * }}}
+    */
   def clusterLabels(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 32): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -747,15 +756,18 @@ object DedupQueries {
     val vecs = cached(embeddings.select($"vec_id", $"embedding"))
     // (vec_id, table, bucket) rows — JVM kernel, same materialize-before-
     // self-join principle as d03's band rows
-    // Bucket rows carry the vector's FULL bucket signature so a pair
-    // colliding in several tables is emitted exactly once — at its minimal
-    // shared table (the same exactly-once trick StreamDedup uses). That
-    // replaces the round-3 global `distinct` over the exploded candidate
-    // set, which was a full extra Exchange on the widest intermediate.
+    // Bucket rows carry the PREFIX of the vector's bucket signature (the
+    // buckets of tables before `tbl`) so a pair colliding in several tables
+    // is emitted exactly once — at its minimal shared table (the same
+    // exactly-once trick StreamDedup uses). That replaces the round-3
+    // global `distinct` over the exploded candidate set — a full extra
+    // Exchange on the widest intermediate — and the prefix (avg L/2
+    // elements instead of L) halves the signature bytes shuffled through
+    // the self-join.
     val buckets = cached(vecs.as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
         val bks = lshBucketsOf(emb, tables, planesPerTable, planes)
-        (0 until tables).iterator.map(t => (id, t, bks(t), bks))
+        (0 until tables).iterator.map(t => (id, t, bks(t), bks.take(t).toSeq))
       }.toDF("vec_id", "tbl", "bucket", "sig"))
     val cand = buckets.select($"tbl", $"bucket", $"vec_id".as("vec_a"), $"sig".as("sig_a"))
       .join(buckets.select($"tbl", $"bucket", $"vec_id".as("vec_b"), $"sig".as("sig_b")), Seq("tbl", "bucket"))
@@ -772,14 +784,16 @@ object DedupQueries {
       .orderBy($"vec_a", $"vec_b")
   }
 
-  /** True iff `tbl` is the FIRST table in which `sig_a` and `sig_b` collide
-    * — over 12-element signature arrays this interpreted predicate is
-    * negligible next to the shuffle it replaces. The join key already
-    * guarantees collision AT `tbl`, so "no earlier collision" makes each
-    * colliding pair survive from exactly one (tbl, bucket) group. */
+  /** True iff `tbl` is the FIRST table in which the two vectors collide.
+    * `sig_a`/`sig_b` are the bucket-signature PREFIXES for tables 0..tbl-1
+    * (equal length on both sides of a (tbl, bucket) join), so "no earlier
+    * collision" is one zip_with/exists pass over at most L-1 elements —
+    * negligible next to the Exchange it replaces. The join key already
+    * guarantees collision AT `tbl`, so each colliding pair survives from
+    * exactly one (tbl, bucket) group. */
   private[operators] def minSharedTable: org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.expr(
-      "NOT exists(zip_with(slice(sig_a, 1, tbl), slice(sig_b, 1, tbl), (x, y) -> x = y), c -> c)")
+      "NOT exists(zip_with(sig_a, sig_b, (x, y) -> x = y), c -> c)")
 
   /** d06 is deterministic given the fixed-seed hyperplanes, so — like s02 —
     * it gets a full oracle: per-table 4-bit buckets recomputed in DuckDB

@@ -934,13 +934,13 @@ object SimilarityQueries {
     import s.implicits._
     val planes = VectorFns.hyperplanes(tables * planesPerTable, dim)
     val vecs = embeddings.select($"vec_id", $"embedding").cache()
-    // Full-signature bucket rows + minimal-shared-table filter: each
+    // Signature-prefix bucket rows + minimal-shared-table filter: each
     // directed candidate pair is emitted exactly once, replacing the
     // round-3 global `distinct` Exchange (see DedupQueries.minSharedTable).
     val buckets = vecs.as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
         val bks = DedupQueries.lshBucketsOf(emb, tables, planesPerTable, planes)
-        (0 until tables).iterator.map(t => (id, t, bks(t), bks))
+        (0 until tables).iterator.map(t => (id, t, bks(t), bks.take(t).toSeq))
       }.toDF("vec_id", "tbl", "bucket", "sig").cache()
     val cand = buckets.select($"tbl", $"bucket", $"vec_id".as("src"), $"sig".as("sig_a"))
       .join(buckets.select($"tbl", $"bucket", $"vec_id".as("nbr"), $"sig".as("sig_b")), Seq("tbl", "bucket"))

@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Example (run verbatim by DocExamplesSpec): salted result equals the
+    * plain equi-join, with the hot key spread over several reducers:
+    * {{{
+    * val fact  = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d")).toDF("k", "v")
+    * val build = Seq((1L, "x"), (2L, "y")).toDF("k", "w")
+    * val salted = SkewJoin.saltedEquiJoin(fact, build, "k", salts = 4)
+    * salted.orderBy("k", "v").collect() ==
+    *   fact.join(build, "k").orderBy("k", "v").collect()
+    * }}}
+    */
   def saltedEquiJoin(fact: DataFrame, build: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
     require(!fact.columns.contains("__salt") && !build.columns.contains("__salt"),

@@ -1,0 +1,60 @@
+package graft
+
+import graft.dsl.{Interpreter, SP}
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{DedupQueries, SkewJoin}
+
+/** Docs-as-tests, the Spark analogue of the reference's
+  * doc-test-per-public-API policy (reference CONTRIBUTING.md:28-31: every
+  * public item carries a runnable example). Scala has no built-in doctest
+  * runner, so each scaladoc `{{{ }}}` example in the public API is mirrored
+  * here VERBATIM — one test per example, named after the API it documents.
+  * If an example in the docs drifts from reality, this suite goes red.
+  */
+class DocExamplesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("SP.fsm scaladoc example") {
+    val counter = SP.fsm(0) { (n: Int, e: Char) =>
+      if (e == 'x') (n + 1, Nil) else (0, Seq(n))
+    }
+    assert(Interpreter.evalN(counter, "xx.x.".toSeq) === Vector(2, 1))
+  }
+
+  test("Interpreter.evalN scaladoc example") {
+    val evens = SP.compose(SP.filter((n: Int) => n % 2 == 0), SP.map((n: Int) => n * 10))
+    assert(Interpreter.evalN(evens, Seq(1, 2, 3, 4)) === Vector(20, 40))
+
+    val fib = SP.generate[Unit, Long, (Long, Long)](s => (s._1, (s._2, s._1 + s._2)), (0L, 1L))
+    assert(Interpreter.evalN(fib, Seq.empty[Unit], max = 6) ===
+      Vector(0L, 1L, 1L, 2L, 3L, 5L))
+  }
+
+  test("SkewJoin.saltedEquiJoin scaladoc example") {
+    val fact  = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d")).toDF("k", "v")
+    val build = Seq((1L, "x"), (2L, "y")).toDF("k", "w")
+    val salted = SkewJoin.saltedEquiJoin(fact, build, "k", salts = 4)
+    assert(salted.orderBy("k", "v").collect().toSeq ===
+      fact.join(build, "k").orderBy("k", "v").collect().toSeq)
+  }
+
+  test("VectorFns.cosineMilli scaladoc example") {
+    val df = Seq((Array(1f, 0f), Array(1f, 0f)), (Array(1f, 0f), Array(0f, 1f)))
+      .toDF("a", "b")
+    assert(df.select(VectorFns.cosineMilli($"a", $"b")).as[Long].collect().toSeq ===
+      Seq(1000L, 0L))
+  }
+
+  test("DedupQueries.clusterLabels scaladoc example") {
+    val docs  = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    assert(DedupQueries.clusterLabels(docs, pairs).as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)))
+  }
+
+  test("TextFns.tokens scaladoc example") {
+    assert(Seq("  Hello   WORLD ").toDF("text")
+      .select(TextFns.tokens($"text")).as[Seq[String]].head === Seq("hello", "world"))
+  }
+}

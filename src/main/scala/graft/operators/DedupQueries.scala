@@ -246,6 +246,12 @@ object DedupQueries {
   def clusterLabels(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 32): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // (A shuffle-free partition-local union-find contraction pre-pass was
+    // measured here and reverted: with hash-shuffled pair sets, adjacent
+    // edges almost never share a partition, so local contraction merges
+    // nothing — a 20k-node chain scattered over 32 partitions still took
+    // 15 rounds with it. The O(log diameter) distributed rounds below are
+    // the honest cost; real near-dup components have small diameters.)
     val edges = pairs.select($"doc_a", $"doc_b")
       .union(pairs.select($"doc_b", $"doc_a"))
       .toDF("src", "dst").cache()

@@ -214,6 +214,31 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q31: as-of join is union + one keyed window — no join operator at all") {
+    // the 100 TB as-of contract: state and event rows union, shuffle ONCE
+    // on the key, and last(ignoreNulls) picks the as-of match inside the
+    // window — a per-row lookup join (or a range join) would shuffle or
+    // scan per event. Gate: no Join node, exactly one hash exchange before
+    // the window (the output orderBy adds a range exchange, nothing else).
+    val p = plan("q31_asof_join")
+    assert(!p.contains("Join"), s"as-of must not plan a join: $p")
+    assert(p.contains("Window"), p)
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, // one for the window key, one for orders' groupBy dedup
+      s"as-of should shuffle once per input leg, got $hashEx hash exchanges:\n$p")
+  }
+
+  test("q32/q33: time windows are plain hash aggregates with a partial phase") {
+    // window()/session_window() must aggregate map-side like any groupBy —
+    // a plan that sorted or windowed raw events first would not scale
+    for (name <- Seq("q32_tumbling_window", "q33_sliding_window")) {
+      val p = plan(name)
+      assert(p.contains("partial_"), s"$name: no map-side combine:\n$p")
+      assert(!p.contains("Window"), // the analytic-window operator, not time windows
+        s"$name: time bucketing must stay an aggregate, not an analytic window:\n$p")
+    }
+  }
+
   test("q50: the two snapshot aggregates feed the outer join with one shuffle each") {
     val p = plan("q50_snapshot_diff")
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))

@@ -47,9 +47,24 @@ object TextQueries {
   private val ChunkSize = 120
   private val ChunkStride = 90
   private val SampleK = 20
+  private val ShuffleShards = 4L
+
+  // Affine post-scramble for the salted doc hashes: the rolling hash alone
+  // is MONOTONE over same-length numeric ids ("x:123" vs "x:124" differ
+  // only in the last digit, so consecutive ids get consecutive hashes) —
+  // bottom-k "samples" would be id-prefixes and hash-order "shuffles"
+  // would be id-order. One multiplicative step mod the same prime P
+  // decorrelates hash order from id order (A*h+B mod P is a bijection on
+  // [0, P), so no collisions are introduced) and is replayed exactly by
+  // the DuckDB mirror. A < 2^21 keeps A*h < 2^52: no BIGINT overflow in
+  // either engine.
+  private val ScrambleA = 1103515L
+  private val ScrambleB = 12345L
+  private val HashP = 2147483647L // 2^31 - 1, polyHash's own modulus
 
   private def saltedDocHash(salt: String): Column =
-    TextFns.polyHash(concat(lit(salt), col("doc_id").cast("string")))
+    pmod(TextFns.polyHash(concat(lit(salt), col("doc_id").cast("string")))
+      * lit(ScrambleA) + lit(ScrambleB), lit(HashP))
 
   /** DuckDB mirror of [[TextFns.polyHash]] over an arbitrary VARCHAR SQL
     * expression (t04's poly_fp). */
@@ -60,9 +75,11 @@ object TextQueries {
                        i -> CAST(ascii(substring($e, i, 1)) AS BIGINT))),
                    (acc, c) -> (acc * 31 + c) % 2147483647)"""
 
-  /** DuckDB mirror of [[saltedDocHash]] (t04's poly_fp over the salted id). */
+  /** DuckDB mirror of [[saltedDocHash]]: the salted poly hash plus the
+    * same affine scramble. */
   private def saltedDocHashSql(salt: String): String =
-    polyHashSqlOf(s"'$salt' || CAST(doc_id AS VARCHAR)")
+    s"""((${polyHashSqlOf(s"'$salt' || CAST(doc_id AS VARCHAR)")})
+                 * $ScrambleA + $ScrambleB) % $HashP"""
 
   private def splitBucket: Column = pmod(saltedDocHash("split:"), lit(100L))
   private def packShard: Column = pmod(saltedDocHash("shard:"), lit(PackShards.toLong))
@@ -1006,7 +1023,44 @@ object TextQueries {
               greatest($"char_tokens", lit(1L))).cast("long").as("compression_milli"))
           .orderBy($"lang")
       },
-      oracle = Some(t18OracleSql)))
+      oracle = Some(t18OracleSql)),
+
+    // ----- deterministic corpus shuffle into training shards -----------------
+    // Every pretraining run needs a REPRODUCIBLE global shuffle of the
+    // corpus into training order — orderBy(rand()) is neither reproducible
+    // across retries nor scalable (one total sort). The scalable form is
+    // hash order: shard = seeded hash of the doc id, within-shard position
+    // = rank of an INDEPENDENTLY-salted hash (distinct salt prefixes, same
+    // trick as t06-vs-t08: shard choice and in-shard order stay
+    // uncorrelated). One Exchange on shard, sort within shard, done — at
+    // 100 TB the shard count scales with the corpus so each shard fits a
+    // reducer, which is exactly how training-shard writers lay out files.
+    // Fully deterministic given the salts => DuckDB replays it exactly.
+    QueryDef(
+      "t19_shuffle_shards",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"shard").orderBy($"order_hash", $"doc_id")
+        Tables.documents(s, d)
+          .select($"doc_id",
+            pmod(saltedDocHash("shuffle:"), lit(ShuffleShards)).as("shard"),
+            saltedDocHash("order:").as("order_hash"))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select($"shard", $"pos", $"doc_id", $"order_hash")
+          .orderBy($"shard", $"pos")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 (${saltedDocHashSql("shuffle:")}) % $ShuffleShards AS shard,
+                 ${saltedDocHashSql("order:")} AS order_hash
+          FROM documents)
+        SELECT shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                 ORDER BY order_hash, doc_id) AS BIGINT) AS pos,
+               doc_id, order_hash
+        FROM t
+        ORDER BY shard, pos""")))
 
   /** The t18 oracle: t13's unrolled merge-learning CTE chain (same pair
     * counts, same argmax order, same list_reduce merge fold) carried over a

@@ -234,4 +234,28 @@ class TextSpec extends SparkSpec {
       assert(t12(lang) === nw, s"$lang: t18 n_words=$nw != t12 total=${t12(lang)}")
     }
   }
+
+  test("t19: shuffle is a deterministic permutation with dense per-shard positions") {
+    def run() = SparkEntry.queries("t19_shuffle_shards")(spark, sf)
+      .select($"shard", $"pos", $"doc_id", $"order_hash")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val a = run()
+    // permutation: every doc exactly once
+    val total = Tables.documents(spark, sf).count()
+    assert(a.map(_._3).distinct.size.toLong === total)
+    // dense ranks: each shard's positions are exactly 1..n_shard
+    a.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(rows.map(_._2).sorted === (1L to rows.length.toLong),
+        s"shard $shard positions not dense")
+    }
+    // reproducible: a re-run (fresh plan, fresh shuffle) is bit-identical —
+    // the property orderBy(rand()) cannot give
+    assert(run() === a)
+    // the order hash actually shuffles: at least one shard's position
+    // order must differ from plain doc_id order (P ~ prod 1/n_shard! of a
+    // false alarm on a correctly-shuffled corpus)
+    assert(a.groupBy(_._1).exists { case (_, rows) =>
+      rows.sortBy(_._2).map(_._3) != rows.map(_._3).sorted
+    }, "in-shard order equals doc_id order — the order salt is not shuffling")
+  }
 }

@@ -12,7 +12,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     RelationalQueries.all ++ ExtraRelationalQueries.all ++ EventQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
-      Multimodal.all ++ DslQueries.all ++ LayoutQueries.all
+      Multimodal.all ++ DslQueries.all ++ LayoutQueries.all ++
+      SqlSurfaceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1060,7 +1060,23 @@ object TextQueries {
                  ORDER BY order_hash, doc_id) AS BIGINT) AS pos,
                doc_id, order_hash
         FROM t
-        ORDER BY shard, pos""")))
+        ORDER BY shard, pos""")),
+
+    // ----- cross-document exact repeated-span mining -------------------------
+    // The exact-substring-dedup family (suffix-array dedup a la "Deduplicating
+    // Training Data Makes Language Models Better"), re-expressed as
+    // distributed diagonal-run merging: a shingle match at positions (pa, pb)
+    // lies on diagonal pa-pb, and a run of consecutive pa on one diagonal IS
+    // a maximal exact repeat of run+7 tokens. Shape: positional 8-shingles ->
+    // df-bounded self-join on the 64-bit shingle hash (linear in true
+    // repetitions, never all-pairs over docs) -> per-(pair, diagonal) island
+    // detection (pa - row_number) -> span aggregation. t14 flags the docs
+    // drowning in corpus-wide boilerplate; t20 pinpoints the exact long
+    // copies between specific pairs — what you delete span-by-span.
+    QueryDef(
+      "t20_repeated_spans",
+      (s, d) => repeatedSpans(Tables.documents(s, d)),
+      oracle = Some(repeatedSpansOracle)))
 
   /** The t18 oracle: t13's unrolled merge-learning CTE chain (same pair
     * counts, same argmax order, same list_reduce merge fold) carried over a
@@ -1125,6 +1141,105 @@ object TextQueries {
       .filter($"sample_rank" <= k)
       .select($"lang", $"sample_rank", $"doc_id", $"h".as("sample_hash"))
       .orderBy($"lang", $"sample_rank")
+  }
+
+  /** Cross-document exact repeated-span miner (t20), exposed as a library
+    * call. Returns one row per unordered doc pair that shares at least one
+    * exact repeat of `minRun + 7` tokens: (doc_a, doc_b, n_spans,
+    * max_span_tokens, dup_tokens).
+    *
+    * Algorithm (distributed diagonal-run merging): positional 8-token
+    * shingles; shingles present in 2..`maxDf` distinct docs survive (df >= 2
+    * = repeated; df > maxDf = corpus boilerplate, t14's territory — the cap
+    * also bounds the self-join's per-key fan-out, so no hot shingle can
+    * produce a quadratic key); self-join on the shingle hash; consecutive
+    * matches on one diagonal (pa - pb) collapse into maximal spans via the
+    * pa - row_number island trick. Work is linear in true shingle matches at
+    * any corpus size. Only 8-byte hashes and integer positions cross the
+    * shuffles.
+    *
+    * `minRun` = minimum consecutive matched shingles per reported span
+    * (span length in tokens = run + 7).
+    */
+  def repeatedSpans(docs: DataFrame, minRun: Int = 8, maxDf: Int = 32): DataFrame = {
+    require(minRun >= 1, s"need minRun >= 1, got $minRun")
+    require(maxDf >= 2, s"need maxDf >= 2, got $maxDf")
+    val s = docs.sparkSession
+    import s.implicits._
+    // positional (non-distinct) twin of shingles8: same JVM kernel economics
+    val pos = docs.select($"doc_id", TextFns.tokens($"text").as("t"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, t) =>
+        val n = math.max(t.length - 7, 1)
+        (0 until n).iterator.map { i =>
+          (id, i + 1L, t.slice(i, math.min(i + 8, t.length)).mkString(" "))
+        }
+      }
+      .toDF("doc_id", "pos", "gs")
+      .select($"doc_id", $"pos", xxhash64($"gs").as("g"))
+      .cache() // read three times: df agg + both self-join sides
+    val keep = pos.groupBy($"g")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2 && $"nd" <= maxDf)
+      .select($"g")
+    // restricting ONE side to kept shingles restricts the equi-join itself
+    val a = pos.join(keep, Seq("g"))
+      .select($"g", $"doc_id".as("doc_a"), $"pos".as("pa"))
+    val b = pos.select($"g", $"doc_id".as("doc_b"), $"pos".as("pb"))
+    val w = Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pa")
+    a.join(b, Seq("g"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"pa", $"pb", ($"pa" - $"pb").as("diag"))
+      .withColumn("isl", $"pa" - row_number().over(w))
+      .groupBy($"doc_a", $"doc_b", $"diag", $"isl")
+      .agg((count(lit(1)) + 7).as("span_tokens"))
+      .filter($"span_tokens" >= minRun + 7)
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_spans"),
+        max($"span_tokens").as("max_span_tokens"),
+        sum($"span_tokens").as("dup_tokens"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The t20 oracle: same positional shingles (DuckDB list indexing past the
+    * end yields NULLs that concat_ws skips — the kernel's partial-shingle
+    * semantics), same df window, same diagonal islands, on raw shingle
+    * strings (the Spark side's xxhash64 is a join key only, never output).
+    */
+  private def repeatedSpansOracle: String = {
+    val gram = (0 to 7).map(k => s"t[i+$k]").mkString(", ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+    pos AS (
+      SELECT doc_id, i AS pos, concat_ws(' ', $gram) AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+            FROM toks)),
+    keep AS (
+      SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM pos GROUP BY g)
+      WHERE nd BETWEEN 2 AND 32),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS diag
+      FROM (SELECT p.* FROM pos p JOIN keep USING (g)) a
+      JOIN pos b USING (g)
+      WHERE a.doc_id < b.doc_id),
+    runs AS (
+      SELECT doc_a, doc_b, diag,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+      FROM m),
+    spans AS (
+      SELECT doc_a, doc_b, count(*) + 7 AS span_tokens
+      FROM runs GROUP BY doc_a, doc_b, diag, isl
+      HAVING count(*) + 7 >= 15)
+    SELECT doc_a, doc_b,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(span_tokens) AS BIGINT) AS max_span_tokens,
+           CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_a, doc_b
+    ORDER BY doc_a, doc_b"""
   }
 
   /** Overlapping fixed-window chunker (t16), exposed as a library call:

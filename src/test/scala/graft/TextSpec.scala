@@ -258,4 +258,30 @@ class TextSpec extends SparkSpec {
       rows.sortBy(_._2).map(_._3) != rows.map(_._3).sorted
     }, "in-shard order equals doc_id order — the order salt is not shuffling")
   }
+
+  test("t20: a planted exact span is found at its exact token length, nothing else") {
+    import spark.implicits._
+    // span of 20 tokens shared verbatim by docs 1 and 2; every other token
+    // unique corpus-wide, so the ONLY matching shingles are the 13 fully
+    // inside the span (run 13 -> span_tokens 13 + 7 = 20)
+    val span = (1 to 20).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $span z1 z2", "en"),
+      (2L, s"b1 b2 b3 b4 $span y1", "en"),
+      (3L, (1 to 40).map(i => s"c$i").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val rows = operators.TextQueries.repeatedSpans(docs).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getLong(2) == 1L, "exactly one maximal span")
+    assert(r.getLong(3) == 20L, s"span length should be exactly 20 tokens: $r")
+    assert(r.getLong(4) == 20L)
+    // below the 15-token floor: a 14-token copy must NOT be reported
+    val short = (1 to 14).map(i => s"dup$i").mkString(" ")
+    val docs2 = Seq(
+      (1L, s"a1 a2 a3 $short z1 z2", "en"),
+      (2L, s"b1 b2 b3 b4 $short y1", "en")).toDF("doc_id", "text", "lang")
+    assert(operators.TextQueries.repeatedSpans(docs2).count() == 0L)
+  }
 }

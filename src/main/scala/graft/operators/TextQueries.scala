@@ -89,6 +89,11 @@ object TextQueries {
   // ----- BPE merge induction (t13) -----------------------------------------
   private val BpeRounds = 3
 
+  /** Hashed-feature buckets for the t21 linear model: 256 weight rows.
+    * MUST be declared before `val all` — oracle strings interpolate it
+    * eagerly during Seq construction (a later declaration reads as 0). */
+  private val ModelBuckets = 256L
+
   /** Greedy non-overlapping left-to-right application of merge (s1, s2) to a
     * space-separated symbol string. EXACTLY mirrors the DuckDB
     * `list_reduce` lambda in the t13 oracle: fold symbols left to right,
@@ -1076,7 +1081,23 @@ object TextQueries {
     QueryDef(
       "t20_repeated_spans",
       (s, d) => repeatedSpans(Tables.documents(s, d)),
-      oracle = Some(repeatedSpansOracle)))
+      oracle = Some(repeatedSpansOracle)),
+
+    // ----- broadcast linear-model inference (hashed bag-of-words) ------------
+    // The fastText/logreg quality-classifier shape at corpus scale: token ->
+    // hashed feature bucket -> broadcast join against an O(B) weight table ->
+    // per-doc score agg. The model crosses the cluster ONCE (broadcast);
+    // the corpus never shuffles until the per-doc aggregate — inference is
+    // a pure map-side pipeline however many TB the text is. The weights
+    // here are a deterministic synthetic table (this container trains no
+    // real model); swapping in learned weights changes one DataFrame.
+    // t02 scores docs with hand-written heuristics; t21 is the same
+    // decision seat occupied by a MODEL, which is how production pipelines
+    // (CCNet, FineWeb) actually gate quality.
+    QueryDef(
+      "t21_model_score",
+      (s, d) => modelScores(Tables.documents(s, d)),
+      oracle = Some(modelScoresOracle)))
 
   /** The t18 oracle: t13's unrolled merge-learning CTE chain (same pair
     * counts, same argmax order, same list_reduce merge fold) carried over a
@@ -1241,6 +1262,56 @@ object TextQueries {
     FROM spans GROUP BY doc_a, doc_b
     ORDER BY doc_a, doc_b"""
   }
+
+  /** Broadcast linear-model inference (t21), exposed as a library call:
+    * per-doc (doc_id, lang, n_tokens, w_sum, score_milli, pass). Each token
+    * hashes to one of [[ModelBuckets]] feature buckets (codegen'd polyHash);
+    * the bucket->weight model is a 256-row DataFrame broadcast-joined to the
+    * exploded tokens, so scoring never shuffles the corpus — the only
+    * exchange is the per-doc aggregate. The LCG-derived weights stand in for
+    * a trained model; inference plumbing (hash, broadcast, agg) is the part
+    * that must scale and is what this operator locks. */
+  def modelScores(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val weights = s.range(ModelBuckets).select(
+      $"id".as("bucket"),
+      ((($"id" * 1103515245L + 12345L) % 2003L) - 1001L).as("w"))
+    docs
+      .select($"doc_id", $"lang", explode(TextFns.tokens($"text")).as("tok"))
+      .select($"doc_id", $"lang",
+        pmod(TextFns.polyHash($"tok"), lit(ModelBuckets)).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_tokens"), sum($"w").as("w_sum"))
+      .select($"doc_id", $"lang", $"n_tokens", $"w_sum",
+        floor($"w_sum" * lit(1000.0) / $"n_tokens").cast("long").as("score_milli"))
+      .withColumn("pass", ($"score_milli" >= 0L).cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  /** The t21 oracle: same token hash (char fold), same LCG weights inline
+    * (DuckDB needs no broadcast — the weight function is pure), same
+    * per-row double division for the milli score. */
+  private def modelScoresOracle: String = s"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents),
+    f AS (
+      SELECT doc_id, lang,
+             CAST((${polyHashSqlOf("tok")}) % $ModelBuckets AS BIGINT) AS bucket
+      FROM toks),
+    sc AS (
+      SELECT doc_id, lang,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(((bucket * 1103515245 + 12345) % 2003) - 1001) AS BIGINT) AS w_sum
+      FROM f GROUP BY doc_id, lang)
+    SELECT doc_id, lang, n_tokens, w_sum,
+           CAST(floor(w_sum * 1000.0 / n_tokens) AS BIGINT) AS score_milli,
+           CAST(CASE WHEN floor(w_sum * 1000.0 / n_tokens) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+    FROM sc
+    ORDER BY doc_id"""
 
   /** Overlapping fixed-window chunker (t16), exposed as a library call:
     * (doc_id, chunk_idx, chunk_start [1-based], chunk_len, chunk_md5).

@@ -284,4 +284,20 @@ class TextSpec extends SparkSpec {
       (2L, s"b1 b2 b3 b4 $short y1", "en")).toDF("doc_id", "text", "lang")
     assert(operators.TextQueries.repeatedSpans(docs2).count() == 0L)
   }
+
+  test("t21: model join broadcasts (no corpus shuffle before the doc agg) and scores recompute") {
+    import spark.implicits._
+    val df = SparkEntry.queries("t21_model_score")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), "weight join must broadcast, not shuffle")
+    // independent recomputation of one doc's score from the row's own fields
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val (n, ws, sc, pass) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(sc == math.floor(ws * 1000.0 / n).toLong)
+      assert(pass == (if (sc >= 0) 1L else 0L))
+    }
+  }
 }

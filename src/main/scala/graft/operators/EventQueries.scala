@@ -391,7 +391,50 @@ object EventQueries {
                     ELSE 'changed' END AS change_class
         FROM a FULL OUTER JOIN b
           ON a.user_id = b.user_id AND a.event_type = b.event_type
-        ORDER BY user_id, event_type"""))
+        ORDER BY user_id, event_type""")),
+
+    // ----- cohort retention (weekly) ----------------------------------------
+    // The warehouse-standard cohort table: users grouped by first-seen week,
+    // tracked by distinct activity in each later week. Three hash aggs and
+    // one equi-join keyed on user_id / cohort week; the per-user activity
+    // dedup shuffles (user, week) pairs — never raw events — and the join
+    // back to first-seen reuses the user_id partitioning. The output is
+    // O(cohorts x horizon), tiny at any event volume; retention ratios use
+    // per-row double division (IEEE-deterministic) floored to millis.
+    QueryDef(
+      "q59_cohort_retention",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", date_trunc("week", $"ts").cast("date").as("w"))
+        val act = ev.distinct()
+        val firstw = act.groupBy($"user_id").agg(min($"w").as("cw"))
+        val cohorts = firstw.groupBy($"cw").agg(count(lit(1)).as("cohort_size"))
+        act.join(firstw, Seq("user_id"))
+          .select($"cw", floor(datediff($"w", $"cw") / 7).cast("long").as("weeks_since"))
+          .groupBy($"cw", $"weeks_since")
+          .agg(count(lit(1)).as("n_active"))
+          .join(cohorts, Seq("cw"))
+          .select($"cw".as("cohort_week"), $"weeks_since", $"n_active", $"cohort_size",
+            floor($"n_active" * lit(1000.0) / $"cohort_size").cast("long").as("retention_milli"))
+          .orderBy($"cohort_week", $"weeks_since")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+          FROM events),
+        fw AS (SELECT user_id, min(w) AS cw FROM ev GROUP BY user_id),
+        cs AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size FROM fw GROUP BY cw),
+        j AS (
+          SELECT cw, CAST(date_diff('day', cw, w) // 7 AS BIGINT) AS weeks_since
+          FROM ev JOIN fw USING (user_id))
+        SELECT j.cw AS cohort_week, weeks_since,
+               CAST(count(*) AS BIGINT) AS n_active,
+               cohort_size,
+               CAST(floor(count(*) * 1000.0 / cohort_size) AS BIGINT) AS retention_milli
+        FROM j JOIN cs ON j.cw = cs.cw
+        GROUP BY j.cw, weeks_since, cohort_size
+        ORDER BY cohort_week, weeks_since"""))
   )
 
   /** One unrolled PageRank iteration as a DuckDB CTE (oracle helper):

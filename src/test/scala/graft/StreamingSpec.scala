@@ -345,6 +345,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark: duplicates dropped, expired state re-admits") {
+    // the BOUNDED-STATE twin of the test above: plain dropDuplicates holds
+    // every key forever (state grows with the stream — a 100 TB stream
+    // eventually dies); dropDuplicatesWithinWatermark evicts keys once the
+    // watermark passes their expiry, trading "dedup forever" for "dedup
+    // within the lateness horizon" at O(horizon) state. The re-admission
+    // below PROVES eviction happened — the forever variant would still drop.
+    implicit val sq = spark.sqlContext
+    def ts(min: Long) = java.sql.Timestamp.valueOf(s"2024-01-01 ${10 + min / 60}:${"%02d".format(min % 60)}:00")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = ms.toDF().toDF("doc_id", "ts", "text")
+      .withColumn("content_key", md5(graft.functions.TextFns.normalize($"text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_key")
+    val q = out.writeStream.format("memory").queryName("dedup_wm_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, ts(0), "alpha beta"), (2L, ts(1), "Alpha  BETA")) // dup within horizon
+      q.processAllAvailable()
+      ms.addData((3L, ts(40), "advance the watermark")) // watermark -> t+30min
+      q.processAllAvailable()
+      ms.addData((4L, ts(41), "alpha beta")) // key expired at t+10min: re-admitted
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toVector
+      assert(ids === Vector(1L, 3L, 4L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("streaming bind chooses the topology from the first row (R9 first-trigger)") {
     implicit val sq = spark.sqlContext
     val buffer = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()

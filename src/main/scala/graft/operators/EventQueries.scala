@@ -395,26 +395,30 @@ object EventQueries {
 
     // ----- cohort retention (weekly) ----------------------------------------
     // The warehouse-standard cohort table: users grouped by first-seen week,
-    // tracked by distinct activity in each later week. Three hash aggs and
-    // one equi-join keyed on user_id / cohort week; the per-user activity
-    // dedup shuffles (user, week) pairs — never raw events — and the join
-    // back to first-seen reuses the user_id partitioning. The output is
-    // O(cohorts x horizon), tiny at any event volume; retention ratios use
-    // per-row double division (IEEE-deterministic) floored to millis.
+    // tracked by distinct activity in each later week. Raw events shuffle
+    // exactly ONCE (hash by user_id into a collect_set of active weeks —
+    // map-side partials dedup before the exchange, and per-user state is
+    // bounded by the horizon's week count, not the user's event count);
+    // first-seen is array_min of that set, so no second scan and no join.
+    // Everything after the explode is O(users x active-weeks) -> the
+    // O(cohorts x horizon) grid, where cohort size is just the week-0 cell
+    // (every user is active in their own first week) read back via a window
+    // over the tiny grid. Retention ratios use per-row double division
+    // (IEEE-deterministic) floored to millis.
     QueryDef(
       "q59_cohort_retention",
       (s, d) => {
         import s.implicits._
-        val ev = Tables.events(s, d)
+        val w0 = org.apache.spark.sql.expressions.Window.partitionBy($"cw")
+        Tables.events(s, d)
           .select($"user_id", date_trunc("week", $"ts").cast("date").as("w"))
-        val act = ev.distinct()
-        val firstw = act.groupBy($"user_id").agg(min($"w").as("cw"))
-        val cohorts = firstw.groupBy($"cw").agg(count(lit(1)).as("cohort_size"))
-        act.join(firstw, Seq("user_id"))
+          .groupBy($"user_id").agg(collect_set($"w").as("ws"))
+          .select(array_min($"ws").as("cw"), explode($"ws").as("w"))
           .select($"cw", floor(datediff($"w", $"cw") / 7).cast("long").as("weeks_since"))
           .groupBy($"cw", $"weeks_since")
           .agg(count(lit(1)).as("n_active"))
-          .join(cohorts, Seq("cw"))
+          .withColumn("cohort_size",
+            max(when($"weeks_since" === 0L, $"n_active")).over(w0))
           .select($"cw".as("cohort_week"), $"weeks_since", $"n_active", $"cohort_size",
             floor($"n_active" * lit(1000.0) / $"cohort_size").cast("long").as("retention_milli"))
           .orderBy($"cohort_week", $"weeks_since")

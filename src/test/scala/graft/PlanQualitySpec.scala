@@ -239,6 +239,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q59: raw events shuffle once; everything else is grid-sized") {
+    // one hash exchange on user_id for the collect_set (with a map-side
+    // partial), one on the O(cohorts x horizon) grid agg, one tiny window
+    // exchange on cw; no join anywhere (first-seen is array_min of the set,
+    // cohort size is the grid's own week-0 cell)
+    val p = plan("q59_cohort_retention")
+    assert(!p.contains("Join"), s"cohort retention must not plan a join:\n$p")
+    assert(p.contains("partial_collect_set"), s"no map-side combine:\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 3, s"expected <=3 hash exchanges, got $hashEx:\n$p")
+  }
+
   test("q50: the two snapshot aggregates feed the outer join with one shuffle each") {
     val p = plan("q50_snapshot_diff")
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))

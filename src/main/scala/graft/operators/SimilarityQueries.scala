@@ -811,7 +811,75 @@ object SimilarityQueries {
     QueryDef(
       "s12_hard_negatives",
       (s, d) => hardNegatives(s, Tables.embeddings(s, d)),
-      oracle = Some(s12OracleSql)))
+      oracle = Some(s12OracleSql)),
+
+    // ----- per-label centroid + dispersion profile --------------------------
+    // The domain-profiling pass a training-mix pipeline runs before
+    // balancing: one centroid per label plus how tightly the label's
+    // vectors hug it. Two passes, both scale-flat: (1) posexplode ->
+    // hash agg by (label, dim) — the map-side partial collapses each
+    // partition to labels x d sums before the exchange, so the shuffle
+    // never carries n x d rows; centroids are exact integer-milli
+    // (sum div n — associative, partitioning-independent, oracle-exact);
+    // (2) broadcast the O(labels x d) centroid table back and score each
+    // vector against its own centroid with the codegen'd CosineMilliExpr
+    // (milli components are exact in float: integers < 2^24), then one
+    // label-sized agg. No join of the corpus against itself anywhere.
+    QueryDef(
+      "s13_label_centroids",
+      (s, d) => {
+        import s.implicits._
+        val m = Tables.embeddings(s, d).select($"vec_id", $"label",
+          transform($"embedding",
+            x => floor(x.cast("double") * 1000).cast("float")).as("m"))
+        val cents = m
+          .select($"label", posexplode($"m").as(Seq("pos", "v")))
+          .groupBy($"label", $"pos")
+          .agg(sum($"v".cast("long")).as("sm"), count(lit(1)).as("cnt"))
+          .groupBy($"label")
+          .agg(array_sort(collect_list(
+            struct($"pos", expr("sm div cnt").cast("float").as("c")))).as("ps"))
+          .select($"label", expr("transform(ps, x -> x.c)").as("centroid"))
+        m.join(broadcast(cents), Seq("label"))
+          .select($"label", VectorFns.cosineMilli($"m", $"centroid").as("cos_milli"))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n"),
+            expr("sum(cos_milli) div count(1)").as("avg_cos_milli"),
+            min($"cos_milli").as("min_cos_milli"),
+            sum(($"cos_milli" < 500L).cast("long")).as("n_far"))
+          .select($"label".cast("long").as("label"), $"n",
+            $"avg_cos_milli", $"min_cos_milli", $"n_far")
+          .orderBy($"label")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT vec_id, label,
+                 list_transform(embedding::DOUBLE[], x -> floor(x * 1000)) AS m
+          FROM embeddings),
+        ex AS (
+          SELECT label, unnest(m) AS v,
+                 unnest(generate_series(1, len(m))) AS pos
+          FROM t),
+        sums AS (
+          SELECT label, pos, CAST(sum(v) AS BIGINT) AS sm,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM ex GROUP BY label, pos),
+        cents AS (
+          SELECT label, list(CAST(sm // cnt AS DOUBLE) ORDER BY pos) AS ce
+          FROM sums GROUP BY label),
+        scored AS (
+          SELECT t.label,
+                 CAST(floor(list_dot_product(t.m, c.ce) * 1000.0 /
+                   (sqrt(list_dot_product(t.m, t.m)) *
+                    sqrt(list_dot_product(c.ce, c.ce)))) AS BIGINT) AS cos_milli
+          FROM t JOIN cents c USING (label))
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cos_milli) // count(*) AS BIGINT) AS avg_cos_milli,
+               CAST(min(cos_milli) AS BIGINT) AS min_cos_milli,
+               CAST(sum(CASE WHEN cos_milli < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_far
+        FROM scored GROUP BY label
+        ORDER BY label""")))
 
   /** The s10 pipeline over an arbitrary (doc_id, text) table: BM25 top-k
     * per query in exact integer-milli arithmetic (see the s10 comment).

@@ -305,4 +305,21 @@ class SimilaritySpec extends SparkSpec {
     assert(top.subsetOf(dupDocs),
       s"top-5 for the 'dup' query includes docs without 'dup': ${top -- dupDocs}")
   }
+
+  test("s13: label profile covers the corpus, centroids broadcast, no corpus self-join") {
+    val df = SparkEntry.queries("s13_label_centroids")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"centroid join must broadcast, not shuffle the corpus:\n$plan")
+    val rows = df.collect()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total, "every vector profiled exactly once")
+    rows.foreach { r =>
+      // a vector can't be farther from its own label centroid than the
+      // label minimum, and milli cosines live in [-1000, 1000]
+      assert(r.getLong(3) <= r.getLong(2), s"min > avg in $r")
+      assert(r.getLong(2) >= -1000L && r.getLong(2) <= 1000L)
+    }
+  }
 }

@@ -1181,6 +1181,16 @@ object TextQueries {
     *
     * `minRun` = minimum consecutive matched shingles per reported span
     * (span length in tokens = run + 7).
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val span = (1 to 20).map("d" + _).mkString(" ")
+    * val docs = Seq((1L, s"a b c $span", "en"), (2L, s"$span x y", "en"))
+    *   .toDF("doc_id", "text", "lang")
+    * TextQueries.repeatedSpans(docs)
+    *   .select("doc_a", "doc_b", "max_span_tokens")
+    *   .as[(Long, Long, Long)].head == ((1L, 2L, 20L))
+    * }}}
     */
   def repeatedSpans(docs: DataFrame, minRun: Int = 8, maxDf: Int = 32): DataFrame = {
     require(minRun >= 1, s"need minRun >= 1, got $minRun")
@@ -1270,7 +1280,16 @@ object TextQueries {
     * exploded tokens, so scoring never shuffles the corpus — the only
     * exchange is the per-doc aggregate. The LCG-derived weights stand in for
     * a trained model; inference plumbing (hash, broadcast, agg) is the part
-    * that must scale and is what this operator locks. */
+    * that must scale and is what this operator locks.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val r = TextQueries.modelScores(
+    *   Seq((7L, "alpha beta gamma", "en")).toDF("doc_id", "text", "lang")).head
+    * r.getLong(2) == 3L &&
+    *   r.getLong(4) == math.floor(r.getLong(3) * 1000.0 / 3).toLong
+    * }}}
+    */
   def modelScores(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

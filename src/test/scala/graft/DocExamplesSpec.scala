@@ -57,4 +57,22 @@ class DocExamplesSpec extends SparkSpec {
     assert(Seq("  Hello   WORLD ").toDF("text")
       .select(TextFns.tokens($"text")).as[Seq[String]].head === Seq("hello", "world"))
   }
+
+  test("TextQueries.repeatedSpans scaladoc example") {
+    import graft.operators.TextQueries
+    val span = (1 to 20).map("d" + _).mkString(" ")
+    val docs = Seq((1L, s"a b c $span", "en"), (2L, s"$span x y", "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(TextQueries.repeatedSpans(docs)
+      .select("doc_a", "doc_b", "max_span_tokens")
+      .as[(Long, Long, Long)].head === ((1L, 2L, 20L)))
+  }
+
+  test("TextQueries.modelScores scaladoc example") {
+    import graft.operators.TextQueries
+    val r = TextQueries.modelScores(
+      Seq((7L, "alpha beta gamma", "en")).toDF("doc_id", "text", "lang")).head
+    assert(r.getLong(2) == 3L &&
+      r.getLong(4) == math.floor(r.getLong(3) * 1000.0 / 3).toLong)
+  }
 }

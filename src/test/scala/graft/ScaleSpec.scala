@@ -109,6 +109,17 @@ class ScaleSpec extends SparkSpec {
       docCorpus(4000), docCorpus(40000))
   }
 
+  test("t20 repeated spans: 10x corpus => ~10x runtime and span pairs") {
+    // every 10th doc repeats its template's first 39 tokens verbatim, so
+    // each dup pair carries exactly one 39-token maximal span (32
+    // consecutive shingle matches on one diagonal) — span rows = n/10,
+    // linear by construction; a degenerate diagonal join (or a df-cap
+    // failure) floods the pair count long before the clock trips
+    assertTrend("t20",
+      df => graft.operators.TextQueries.repeatedSpans(df).count(),
+      docCorpus(4000), docCorpus(40000))
+  }
+
   test("d06 embedding-LSH dedup: 10x corpus => ~10x runtime and pairs") {
     // K and the cosine bar are tuned for THIS corpus per the pipeline's
     // documented contract (K ~ 2*log2(n) - 10, threshold above the random

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Multimodal-column plumbing (SURVEY.md §2.2 LLM ops): media payloads are
@@ -36,6 +37,12 @@ object Multimodal {
       byte_max: Int)
 
   val FrameSize = 1024
+
+  // m06 shard assembly — declared above `val all` (oracle strings
+  // interpolate these eagerly during Seq construction)
+  val ShardBytes = 16384L
+  val ShardGroups = 4L
+  private def polyHashSqlOf(e: String): String = TextQueries.polyHashSqlOf(e)
 
   /** STUB decoder: deterministic, derived only from payload bytes. Replace
     * with a real codec; the per-partition batching (one iterator pass, no
@@ -243,7 +250,67 @@ object Multimodal {
         FROM frames f
         JOIN fp p ON f.media_type = p.media_type AND f.fb = p.fb
                  AND f.bs = p.bs AND f.bmin = p.bmin AND f.bmax = p.bmax
-        GROUP BY f.media_type ORDER BY f.media_type""")))
+        GROUP BY f.media_type ORDER BY f.media_type""")),
+
+    // ----- training-shard manifest assembly (webdataset-style) -------------
+    // Multimodal training data ships as fixed-size shard archives (tar /
+    // webdataset / tfrecord); this builds the shard MANIFEST: assets in a
+    // deterministic salted-hash order (retry-stable, decorrelated from
+    // ingest order — t19's principle at the asset level), greedily packed
+    // into ~ShardBytes shards by a running byte cumsum, one manifest row
+    // per shard. Parallelism comes from (media_type x hash-group)
+    // partitions — the t08 sharding discipline: window state is O(1) per
+    // partition and the shuffle carries (id, bytes) pairs, never payloads.
+    // A shard overruns its budget by at most one asset (the greedy
+    // sequential rule, deterministic on both engines).
+    QueryDef(
+      "m06_shard_manifest",
+      (s, d) => {
+        import s.implicits._
+        val orderH = graft.functions.TextFns.polyHash(
+          concat(lit("order:"), $"asset_id".cast("string")))
+        val grpH = pmod(graft.functions.TextFns.polyHash(
+          concat(lit("shard:"), $"asset_id".cast("string"))), lit(ShardGroups))
+        val w = Window.partitionBy($"media_type", $"grp").orderBy($"h", $"asset_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        assets(s, d)
+          .select($"asset_id", $"media_type", $"n_bytes",
+            grpH.as("grp"), orderH.as("h"))
+          .withColumn("cum", sum($"n_bytes").over(w))
+          .withColumn("shard_id",
+            floor(($"cum" - $"n_bytes") / ShardBytes).cast("long"))
+          .groupBy($"media_type", $"grp", $"shard_id")
+          .agg(count(lit(1)).as("n_assets"),
+            sum($"n_bytes").as("shard_bytes"),
+            min($"asset_id").as("first_asset"))
+          .withColumn("fill_milli",
+            floor($"shard_bytes" * lit(1000.0) / ShardBytes).cast("long"))
+          .orderBy($"media_type", $"grp", $"shard_id")
+      },
+      oracle = Some(s"""
+        WITH a AS (
+          SELECT doc_id AS asset_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+                 CAST(length(text) AS BIGINT) AS n_bytes,
+                 (${polyHashSqlOf("'shard:' || CAST(doc_id AS VARCHAR)")}) % $ShardGroups AS grp,
+                 (${polyHashSqlOf("'order:' || CAST(doc_id AS VARCHAR)")}) AS h
+          FROM documents),
+        c AS (
+          SELECT *, sum(n_bytes) OVER (PARTITION BY media_type, grp
+                      ORDER BY h, asset_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM a),
+        sh AS (
+          SELECT media_type, grp, (cum - n_bytes) // $ShardBytes AS shard_id,
+                 asset_id, n_bytes
+          FROM c)
+        SELECT media_type, CAST(grp AS BIGINT) AS grp, CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_assets,
+               CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+               CAST(min(asset_id) AS BIGINT) AS first_asset,
+               CAST(floor(sum(n_bytes) * 1000.0 / $ShardBytes) AS BIGINT) AS fill_milli
+        FROM sh GROUP BY media_type, grp, shard_id
+        ORDER BY media_type, grp, shard_id""")))
 
   /** The m05 pipeline over an arbitrary asset set: per-media-type frame
     * counts, frames whose fingerprint appears in >= 2 distinct assets of

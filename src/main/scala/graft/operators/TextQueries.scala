@@ -68,7 +68,7 @@ object TextQueries {
 
   /** DuckDB mirror of [[TextFns.polyHash]] over an arbitrary VARCHAR SQL
     * expression (t04's poly_fp). */
-  private def polyHashSqlOf(e: String): String = s"""
+  private[operators] def polyHashSqlOf(e: String): String = s"""
                  list_reduce(
                    list_prepend(CAST(0 AS BIGINT),
                      list_transform(generate_series(1, length($e)),

@@ -62,4 +62,22 @@ class MultimodalSpec extends SparkSpec {
     assert(got("video/mp4") === ((6L, 6L, 3L, 2L))) // 3 frames x 2 copies, all shared
     assert(got("image/png") === ((3L, 0L, 3L, 1L))) // perturbed copy shares nothing
   }
+
+  test("m06: shard manifest conserves bytes, bounds overflow, and is retry-stable") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def run() = SparkEntry.queries("m06_shard_manifest")(spark, sf)
+    val rows = run().collect()
+    // conservation: every asset byte lands in exactly one shard
+    val totalBytes = Multimodal.assets(spark, sf)
+      .agg(sum($"n_bytes")).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(4)).sum == totalBytes)
+    // greedy bound: a shard exceeds its budget by less than one max asset
+    val maxAsset = Multimodal.assets(spark, sf)
+      .agg(max($"n_bytes")).collect()(0).getLong(0)
+    rows.foreach(r => assert(r.getLong(4) < Multimodal.ShardBytes + maxAsset,
+      s"shard overruns by more than one asset: $r"))
+    // deterministic: a fresh plan reproduces the manifest bit for bit
+    assert(run().collect().toSeq == rows.toSeq)
+  }
 }

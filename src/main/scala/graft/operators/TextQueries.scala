@@ -1097,7 +1097,54 @@ object TextQueries {
     QueryDef(
       "t21_model_score",
       (s, d) => modelScores(Tables.documents(s, d)),
-      oracle = Some(modelScoresOracle)))
+      oracle = Some(modelScoresOracle)),
+
+    // ----- temperature-scaled mixture rebalancing ---------------------------
+    // Multilingual/multi-source temperature sampling (the mT5/XLM-R recipe):
+    // target share of source s ∝ tokens(s)^(1/T). T=2 makes the exponent a
+    // SQUARE ROOT, which is IEEE-correctly-rounded on every engine — so
+    // unlike pow(x, 0.7) the targets are bit-exact cross-engine (floor after
+    // sqrt, integer arithmetic beyond). Output: per-source current vs target
+    // token share and the up/down-sampling factor a mixer must apply. One
+    // hash agg over the corpus; the share table is O(sources), so the
+    // unpartitioned window over it is a driver-sized operation, not a skew
+    // risk.
+    QueryDef(
+      "t22_temperature_mix",
+      (s, d) => {
+        import s.implicits._
+        val all = Window.partitionBy(lit(1))
+        Tables.documents(s, d)
+          .select($"source", size(TextFns.tokens($"text")).cast("long").as("n"))
+          .groupBy($"source")
+          .agg(sum($"n").as("tokens"), count(lit(1)).as("docs"))
+          .withColumn("w", floor(sqrt($"tokens")).cast("long"))
+          .withColumn("tot_t", sum($"tokens").over(all))
+          .withColumn("tot_w", sum($"w").over(all))
+          .select($"source", $"tokens", $"docs",
+            floor($"tokens" * lit(1000.0) / $"tot_t").cast("long").as("current_milli"),
+            floor($"w" * lit(1000.0) / $"tot_w").cast("long").as("target_milli"),
+            floor($"w" * $"tot_t" * lit(1000.0) / ($"tokens" * $"tot_w"))
+              .cast("long").as("factor_milli"))
+          .orderBy($"source")
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT source,
+                 CAST(sum(len(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS BIGINT) AS tokens,
+                 CAST(count(*) AS BIGINT) AS docs
+          FROM documents GROUP BY source),
+        w AS (
+          SELECT *, CAST(floor(sqrt(tokens)) AS BIGINT) AS w,
+                 CAST(sum(tokens) OVER () AS BIGINT) AS tot_t,
+                 CAST(sum(CAST(floor(sqrt(tokens)) AS BIGINT)) OVER () AS BIGINT) AS tot_w
+          FROM tok)
+        SELECT source, tokens, docs,
+               CAST(floor(tokens * 1000.0 / tot_t) AS BIGINT) AS current_milli,
+               CAST(floor(w * 1000.0 / tot_w) AS BIGINT) AS target_milli,
+               CAST(floor(w * tot_t * 1000.0 / (tokens * tot_w)) AS BIGINT) AS factor_milli
+        FROM w
+        ORDER BY source""")))
 
   /** The t18 oracle: t13's unrolled merge-learning CTE chain (same pair
     * counts, same argmax order, same list_reduce merge fold) carried over a

@@ -285,6 +285,21 @@ class TextSpec extends SparkSpec {
     assert(operators.TextQueries.repeatedSpans(docs2).count() == 0L)
   }
 
+  test("t22: temperature compresses shares toward uniform and factors invert shares") {
+    val rows = SparkEntry.queries("t22_temperature_mix")(spark, sf).collect()
+    assert(rows.length > 1)
+    val cur = rows.map(_.getLong(3)); val tgt = rows.map(_.getLong(4))
+    // sqrt temperature strictly compresses the spread (floor gives ±1 slack)
+    assert(tgt.max - tgt.min <= cur.max - cur.min + 1,
+      s"temperature widened the share spread: cur=${cur.toSeq} tgt=${tgt.toSeq}")
+    // an under-represented source is up-sampled, an over-represented one down
+    rows.foreach { r =>
+      val (c, t, f) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      if (t > c) assert(f >= 1000L, s"target>current but factor<1: $r")
+      if (t < c) assert(f <= 1000L, s"target<current but factor>1: $r")
+    }
+  }
+
   test("t21: model join broadcasts (no corpus shuffle before the doc agg) and scores recompute") {
     import spark.implicits._
     val df = SparkEntry.queries("t21_model_score")(spark, sf)

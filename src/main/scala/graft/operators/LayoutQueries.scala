@@ -154,4 +154,52 @@ object LayoutQueries {
       .option("path", scratch(d, "q51_ord"))
       .saveAsTable("graft_layout.q51_ord")
   }
+
+  /** Small-file compaction: rewrite a parquet dataset into files of
+    * ~`targetBytes`, preserving hive partitioning. The operational fix for
+    * the 100 TB killer nobody models in queries — a table accreted from
+    * thousands of streaming micro-batch or per-task writes whose footer
+    * and scheduling overhead dominate every scan.
+    *
+    * Sizing is measured, not guessed: input bytes from the file listing,
+    * rows from a count, so `maxRecordsPerFile` lands each output file near
+    * the byte target regardless of row width. Shuffle width =
+    * ceil(bytes/target) tasks, hashed on the partition columns so each
+    * task writes to few directories (clean commits, no file-per-task-per-
+    * dir explosion). The known trade-off: one HOT partition value maps to
+    * one task — its output is still correctly split into target-size files
+    * by maxRecordsPerFile, but written serially; if one value dominates
+    * the dataset, salt the repartition (SkewJoin's discipline) at the cost
+    * of more files per directory.
+    *
+    * Returns (inputFiles, outputFiles) so callers can assert the squeeze.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      partitionCols: Seq[String], targetBytes: Long = 128L << 20): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(inDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(new Path(dir), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
+    }
+    val in = dataFiles(inDir)
+    val bytes = math.max(in.map(_.getLen).sum, 1L)
+    val df = spark.read.parquet(inDir)
+    val rows = math.max(df.count(), 1L)
+    val maxRecords = math.max(1L, targetBytes * rows / bytes)
+    val nTasks = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val shuffled =
+      if (partitionCols.nonEmpty) df.repartition(nTasks, partitionCols.map(col): _*)
+      else df.repartition(nTasks)
+    val writer = shuffled.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecords)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(outDir)
+    (in.length.toLong, dataFiles(outDir).length.toLong)
+  }
 }

@@ -89,6 +89,36 @@ class LayoutSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("compact squeezes a small-file table into bounded files, preserving data + pruning") {
+    import graft.operators.LayoutQueries
+    val inDir = s"$tmp/frag"
+    val outDir = s"$tmp/compacted"
+    // fragment lineitem into ~hundreds of tiny files across 3 partitions
+    Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_orderkey", $"l_quantity", $"l_extendedprice")
+      .repartition(64)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(inDir)
+    val (nIn, nOut) = LayoutQueries.compact(spark, inDir, outDir,
+      Seq("l_returnflag"), targetBytes = 256L << 10)
+    assert(nIn > 50, s"fixture not fragmented enough: $nIn files")
+    assert(nOut < nIn / 4, s"compaction barely squeezed: $nIn -> $nOut files")
+    // data identical (same rows, same checksums)
+    def sig(dir: String) = spark.read.parquet(dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_orderkey").as("ks"),
+        sum(floor($"l_extendedprice" * 100)).cast("long").as("cs"))
+      .orderBy($"l_returnflag").collect().toSeq
+    assert(sig(outDir) === sig(inDir))
+    // hive partitioning preserved: the filter lands in PartitionFilters
+    // (listing-time pruning), not a post-scan Filter over all files
+    val pruned = spark.read.parquet(outDir).filter($"l_returnflag" === "R")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag") ||
+      plan.contains("PartitionFilters: [(l_returnflag"),
+      s"partition pruning lost after compaction:\n$plan")
+  }
+
   test("q52 result is layout-independent (matches the unclustered rectangle)") {
     val got = SparkEntry.queries("q52_zorder_skipping")(spark, sf).collect()
     val want = Tables.lineitem(spark, sf)

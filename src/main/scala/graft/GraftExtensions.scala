@@ -24,5 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft.functions.PolyHashExpr", "poly_hash"),
       (exprs: Seq[Expression]) =>
         graft.functions.PolyHashExpr(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo("graft.functions.SimHash64Expr", "simhash64"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.SimHash64Expr(exprs(0))))
   }
 }

@@ -59,6 +59,13 @@ object TextFns {
     org.apache.spark.sql.graft.Bridge.column(
       PolyHashExpr(org.apache.spark.sql.graft.Bridge.expression(c)))
 
+  /** 64-bit SimHash of a token array (per-token FNV-1a, per-bit majority
+    * vote), backed by the codegen'd [[SimHash64Expr]] so d04's signature
+    * pass fuses into the corpus scan instead of a typed map. */
+  def simhash64(tokens: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      SimHash64Expr(org.apache.spark.sql.graft.Bridge.expression(tokens)))
+
   /** The original transform/aggregate formulation — kept as the
     * equivalence oracle for [[PolyHashExpr]] (VectorExprSpec). split("")
     * yields the char array in one O(n) pass; indexing with

@@ -444,26 +444,12 @@ object DedupQueries {
       "d04_dedup_simhash",
       (s, d) => {
         import s.implicits._
-        // same materialize-before-self-join + JVM-kernel principles as d03
+        // same materialize-before-self-join principle as d03; the signature
+        // itself is the codegen'd SimHash64Expr, so the tokenize -> hash ->
+        // vote loop fuses into the corpus scan (the former typed-map kernel
+        // survives in VectorExprSpec as the bit-equality reference)
         val docs = Tables.documents(s, d)
-          .select($"doc_id", TextFns.tokens($"text").as("t"))
-          .as[(Long, Seq[String])]
-          .map { case (id, toks) =>
-            val votes = new Array[Int](64)
-            toks.foreach { tk =>
-              val h = fnv64(tk)
-              var b = 0
-              while (b < 64) {
-                if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
-                b += 1
-              }
-            }
-            var sig = 0L
-            var b = 0
-            while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-            (id, sig)
-          }
-          .toDF("doc_id", "sig")
+          .select($"doc_id", TextFns.simhash64(TextFns.tokens($"text")).as("sig"))
           .cache()
         val chunked = docs.select($"doc_id", $"sig",
           posexplode(array((0 until 4).map(c =>

@@ -34,6 +34,13 @@ object Bridge {
       new ExpressionInfo("graft.functions.PolyHashExpr", "poly_hash"),
       (exprs: Seq[Expression]) => graft.functions.PolyHashExpr(exprs(0)))
 
+  /** Register `simhash64(tokens)` for SQL use on an existing session. */
+  def registerSimHash64(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo("graft.functions.SimHash64Expr", "simhash64"),
+      (exprs: Seq[Expression]) => graft.functions.SimHash64Expr(exprs(0)))
+
   /** Test hook: the injected-function names an extensions object would
     * contribute to a new session (registerFunctions is private[sql]). */
   def injectedFunctionNames(ext: org.apache.spark.sql.SparkSessionExtensions): Seq[String] = {

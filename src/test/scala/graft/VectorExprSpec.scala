@@ -84,6 +84,69 @@ class VectorExprSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("simhash64 expression is bit-identical to the JVM reference kernel") {
+    import graft.functions.TextFns
+    // the d04 typed-map kernel this expression replaced, kept as the oracle
+    def refSimhash(toks: Seq[String]): Long = {
+      def fnv64(str: String): Long = {
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < str.length) { h ^= str.charAt(i); h *= 0x100000001b3L; i += 1 }
+        h
+      }
+      val votes = new Array[Int](64)
+      toks.foreach { tk =>
+        val h = fnv64(tk)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+    // random corpora, including empty docs and unicode
+    val rnd = new scala.util.Random(7)
+    val docs = Seq.tabulate(300) { i =>
+      val n = rnd.nextInt(30)
+      (i.toLong, Seq.fill(n)(s"tok${rnd.nextInt(500)}é") ++
+        (if (n == 0) Seq("") else Nil))
+    }
+    val got = docs.toDF("id", "t")
+      .select($"id", TextFns.simhash64($"t").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    docs.foreach { case (id, toks) =>
+      assert(got(id) === refSimhash(toks), s"doc $id")
+    }
+    // and on the real corpus via the full d04 pipeline (tokens -> sig)
+    val real = Tables.documents(spark, sf)
+      .select($"doc_id", TextFns.tokens($"text").as("t"))
+    val exprSide = real.select($"doc_id", TextFns.simhash64($"t").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    real.as[(Long, Seq[String])].collect().foreach { case (id, toks) =>
+      assert(exprSide(id) === refSimhash(toks), s"doc $id")
+    }
+  }
+
+  test("simhash64 registers as a SQL function and the extensions object injects it") {
+    import graft.functions.TextFns
+    org.apache.spark.sql.graft.Bridge.registerSimHash64(spark)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(org.apache.spark.sql.graft.Bridge.injectedFunctionNames(ext)
+      .contains("simhash64"))
+    Tables.documents(spark, sf).limit(20).createOrReplaceTempView("docs_sh_tmp")
+    val viaSql = spark.sql(
+      "SELECT simhash64(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')) AS h FROM docs_sh_tmp")
+      .collect().map(_.getLong(0))
+    val viaCol = Tables.documents(spark, sf).limit(20)
+      .select(TextFns.simhash64(TextFns.tokens($"text"))).collect().map(_.getLong(0))
+    assert(viaSql.toSeq === viaCol.toSeq)
+  }
+
   test("poly_hash registers as a SQL function and matches the Column form") {
     org.apache.spark.sql.graft.Bridge.registerPolyHash(spark)
     val ext = new org.apache.spark.sql.SparkSessionExtensions

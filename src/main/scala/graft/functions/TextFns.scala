@@ -66,6 +66,14 @@ object TextFns {
     org.apache.spark.sql.graft.Bridge.column(
       SimHash64Expr(org.apache.spark.sql.graft.Bridge.expression(tokens)))
 
+  /** Positional n-token shingle keys as 64-bit hashes (codegen'd
+    * [[ShingleHashesExpr]]): output(i) keys the token window starting at i,
+    * with no shingle string ever built. Join/group-key use only — see the
+    * expression's equality/collision contract. */
+  def shingleHashes(tokens: Column, n: Int = 8): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      ShingleHashesExpr(org.apache.spark.sql.graft.Bridge.expression(tokens), n))
+
   /** The original transform/aggregate formulation — kept as the
     * equivalence oracle for [[PolyHashExpr]] (VectorExprSpec). split("")
     * yields the char array in one O(n) pass; indexing with

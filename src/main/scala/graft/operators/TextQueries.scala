@@ -115,27 +115,17 @@ object TextQueries {
     sb.toString
   }
 
-  /** Distinct 8-token shingles per doc — the contamination-check grain
+  /** Distinct 8-token shingle KEYS per doc — the contamination-check grain
     * (3-token shingles are too common across unrelated docs to mean
     * leakage; 8-grams are the n-gram-overlap decontamination standard).
-    * JVM kernel for the same reason as DedupQueries.shinglesOf. */
-  private def shingles8(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    docs.select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("t"))
-      .as[(Long, String, Seq[String])]
-      .map { case (id, lang, t) =>
-        val n = math.max(t.length - 7, 1)
-        val sh = new scala.collection.mutable.LinkedHashSet[String]
-        var i = 0
-        while (i < n) {
-          sh += t.slice(i, math.min(i + 8, t.length)).mkString(" ")
-          i += 1
-        }
-        (id, lang, sh.toSeq)
-      }
-      .toDF("doc_id", "lang", "sh")
-  }
+    * Keys come from the codegen'd ShingleHashesExpr: no shingle string is
+    * ever materialized and no typed map runs — the former string kernel's
+    * ~70 bytes/window allocation was the dominant cost of this pass. The
+    * hash is a join/group key only (outputs aggregate counts), same
+    * collision budget as the xxhash64-of-string form it replaced. */
+  private def shingleKeys8(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      array_distinct(TextFns.shingleHashes(TextFns.tokens(col("text")))).as("gs"))
 
   /** The t14 pipeline over an arbitrary documents table (doc_id, lang,
     * text): per-lang boilerplate-span decision table. */
@@ -143,15 +133,13 @@ object TextQueries {
     val s = docs.sparkSession
     import s.implicits._
     // Shingle identity is only ever used as a grouping/join key (the output
-    // aggregates counts, never the shingle text), so collapse each ~70-byte
-    // 8-token string to a 64-bit hash before it crosses a shuffle: the df
-    // agg + join-back then move 8-byte longs, ~10x fewer shuffle bytes and
-    // a far lighter cache. A 64-bit collision would merge two shingles'
-    // df counts; at n distinct shingles the chance is ~n^2/2^65 (4M
-    // shingles -> ~5e-7), the same accepted risk as d01's md5 keys.
-    val ex = shingles8(docs)
-      .select($"doc_id", $"lang", explode($"sh").as("gs"))
-      .select($"doc_id", $"lang", xxhash64($"gs").as("g"))
+    // aggregates counts, never the shingle text), so only 8-byte hash keys
+    // exist anywhere in this plan — computed in-scan by ShingleHashesExpr.
+    // A 64-bit collision would merge two shingles' df counts; at n distinct
+    // shingles the chance is ~n^2/2^65 (4M shingles -> ~5e-7), the same
+    // accepted risk as d01's md5 keys.
+    val ex = shingleKeys8(docs)
+      .select($"doc_id", $"lang", explode($"gs").as("g"))
       .cache() // read twice: document-frequency agg + the join back
     val docFreq = ex.groupBy($"g").agg(count(lit(1)).as("df"))
     val perDoc = ex.join(docFreq, Seq("g"))
@@ -384,21 +372,17 @@ object TextQueries {
       "t07_contamination",
       (s, d) => {
         import s.implicits._
-        // materialize once: both split branches read the shingle table, and
-        // recomputing the JVM shingle kernel per branch doubles the cost
-        val sh = shingles8(Tables.documents(s, d))
+        // materialize once: both split branches read the shingle-key table
+        // (keys computed in-scan by ShingleHashesExpr — only 8-byte longs
+        // ever shuffle; same collision budget as boilerplateSpans)
+        val sh = shingleKeys8(Tables.documents(s, d))
           .withColumn("split", when(splitBucket < TrainPct, "train").otherwise("heldout"))
           .cache()
-        // the shingle is only a join key here (the output never shows it):
-        // hash to 64 bits so the distinct + semi-join shuffles move longs,
-        // not ~70-byte strings — same collision budget as boilerplateSpans
         val trainSh = sh.filter($"split" === "train")
-          .select(explode($"sh").as("gs"))
-          .select(xxhash64($"gs").as("g")).distinct()
+          .select(explode($"gs").as("g")).distinct()
         val heldout = sh.filter($"split" === "heldout")
         val contaminated = heldout
-          .select($"doc_id", $"lang", explode($"sh").as("gs"))
-          .select($"doc_id", $"lang", xxhash64($"gs").as("g"))
+          .select($"doc_id", $"lang", explode($"gs").as("g"))
           .join(trainSh, Seq("g"), "left_semi")
           .select($"doc_id", $"lang").distinct()
         heldout.groupBy($"lang").agg(count(lit(1)).as("n_heldout"))
@@ -1244,17 +1228,12 @@ object TextQueries {
     require(maxDf >= 2, s"need maxDf >= 2, got $maxDf")
     val s = docs.sparkSession
     import s.implicits._
-    // positional (non-distinct) twin of shingles8: same JVM kernel economics
-    val pos = docs.select($"doc_id", TextFns.tokens($"text").as("t"))
-      .as[(Long, Seq[String])]
-      .flatMap { case (id, t) =>
-        val n = math.max(t.length - 7, 1)
-        (0 until n).iterator.map { i =>
-          (id, i + 1L, t.slice(i, math.min(i + 8, t.length)).mkString(" "))
-        }
-      }
-      .toDF("doc_id", "pos", "gs")
-      .select($"doc_id", $"pos", xxhash64($"gs").as("g"))
+    // positional shingle keys straight from the codegen'd expression — no
+    // shingle strings, no typed map; (pos, g) comes off the scan stage
+    val pos = docs
+      .select($"doc_id",
+        posexplode(TextFns.shingleHashes(TextFns.tokens($"text"))).as(Seq("p0", "g")))
+      .select($"doc_id", ($"p0" + 1L).cast("long").as("pos"), $"g")
       .cache() // read three times: df agg + both self-join sides
     val keep = pos.groupBy($"g")
       .agg(countDistinct($"doc_id").as("nd"))

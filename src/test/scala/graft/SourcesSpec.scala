@@ -172,4 +172,26 @@ class SourcesSpec extends SparkSpec {
       assert(n <= 1000L, s"${f.getName} exceeds maxRecordsPerFile: $n")
     }
   }
+
+  test("Observation API: pipeline telemetry rides the job, no second scan") {
+    // production pipelines need admission counters (rows in, rows kept,
+    // bytes) WITHOUT re-running the query; observe() attaches an aggregate
+    // to the existing plan and delivers it with the job's completion —
+    // at 100 TB this is the difference between free telemetry and a
+    // second full scan for a count
+    import org.apache.spark.sql.Observation
+    import spark.implicits._
+    val obs = Observation("admission")
+    val docs = Tables.documents(spark, sf)
+      .observe(obs,
+        count(lit(1)).as("rows_in"),
+        sum(($"n_chars" >= 100L).cast("long")).as("rows_kept"),
+        sum($"n_chars").as("chars_in"))
+      .filter($"n_chars" >= 100L)
+    val kept = docs.count()
+    val m = obs.get
+    assert(m("rows_kept") == kept)
+    assert(m("rows_in").asInstanceOf[Long] >= kept)
+    assert(m("chars_in").asInstanceOf[Long] > 0L)
+  }
 }

@@ -708,5 +708,99 @@ object ExtraRelationalQueries {
                CAST(sum(floor(l_extendedprice * 100)) AS BIGINT) AS rev_c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 450000.0
-        GROUP BY l_returnflag ORDER BY l_returnflag""")))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ----- dataset profiling / drift report (data-contract validation) ------
+    // The check every scheduled 100 TB pipeline runs before promoting a new
+    // snapshot: per-column row counts, null counts, distinct counts, and
+    // mean drift between the previous window and the new one. ONE scan —
+    // every stat is a conditional aggregate in a single global reduce (the
+    // naive per-column-per-window formulation scans 2 x columns times) —
+    // then the 1-row stat vector explodes into the per-column report.
+    // Means are exact integer division of cents sums; drift is milli
+    // relative change, floored, so the report hash-matches cross-engine.
+    QueryDef(
+      "q60_profile_drift",
+      (s, d) => {
+        import s.implicits._
+        val split = lit("1995-06-01").cast("date")
+        val li = Tables.lineitem(s, d)
+          .select(($"l_shipdate" < split).as("ina"),
+            floor($"l_quantity" * 100).cast("long").as("qty_c"),
+            floor($"l_extendedprice" * 100).cast("long").as("price_c"),
+            floor($"l_discount" * 1000).cast("long").as("disc_m"),
+            $"l_returnflag")
+        def winAgg(c: String, numeric: Boolean) = Seq(
+          count(when($"ina", lit(1))).as(s"${c}_n_a"),
+          count(when(!$"ina", lit(1))).as(s"${c}_n_b"),
+          countDistinct(when($"ina", col(c))).as(s"${c}_d_a"),
+          countDistinct(when(!$"ina", col(c))).as(s"${c}_d_b")) ++ (if (numeric) Seq(
+          sum(when($"ina", col(c)).otherwise(lit(0L))).as(s"${c}_s_a"),
+          sum(when(!$"ina", col(c)).otherwise(lit(0L))).as(s"${c}_s_b"))
+        else Seq(lit(0L).as(s"${c}_s_a"), lit(0L).as(s"${c}_s_b")))
+        val cols = Seq("qty_c" -> true, "price_c" -> true,
+          "disc_m" -> true, "l_returnflag" -> false)
+        val aggs = cols.flatMap { case (c, num) => winAgg(c, num) }
+        val one = li.agg(aggs.head, aggs.tail: _*)
+        val rows = cols.map { case (c, num) =>
+          val avgA = expr(s"${c}_s_a div greatest(${c}_n_a, 1L)")
+          val avgB = expr(s"${c}_s_b div greatest(${c}_n_b, 1L)")
+          struct(lit(c).as("column"),
+            col(s"${c}_n_a").as("n_a"), col(s"${c}_n_b").as("n_b"),
+            col(s"${c}_d_a").as("distinct_a"), col(s"${c}_d_b").as("distinct_b"),
+            avgA.as("avg_a"), avgB.as("avg_b"),
+            (if (num)
+               floor(abs(avgB - avgA) * lit(1000.0) / greatest(abs(avgA), lit(1L)))
+                 .cast("long")
+             else lit(0L)).as("drift_milli"))
+        }
+        one.select(explode(array(rows: _*)).as("r")).select($"r.*")
+          .orderBy($"column")
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT (l_shipdate < DATE '1995-06-01') AS ina,
+                 CAST(floor(l_quantity * 100) AS BIGINT) AS qty_c,
+                 CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c,
+                 CAST(floor(l_discount * 1000) AS BIGINT) AS disc_m,
+                 l_returnflag
+          FROM lineitem),
+        stats AS (
+          SELECT
+            count(CASE WHEN ina THEN 1 END) AS n_a,
+            count(CASE WHEN NOT ina THEN 1 END) AS n_b,
+            count(DISTINCT CASE WHEN ina THEN qty_c END) AS qty_d_a,
+            count(DISTINCT CASE WHEN NOT ina THEN qty_c END) AS qty_d_b,
+            CAST(sum(CASE WHEN ina THEN qty_c ELSE 0 END) AS BIGINT) AS qty_s_a,
+            CAST(sum(CASE WHEN NOT ina THEN qty_c ELSE 0 END) AS BIGINT) AS qty_s_b,
+            count(DISTINCT CASE WHEN ina THEN price_c END) AS price_d_a,
+            count(DISTINCT CASE WHEN NOT ina THEN price_c END) AS price_d_b,
+            CAST(sum(CASE WHEN ina THEN price_c ELSE 0 END) AS BIGINT) AS price_s_a,
+            CAST(sum(CASE WHEN NOT ina THEN price_c ELSE 0 END) AS BIGINT) AS price_s_b,
+            count(DISTINCT CASE WHEN ina THEN disc_m END) AS disc_d_a,
+            count(DISTINCT CASE WHEN NOT ina THEN disc_m END) AS disc_d_b,
+            CAST(sum(CASE WHEN ina THEN disc_m ELSE 0 END) AS BIGINT) AS disc_s_a,
+            CAST(sum(CASE WHEN NOT ina THEN disc_m ELSE 0 END) AS BIGINT) AS disc_s_b,
+            count(DISTINCT CASE WHEN ina THEN l_returnflag END) AS flag_d_a,
+            count(DISTINCT CASE WHEN NOT ina THEN l_returnflag END) AS flag_d_b
+          FROM li),
+        rep(col, n_a, n_b, distinct_a, distinct_b, s_a, s_b, numeric) AS (
+          SELECT 'qty_c', n_a, n_b, qty_d_a, qty_d_b, qty_s_a, qty_s_b, TRUE FROM stats
+          UNION ALL
+          SELECT 'price_c', n_a, n_b, price_d_a, price_d_b, price_s_a, price_s_b, TRUE FROM stats
+          UNION ALL
+          SELECT 'disc_m', n_a, n_b, disc_d_a, disc_d_b, disc_s_a, disc_s_b, TRUE FROM stats
+          UNION ALL
+          SELECT 'l_returnflag', n_a, n_b, flag_d_a, flag_d_b, 0, 0, FALSE FROM stats)
+        SELECT col AS "column",
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(distinct_a AS BIGINT) AS distinct_a,
+               CAST(distinct_b AS BIGINT) AS distinct_b,
+               CAST(s_a // greatest(n_a, 1) AS BIGINT) AS avg_a,
+               CAST(s_b // greatest(n_b, 1) AS BIGINT) AS avg_b,
+               CAST(CASE WHEN numeric THEN floor(
+                 abs(s_b // greatest(n_b, 1) - s_a // greatest(n_a, 1)) * 1000.0 /
+                 greatest(abs(s_a // greatest(n_a, 1)), 1)) ELSE 0 END AS BIGINT) AS drift_milli
+        FROM rep
+        ORDER BY "column"""")))
 }

@@ -251,6 +251,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(hashEx <= 3, s"expected <=3 hash exchanges, got $hashEx:\n$p")
   }
 
+  test("q60: the whole profile is one scan (conditional aggs, not per-column passes)") {
+    val p = plan("q60_profile_drift")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"profile report must scan once, got $scans scans:\n$p")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+  }
+
   test("q50: the two snapshot aggregates feed the outer join with one shuffle each") {
     val p = plan("q50_snapshot_diff")
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))

@@ -59,8 +59,17 @@ object VectorFns {
     Array.fill(nPlanes, dim)(next())
   }
 
-  /** Sign-LSH bucket id: one bit per hyperplane (sign of v·h). */
+  /** Sign-LSH bucket id: one bit per hyperplane (sign of v·h), backed by
+    * the codegen'd [[SignLshBucketExpr]] — all planes in one fused loop on
+    * the scan stage. [[signLshBucketInterpreted]] keeps the pure-builtin
+    * formulation as the bit-equality reference (VectorExprSpec). */
   def signLshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      SignLshBucketExpr(org.apache.spark.sql.graft.Bridge.expression(v), planes))
+
+  /** The original per-plane zip_with/aggregate formulation — nPlanes
+    * interpreted passes per row; reference semantics only. */
+  def signLshBucketInterpreted(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val pl = array(p.map(lit): _*)
       when(dot(v, pl) >= 0, lit(1L << i)).otherwise(lit(0L))

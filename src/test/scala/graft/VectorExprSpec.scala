@@ -131,6 +131,26 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("fused sign-LSH bucket is bit-identical to the interpreted form") {
+    val planes = VectorFns.hyperplanes(8, 64)
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.tabulate(400)(i =>
+      (i.toLong, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = rows.toDF("id", "v")
+    val diff = df.select($"id",
+      VectorFns.signLshBucket($"v", planes).as("fused"),
+      VectorFns.signLshBucketInterpreted($"v", planes).as("interp"))
+      .filter($"fused" =!= $"interp")
+    assert(diff.count() === 0L)
+    // and on the real embeddings table
+    val e = Tables.embeddings(spark, sf)
+    val d2 = e.select(
+      VectorFns.signLshBucket($"embedding", planes).as("fused"),
+      VectorFns.signLshBucketInterpreted($"embedding", planes).as("interp"))
+      .filter($"fused" =!= $"interp")
+    assert(d2.count() === 0L)
+  }
+
   test("simhash64 registers as a SQL function and the extensions object injects it") {
     import graft.functions.TextFns
     org.apache.spark.sql.graft.Bridge.registerSimHash64(spark)

@@ -173,6 +173,44 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("parquet schema evolution: mergeSchema unions batch schemas, old rows null-fill") {
+    // long-lived datasets accrete columns batch by batch; the reader must
+    // see the union schema with absent columns null-filled, or every schema
+    // change forces a full rewrite of 100 TB of history
+    val dir = s"$tmp/evolving"
+    Seq((1L, "a")).toDF("id", "v1").write.mode("overwrite").parquet(s"$dir/b=1")
+    Seq((2L, "b", 42L)).toDF("id", "v1", "v2").write.mode("overwrite").parquet(s"$dir/b=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "v1", "v2", "b"))
+    val rows = merged.orderBy($"id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v2")), "old batch must null-fill new column")
+    assert(rows(1).getLong(rows(1).fieldIndex("v2")) === 42L)
+  }
+
+  test("corrupt-record handling: PERMISSIVE quarantines bad JSON rows instead of failing") {
+    // ingest robustness: a 100 TB crawl WILL contain malformed records; the
+    // pipeline must keep them inspectable (corrupt-record column), not die
+    // (FAILFAST) or silently drop them
+    val dir = Files.createDirectory(java.nio.file.Paths.get(tmp, "dirty_json"))
+    Files.write(dir.resolve("data.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2 "v": "missing comma"}
+        |{"id": 3, "v": "fine"}
+        |""".stripMargin.getBytes("UTF-8"))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString).cache() // corrupt-record column needs the raw row retained
+    assert(df.filter($"_corrupt_record".isNull).count() === 2L)
+    val bad = df.filter($"_corrupt_record".isNotNull).collect()
+    assert(bad.length === 1 && bad.head.getString(2).contains("missing comma"))
+    df.unpersist()
+  }
+
   test("Observation API: pipeline telemetry rides the job, no second scan") {
     // production pipelines need admission counters (rows in, rows kept,
     // bytes) WITHOUT re-running the query; observe() attaches an aggregate

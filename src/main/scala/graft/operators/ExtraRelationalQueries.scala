@@ -528,6 +528,78 @@ object ExtraRelationalQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS filled_cents
         FROM j ORDER BY pri, m""")),
 
+    // ----- time-series linear interpolation ---------------------------------
+    // q44's sibling: gaps filled by the LINE between the surrounding known
+    // points instead of the last value — the resample/interpolate primitive
+    // for sensor-style series. All integer: interp = pv + (nv - pv) *
+    // (m - pm) div (nm - pm) (truncating), leading/trailing gaps clamp to
+    // the nearest known value. Same scale shape as q44: spine is keys x
+    // months (never data-sized), two windows over the key partition (one
+    // forward, one backward), no self-join.
+    QueryDef(
+      "q61_gapfill_interpolate",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d)
+        val base = o.filter($"o_totalprice" >= 350000)
+          .groupBy($"o_orderpriority".as("pri"),
+            ((year($"o_orderdate") - 1995) * 12 + month($"o_orderdate") - 1)
+              .cast("long").as("m"))
+          .agg(sum(floor($"o_totalprice" * 100)).cast("long").as("cents"))
+        val spine = o.select($"o_orderpriority".as("pri")).distinct()
+          .select($"pri", explode(sequence(lit(0L), lit(79L))).as("m"))
+        val wf = Window.partitionBy($"pri").orderBy($"m")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wb = Window.partitionBy($"pri").orderBy($"m".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val known = when($"cents".isNotNull, $"m")
+        spine.join(base, Seq("pri", "m"), "left")
+          .select($"pri", $"m", $"cents",
+            last($"cents", ignoreNulls = true).over(wf).as("pv"),
+            last(known, ignoreNulls = true).over(wf).as("pm"),
+            last($"cents", ignoreNulls = true).over(wb).as("nv"),
+            last(known, ignoreNulls = true).over(wb).as("nm"))
+          .select($"pri", $"m",
+            coalesce($"cents",
+              when($"pv".isNotNull && $"nv".isNotNull,
+                $"pv" + expr("(nv - pv) * (m - pm) div (nm - pm)")),
+              $"pv", $"nv", lit(0L)).as("interp_cents"),
+            $"cents".isNotNull.cast("long").as("is_observed"))
+          .orderBy($"pri", $"m")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT o_orderpriority AS pri,
+                 (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS m,
+                 CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS cents
+          FROM orders WHERE o_totalprice >= 350000 GROUP BY 1, 2),
+        spine AS (
+          SELECT pri, g.m FROM (SELECT DISTINCT o_orderpriority AS pri FROM orders)
+          CROSS JOIN (SELECT unnest(generate_series(0, 79)) AS m) g),
+        j AS (
+          SELECT s.pri, s.m, b.cents FROM spine s
+          LEFT JOIN base b ON s.pri = b.pri AND s.m = b.m),
+        v AS (
+          SELECT pri, m, cents,
+                 last_value(cents IGNORE NULLS) OVER (PARTITION BY pri ORDER BY m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                 last_value(CASE WHEN cents IS NOT NULL THEN m END IGNORE NULLS)
+                   OVER (PARTITION BY pri ORDER BY m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm,
+                 last_value(cents IGNORE NULLS) OVER (PARTITION BY pri ORDER BY m DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+                 last_value(CASE WHEN cents IS NOT NULL THEN m END IGNORE NULLS)
+                   OVER (PARTITION BY pri ORDER BY m DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nm
+          FROM j)
+        SELECT pri, m,
+               CAST(coalesce(cents,
+                 CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      THEN pv + (nv - pv) * (m - pm) // (nm - pm) END,
+                 pv, nv, 0) AS BIGINT) AS interp_cents,
+               CAST(CASE WHEN cents IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_observed
+        FROM v ORDER BY pri, m""")),
+
     // ----- mode + exact discrete percentiles ---------------------------------
     // Order statistics that return ACTUAL data values (mode; percentile_disc
     // p25/p50/p75), with every tie broken by an explicit total order so both

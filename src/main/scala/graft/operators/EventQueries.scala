@@ -393,6 +393,42 @@ object EventQueries {
           ON a.user_id = b.user_id AND a.event_type = b.event_type
         ORDER BY user_id, event_type""")),
 
+    // ----- rolling 7-day distinct users (WAU) -------------------------------
+    // Rolling DISTINCT is the aggregate windows can't do (distinct doesn't
+    // decompose over a sliding frame); the scalable exact form credits each
+    // (day, user) activity row to the 7 window-days it influences — a
+    // constant x7 explode of the already-deduped day grain, linear at any
+    // event volume — then one hash countDistinct per window day. Window
+    // days outside the observed range are clipped by a semi-join against
+    // the tiny day set.
+    QueryDef(
+      "q62_rolling_wau",
+      (s, d) => {
+        import s.implicits._
+        val du = Tables.events(s, d)
+          .select(date_trunc("day", $"ts").cast("date").as("day"), $"user_id")
+          .distinct()
+        val days = du.select($"day").distinct()
+        du.select(explode(sequence($"day", date_add($"day", 6))).as("w"), $"user_id")
+          .join(days.select($"day".as("w")), Seq("w"), "left_semi")
+          .groupBy($"w")
+          .agg(countDistinct($"user_id").as("wau7"))
+          .select($"w".as("day"), $"wau7")
+          .orderBy($"day")
+      },
+      oracle = Some("""
+        WITH du AS (
+          SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+          FROM events),
+        days AS (SELECT DISTINCT day FROM du),
+        ex AS (
+          SELECT CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                   INTERVAL 1 DAY)) AS DATE) AS w, user_id
+          FROM du)
+        SELECT w AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau7
+        FROM ex SEMI JOIN days ON ex.w = days.day
+        GROUP BY w ORDER BY day""")),
+
     // ----- cohort retention (weekly) ----------------------------------------
     // The warehouse-standard cohort table: users grouped by first-seen week,
     // tracked by distinct activity in each later week. Raw events shuffle

@@ -374,6 +374,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rolling distinct on HLL state equals the batch sketch exactly") {
+    // mergeable-sketch state: HLL insert is value-idempotent and union is
+    // associative/commutative, so the micro-batch fold — including a
+    // redelivered row — produces the SAME sketches as one batch pass, and
+    // therefore the same estimates bit for bit, for any batch split
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamRollingDistinct
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-02-$day%02d $h%02d:00:00")
+    val rows = Seq(
+      (ts(1, 1), 10L), (ts(1, 2), 11L), (ts(2, 1), 10L),
+      (ts(3, 5), 12L), (ts(9, 1), 10L), (ts(9, 2), 13L), (ts(10, 1), 14L))
+    val ms = MemoryStream[(java.sql.Timestamp, Long)]
+    val (q, state) = StreamRollingDistinct.start(ms.toDF().toDF("ts", "user_id"))
+    try {
+      ms.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      ms.addData(rows(1)) // redelivery of (day1, user 11) must not change anything
+      q.processAllAvailable()
+      ms.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = state.wau7.collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      val batch = StreamRollingDistinct.wau7Batch(rows.toDF("ts", "user_id"))
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      assert(streamed.toSeq === batch.toSeq)
+      // sanity on the small domain: day 2's trailing window saw users 10,11
+      val m = streamed.toMap
+      assert(m("2024-02-02") === 2L)
+    } finally q.stop()
+  }
+
   test("streaming bind chooses the topology from the first row (R9 first-trigger)") {
     implicit val sq = spark.sqlContext
     val buffer = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()

@@ -1128,7 +1128,65 @@ object TextQueries {
                CAST(floor(w * 1000.0 / tot_w) AS BIGINT) AS target_milli,
                CAST(floor(w * tot_t * 1000.0 / (tokens * tot_w)) AS BIGINT) AS factor_milli
         FROM w
-        ORDER BY source""")))
+        ORDER BY source""")),
+
+    // ----- quality-tier assignment (FineWeb-Edu-style deciles) --------------
+    // Tiered sampling needs every doc placed in its within-language quality
+    // decile. Scale-correct ranking without sorting the corpus: the score
+    // domain is BOUNDED (milli ratio 0..1000), so a (lang, score) histogram
+    // (hash agg, <=1001 rows per lang) + a window over that tiny histogram
+    // yields each score's before-count; a doc's exact rank is before +
+    // row_number within its (lang, score) group (tie order doc_id), and
+    // tier = (10*(rank-1)) div n + 1 — the SAME explicit formula on both
+    // engines rather than trusting two NTILE tie conventions. No window
+    // ever sees raw corpus rows ordered by score (q45's discipline).
+    QueryDef(
+      "t23_quality_tiers",
+      (s, d) => {
+        import s.implicits._
+        val t = TextFns.tokens($"text")
+        val scored = Tables.documents(s, d)
+          .select($"doc_id", $"lang", $"n_chars",
+            floor(size(array_distinct(t)) * lit(1000.0) / size(t)).cast("long").as("score"))
+        val hist = scored.groupBy($"lang", $"score").agg(count(lit(1)).as("cnt"))
+        val wh = Window.partitionBy($"lang").orderBy($"score".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wl = Window.partitionBy($"lang")
+        val cuts = hist
+          .withColumn("before", sum($"cnt").over(wh) - $"cnt")
+          .withColumn("n", sum($"cnt").over(wl))
+          .select($"lang", $"score", $"before", $"n")
+        val wg = Window.partitionBy($"lang", $"score").orderBy($"doc_id")
+        scored.join(broadcast(cuts), Seq("lang", "score"))
+          .withColumn("rank", $"before" + row_number().over(wg))
+          .withColumn("tier", expr("(10 * (rank - 1)) div n + 1"))
+          .groupBy($"lang", $"tier")
+          .agg(count(lit(1)).as("n_docs"),
+            max($"score").as("best_score"),
+            min($"score").as("worst_score"),
+            sum($"n_chars").as("chars"))
+          .orderBy($"lang", $"tier")
+      },
+      oracle = Some("""
+        WITH scored AS (
+          SELECT doc_id, lang, n_chars,
+                 CAST(floor(len(list_distinct(t)) * 1000.0 / len(t)) AS BIGINT) AS score
+          FROM (SELECT doc_id, lang, n_chars,
+                       string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+                FROM documents)),
+        ranked AS (
+          SELECT lang, n_chars, score,
+                 row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rank,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM scored)
+        SELECT lang, CAST((10 * (rank - 1)) // n + 1 AS BIGINT) AS tier,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(max(score) AS BIGINT) AS best_score,
+               CAST(min(score) AS BIGINT) AS worst_score,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM ranked
+        GROUP BY lang, tier
+        ORDER BY lang, tier""")))
 
   /** The t18 oracle: t13's unrolled merge-learning CTE chain (same pair
     * counts, same argmax order, same list_reduce merge fold) carried over a

@@ -433,6 +433,69 @@ object DedupQueries {
           GROUP BY d.doc_id)
         SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""")),
 
+    // ----- keep-BEST canonical per near-dup cluster -------------------------
+    // d07 keeps min doc_id per EXACT-dup group; production near-dup pipelines
+    // keep the highest-QUALITY member of each transitive cluster and drop
+    // the rest. Selection is an explicit total order (quality score desc,
+    // n_chars desc, doc_id asc) so both engines agree bit for bit; the
+    // ranking window partitions by cluster — groups are bounded by dup
+    // multiplicity, never corpus-sized. Reuses d08's distributed labeling;
+    // the oracle replays it as the recursive closure plus the same argmax.
+    QueryDef(
+      "d12_dedup_keep_best",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val labels = clusterLabels(docs,
+          minhashNearDupPairs(s, docs).select($"doc_a", $"doc_b"))
+        val t = TextFns.tokens($"text")
+        val scored = docs.select($"doc_id", $"n_chars",
+          floor(size(array_distinct(t)) * lit(1000.0) / size(t)).cast("long").as("score"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
+          .orderBy($"score".desc, $"n_chars".desc, $"doc_id")
+        labels.join(scored, Seq("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .groupBy($"cluster_id")
+          .agg(count(lit(1)).as("n_members"),
+            max(when($"rn" === 1, $"doc_id")).as("kept_doc"),
+            max(when($"rn" === 1, $"score")).as("kept_score"),
+            (count(lit(1)) - 1).as("n_dropped"))
+          .orderBy($"cluster_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE pairs AS (${PairSqlNoOrder}),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (
+          SELECT d.doc_id,
+                 least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id),
+        scored AS (
+          SELECT doc_id, n_chars,
+                 CAST(floor(len(list_distinct(t)) * 1000.0 / len(t)) AS BIGINT) AS score
+          FROM (SELECT doc_id, n_chars,
+                       string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+                FROM documents)),
+        ranked AS (
+          SELECT l.cluster_id, s.doc_id, s.score,
+                 row_number() OVER (PARTITION BY l.cluster_id
+                   ORDER BY s.score DESC, s.n_chars DESC, s.doc_id) AS rn
+          FROM labels l JOIN scored s ON l.doc_id = s.doc_id)
+        SELECT cluster_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_doc,
+               CAST(max(CASE WHEN rn = 1 THEN score END) AS BIGINT) AS kept_score,
+               CAST(count(*) - 1 AS BIGINT) AS n_dropped
+        FROM ranked GROUP BY cluster_id
+        ORDER BY cluster_id""")),
+
     // ----- SimHash near-dup: hamming<=3 via 4x16-bit chunk pigeonhole -------
     // The JVM kernel's FNV-1a is reproduced in DuckDB with HUGEINT
     // arithmetic mod 2^64 (same trick as t04's polyHash) — so unlike

@@ -94,6 +94,10 @@ object TextQueries {
     * eagerly during Seq construction (a later declaration reads as 0). */
   private val ModelBuckets = 256L
 
+  /** t24 blocklist — token-boundary phrases of mixed lengths (declared
+    * above `val all`; interpolated into the oracle). */
+  private val BlockPhrases = Seq("slow", "table table", "fast key scan")
+
   /** Greedy non-overlapping left-to-right application of merge (s1, s2) to a
     * space-separated symbol string. EXACTLY mirrors the DuckDB
     * `list_reduce` lambda in the t13 oracle: fold symbols left to right,
@@ -1129,6 +1133,52 @@ object TextQueries {
                CAST(floor(w * tot_t * 1000.0 / (tokens * tot_w)) AS BIGINT) AS factor_milli
         FROM w
         ORDER BY source""")),
+
+    // ----- blocklist / safety phrase filtering ------------------------------
+    // The C4-style badwords pass: flag documents containing any blocklist
+    // PHRASE as a contiguous token sequence (token-boundary exact match,
+    // not substring). Multi-pattern matching at corpus scale: phrases group
+    // by token length L, the corpus side emits its length-L shingle keys
+    // (ShingleHashesExpr, in-scan), and each group is one equi-join against
+    // a broadcast handful of phrase keys — no per-phrase regex scan, no
+    // O(phrases) passes over the text. Phrase keys come from the SAME
+    // expression over the phrase literals, so key equality is equality of
+    // token windows by construction.
+    QueryDef(
+      "t24_blocklist",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select($"doc_id", TextFns.tokens($"text").as("t")).cache()
+        val hits = BlockPhrases.groupBy(_.split(' ').length).toSeq.map {
+          case (len, phrases) =>
+            val keys = phrases.toDF("phrase")
+              .select($"phrase",
+                element_at(TextFns.shingleHashes(split($"phrase", " "), len), 1).as("g"))
+            docs.select($"doc_id",
+              explode(TextFns.shingleHashes($"t", len)).as("g"))
+              .join(broadcast(keys), Seq("g"))
+              .select($"phrase", $"doc_id")
+        }.reduce(_ unionByName _)
+        val counts = hits.groupBy($"phrase")
+          .agg(countDistinct($"doc_id").as("nd"))
+        BlockPhrases.toDF("phrase")
+          .join(counts, Seq("phrase"), "left")
+          .select($"phrase", coalesce($"nd", lit(0L)).as("n_docs"))
+          .orderBy($"phrase")
+      },
+      oracle = Some(s"""
+        WITH norm AS (
+          SELECT doc_id,
+                 ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS s
+          FROM documents),
+        bl(phrase) AS (VALUES ${BlockPhrases.map(p => s"('$p')").mkString(", ")})
+        SELECT b.phrase,
+               CAST(count(DISTINCT CASE WHEN position(' ' || b.phrase || ' ' IN n.s) > 0
+                                        THEN n.doc_id END) AS BIGINT) AS n_docs
+        FROM bl b CROSS JOIN norm n
+        GROUP BY b.phrase
+        ORDER BY b.phrase""")),
 
     // ----- quality-tier assignment (FineWeb-Edu-style deciles) --------------
     // Tiered sampling needs every doc placed in its within-language quality

@@ -813,6 +813,76 @@ object SimilarityQueries {
       (s, d) => hardNegatives(s, Tables.embeddings(s, d)),
       oracle = Some(s12OracleSql)),
 
+    // ----- dimension-truncation recall report (matryoshka evaluation) -------
+    // The decision tool behind "can we serve 16 of the 64 dims?": exact
+    // top-10 neighbors under full-dimension cosine vs under the 16-dim
+    // prefix, per query, with recall@10 as the overlap. Both rankings are
+    // integer-milli cosines with explicit tie order, so the report is
+    // bit-exact cross-engine. Cost class = s01 (brute force over the
+    // broadcast query set — the evaluation anchor, not the serving path;
+    // the serving path is s02/s03/s08).
+    QueryDef(
+      "s14_trunc_recall",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val queries = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"embedding".as("q"))
+        def top10(scoreCol: org.apache.spark.sql.Column, name: String) = {
+          val w = Window.partitionBy($"query_id").orderBy(col(name).desc, $"vec_id")
+          e.crossJoin(broadcast(queries))
+            .filter($"vec_id" =!= $"query_id")
+            .select($"query_id", $"vec_id", scoreCol.as(name))
+            .withColumn("rank", row_number().over(w))
+            .filter($"rank" <= 10)
+            .select($"query_id", $"vec_id")
+        }
+        val full = top10(VectorFns.cosineMilli($"q", $"embedding"), "cm_full")
+        val trunc = top10(VectorFns.cosineMilli(
+          slice($"q", 1, 16), slice($"embedding", 1, 16)), "cm_trunc")
+        full.join(trunc, Seq("query_id", "vec_id"), "left_semi")
+          .groupBy($"query_id").agg(count(lit(1)).as("n_common"))
+          .join(queries.select($"query_id"), Seq("query_id"), "right")
+          .select($"query_id",
+            coalesce($"n_common", lit(0L)).as("n_common"),
+            (coalesce($"n_common", lit(0L)) * 100L).as("recall_centi"))
+          .orderBy($"query_id")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM t WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, t.vec_id,
+                 CAST(floor(list_dot_product(q.qe, t.e) * 1000.0 /
+                   (sqrt(list_dot_product(q.qe, q.qe)) *
+                    sqrt(list_dot_product(t.e, t.e)))) AS BIGINT) AS cm_full,
+                 CAST(floor(list_dot_product(q.qe[1:16], t.e[1:16]) * 1000.0 /
+                   (sqrt(list_dot_product(q.qe[1:16], q.qe[1:16])) *
+                    sqrt(list_dot_product(t.e[1:16], t.e[1:16])))) AS BIGINT) AS cm_trunc
+          FROM q CROSS JOIN t WHERE t.vec_id != q.query_id),
+        fullr AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cm_full DESC, vec_id) AS r
+            FROM scored) WHERE r <= 10),
+        truncr AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cm_trunc DESC, vec_id) AS r
+            FROM scored) WHERE r <= 10),
+        common AS (
+          SELECT f.query_id, count(*) AS n_common
+          FROM fullr f SEMI JOIN truncr t2
+            ON f.query_id = t2.query_id AND f.vec_id = t2.vec_id
+          GROUP BY f.query_id)
+        SELECT q.query_id,
+               CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+               CAST(coalesce(c.n_common, 0) * 100 AS BIGINT) AS recall_centi
+        FROM q LEFT JOIN common c ON q.query_id = c.query_id
+        ORDER BY q.query_id""")),
+
     // ----- per-label centroid + dispersion profile --------------------------
     // The domain-profiling pass a training-mix pipeline runs before
     // balancing: one centroid per label plus how tightly the label's

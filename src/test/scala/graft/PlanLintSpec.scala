@@ -15,11 +15,13 @@ class PlanLintSpec extends SparkSpec {
     * algorithm — brute force and compressed-domain coarse scan; the
     * LSH/IVF variants are the pruned path); t12 and s10 join corpus stats
     * — a 1-row broadcast scalar — onto the doc-term table (constant-size
-    * build side by construction). Everything else must stay equi-join
+    * build side by construction); s14 is s01's evaluation twin (exact
+    * recall ground truth REQUIRES the brute-force ranking — the pruned
+    * paths are what it measures). Everything else must stay equi-join
     * shaped. */
   private val bnljOk = Set("q21_range_join_buckets", "s01_ann_bruteforce_topk",
     "s05_ann_projected_rerank", "s07_mmr_diverse_topk", "t12_unigram_surprisal",
-    "s10_bm25_retrieval")
+    "s10_bm25_retrieval", "s14_trunc_recall")
 
   for (q <- SparkEntry.allDefs.filter(_.benchmark)) {
     test(s"${q.name}: no cartesian product, no stray nested-loop join, no mid-plan collect") {

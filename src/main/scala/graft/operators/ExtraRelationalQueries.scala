@@ -73,6 +73,16 @@ object ExtraRelationalQueries {
         ORDER BY revenue_c DESC, o_orderdate, l_orderkey
         LIMIT 10"""
 
+
+  /** One FK-orphan check: rows of `child` whose `key` resolves to no
+    * `parent` row — a single left-anti join, violations only (q63). */
+  def orphanReport(rel: String, child: org.apache.spark.sql.DataFrame, key: String,
+      parent: org.apache.spark.sql.DataFrame, pkey: String): org.apache.spark.sql.DataFrame =
+    child.select(col(key).as("k"))
+      .join(parent.select(col(pkey).as("k")), Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .select(lit(rel).as("relationship"), col("n_orphans"))
+
   val all: Seq[QueryDef] = Seq(
 
     // ----- multiset set ops: EXCEPT ALL / INTERSECT ALL ---------------------
@@ -781,6 +791,44 @@ object ExtraRelationalQueries {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 450000.0
         GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ----- referential-integrity check (FK orphan audit) --------------------
+    // q60's sibling in the promotion gate: count child rows whose foreign
+    // key resolves to no parent, per relationship. Each check is one
+    // left-anti join on the key — at 100 TB the parent key sets are the
+    // join's build sides and AQE picks broadcast vs shuffle per
+    // relationship; no check ever materializes the match, only the
+    // violations. (The fixtures are clean, so expected counts are zero —
+    // the gate's healthy state; the oracle proves the queries agree on
+    // that, the test below proves they catch planted orphans.)
+    QueryDef(
+      "q63_integrity_check",
+      (s, d) => {
+        import s.implicits._
+        orphanReport("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+            Tables.orders(s, d), "o_orderkey")
+          .unionByName(orphanReport("orders->customer", Tables.orders(s, d), "o_custkey",
+            Tables.customer(s, d), "c_custkey"))
+          .unionByName(orphanReport("customer->nation", Tables.customer(s, d), "c_nationkey",
+            Tables.nation(s, d), "n_nationkey"))
+          .orderBy($"relationship")
+      },
+      oracle = Some("""
+        SELECT 'customer->nation' AS relationship,
+               CAST((SELECT count(*) FROM customer c
+                     WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                       WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem->orders',
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        UNION ALL
+        SELECT 'orders->customer',
+               CAST((SELECT count(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        ORDER BY relationship""")),
 
     // ----- dataset profiling / drift report (data-contract validation) ------
     // The check every scheduled 100 TB pipeline runs before promoting a new

@@ -209,6 +209,17 @@ class EdgeCaseSpec extends SparkSpec {
     assert(byAsset(2L) === 1L, "the asset after an oversized one starts the next shard")
   }
 
+  test("q63 orphanReport counts planted FK violations and zero on clean data") {
+    import graft.operators.ExtraRelationalQueries.orphanReport
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val clean = Seq(1L, 1L, 3L).toDF("fk")
+    assert(orphanReport("c->p", clean, "fk", parent, "pk")
+      .collect()(0).getLong(1) === 0L)
+    val dirty = Seq(1L, 4L, 4L, 9L).toDF("fk") // 3 orphan rows (two keys)
+    assert(orphanReport("c->p", dirty, "fk", parent, "pk")
+      .collect()(0).getLong(1) === 3L)
+  }
+
   test("MisraGries degenerate shapes: k=1, empty input, single key") {
     val mg1 = new graft.functions.MisraGries(1)
     assert(spark.createDataset(Seq.empty[Long]).select(mg1.toColumn).head() === Map.empty)

@@ -1180,6 +1180,82 @@ object TextQueries {
         GROUP BY b.phrase
         ORDER BY b.phrase""")),
 
+    // ----- corpus attrition funnel (pipeline capstone report) ---------------
+    // The per-language survivorship table every corpus build publishes:
+    // raw docs -> exact-dedup canonicals (d07's min-id rule) -> quality
+    // pass (t02's gate) -> blocklist-clean (t24's phrases). All four stage
+    // predicates compose in ONE doc-level pass: canonical membership is a
+    // broadcast-size (content_key -> keeper) join, blocklist flags are the
+    // t24 key joins, and the funnel is a single per-lang aggregate —
+    // the stages never each rescan the corpus.
+    QueryDef(
+      "t25_funnel",
+      (s, d) => {
+        import s.implicits._
+        val t = TextFns.tokens($"text")
+        val base = Tables.documents(s, d)
+          .select($"doc_id", $"lang",
+            md5(TextFns.normalize($"text")).as("ck"),
+            (size(t) >= 20 &&
+              floor(size(array_distinct(t)) * lit(1000.0) / size(t)) >= 200L)
+              .as("quality"),
+            TextFns.tokens($"text").as("t"))
+          .cache()
+        val canon = base.groupBy($"ck").agg(min($"doc_id").as("keeper"))
+        val hit = BlockPhrases.groupBy(_.split(' ').length).toSeq.map {
+          case (len, phrases) =>
+            val keys = phrases.toDF("phrase")
+              .select(element_at(TextFns.shingleHashes(split($"phrase", " "), len), 1).as("g"))
+            base.select($"doc_id", explode(TextFns.shingleHashes($"t", len)).as("g"))
+              .join(broadcast(keys), Seq("g"), "left_semi")
+              .select($"doc_id")
+        }.reduce(_ unionByName _).distinct().withColumn("flagged", lit(true))
+        base.join(canon, Seq("ck"))
+          .join(hit, Seq("doc_id"), "left")
+          .select($"lang", ($"doc_id" === $"keeper").as("canon"), $"quality",
+            coalesce($"flagged", lit(false)).as("flagged"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_raw"),
+            sum($"canon".cast("long")).as("n_unique"),
+            sum(($"canon" && $"quality").cast("long")).as("n_quality"),
+            sum(($"canon" && $"quality" && !$"flagged").cast("long")).as("n_clean"))
+          .withColumn("kept_milli",
+            floor($"n_clean" * lit(1000.0) / $"n_raw").cast("long"))
+          .orderBy($"lang")
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT doc_id, lang,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ck,
+                 ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS s,
+                 string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        q AS (
+          SELECT doc_id, lang, ck, s,
+                 (len(t) >= 20 AND
+                  floor(len(list_distinct(t)) * 1000.0 / len(t)) >= 200) AS quality
+          FROM base),
+        canon AS (SELECT ck, min(doc_id) AS keeper FROM q GROUP BY ck),
+        flags AS (
+          SELECT doc_id, bool_or(${BlockPhrases
+            .map(p => s"position(' $p ' IN s) > 0").mkString(" OR ")}) AS flagged
+          FROM q GROUP BY doc_id, s),
+        j AS (
+          SELECT q.lang, (q.doc_id = c.keeper) AS canon, q.quality,
+                 coalesce(f.flagged, FALSE) AS flagged
+          FROM q JOIN canon c ON q.ck = c.ck
+          LEFT JOIN flags f ON q.doc_id = f.doc_id)
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_raw,
+               CAST(sum(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+               CAST(sum(CASE WHEN canon AND quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+               CAST(sum(CASE WHEN canon AND quality AND NOT flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+               CAST(floor(sum(CASE WHEN canon AND quality AND NOT flagged THEN 1 ELSE 0 END) * 1000.0
+                 / count(*)) AS BIGINT) AS kept_milli
+        FROM j
+        GROUP BY lang
+        ORDER BY lang""")),
+
     // ----- quality-tier assignment (FineWeb-Edu-style deciles) --------------
     // Tiered sampling needs every doc placed in its within-language quality
     // decile. Scale-correct ranking without sorting the corpus: the score

@@ -496,6 +496,64 @@ object DedupQueries {
         FROM ranked GROUP BY cluster_id
         ORDER BY cluster_id""")),
 
+    // ----- leakage-safe cluster-aware train/heldout split -------------------
+    // t06 splits by doc hash, which lets two near-duplicates land on
+    // opposite sides of the split — the classic self-contamination t07 then
+    // has to detect. The fix is to split at the CLUSTER grain: the salted
+    // hash is taken of the d08 cluster label, so a whole near-dup family
+    // moves together and straddling is impossible by construction. The
+    // report PROVES it: per-lang train/heldout counts plus the number of
+    // clusters seen on both sides, which must be zero.
+    QueryDef(
+      "t26_cluster_split",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val labels = clusterLabels(docs,
+          minhashNearDupPairs(s, docs).select($"doc_a", $"doc_b"))
+        val bucket = pmod(graft.functions.TextFns.polyHash(
+          concat(lit("csplit:"), $"cluster_id".cast("string"))), lit(100L))
+        val tagged = labels
+          .withColumn("split", when(bucket < 90L, "train").otherwise("heldout"))
+          .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+        val straddle = tagged.groupBy($"cluster_id")
+          .agg(countDistinct($"split").as("sides"))
+          .filter($"sides" > 1).count() // proof, not plan: clusters hash whole
+        tagged.groupBy($"lang")
+          .agg(sum(($"split" === "train").cast("long")).as("n_train"),
+            sum(($"split" === "heldout").cast("long")).as("n_heldout"))
+          .withColumn("straddle_clusters", lit(straddle))
+          .orderBy($"lang")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE pairs AS (${PairSqlNoOrder}),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (
+          SELECT d.doc_id, d.lang,
+                 least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id, d.lang),
+        tagged AS (
+          SELECT lang,
+                 CASE WHEN (${TextQueries.polyHashSqlOf(
+                   "'csplit:' || CAST(cluster_id AS VARCHAR)")}) % 100 < 90
+                      THEN 'train' ELSE 'heldout' END AS split
+          FROM labels)
+        SELECT lang,
+               CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN split = 'heldout' THEN 1 ELSE 0 END) AS BIGINT) AS n_heldout,
+               CAST(0 AS BIGINT) AS straddle_clusters
+        FROM tagged
+        GROUP BY lang
+        ORDER BY lang""")),
+
     // ----- SimHash near-dup: hamming<=3 via 4x16-bit chunk pigeonhole -------
     // The JVM kernel's FNV-1a is reproduced in DuckDB with HUGEINT
     // arithmetic mod 2^64 (same trick as t04's polyHash) — so unlike

@@ -48,4 +48,44 @@ class SkewSpec extends SparkSpec {
       }
     }
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // the automatic defense the salted join backstops: with skew-join
+    // enabled and thresholds scaled to the test data, the hot key's
+    // oversized shuffle partition must be split by OptimizeSkewedJoin —
+    // visible as skew=true on the sort-merge join in the FINAL adaptive plan
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      // fact side: one hot key holding ~97% of rows (>> the 64KB skew
+      // threshold at 8 partitions); probe side kept small on the hot key so
+      // the join's output stays bounded while the skewed SHUFFLE partition
+      // is what AQE must split
+      val fact = spark.range(60000).select(lit(1L).as("k"), $"id".as("payload"))
+        .union(spark.range(2000).select(($"id" % 500 + 2).as("k"), $"id".as("payload")))
+      val probe = spark.range(20).select(lit(1L).as("k"), $"id".as("other"))
+        .union(spark.range(2000).select(($"id" % 500 + 2).as("k"), $"id".as("other")))
+      // no aggregation keyed on k downstream: a grouping on the join key
+      // would REQUIRE the join's hash distribution and (correctly) forbid
+      // the skew split — itself a fact worth knowing when diagnosing AQE
+      val joined = fact.join(probe, "k").select($"payload", $"other")
+      // execute THIS QueryExecution (collect/count would wrap a new one)
+      joined.queryExecution.toRdd.count()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n$finalPlan")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -393,6 +393,56 @@ object EventQueries {
           ON a.user_id = b.user_id AND a.event_type = b.event_type
         ORDER BY user_id, event_type""")),
 
+    // ----- event-rate anomaly detection (trailing z-score) ------------------
+    // The pipeline-observability alarm: per-hour event counts scored
+    // against the trailing 24 hours' mean and variance. Stats follow the
+    // q23 determinism recipe — exact integer sum and sum-of-squares over
+    // the window, one identical double formula for the z-score on both
+    // engines, floored to millis. The window runs over the HOURLY series
+    // (O(hours) rows at any event volume), never raw events; the only
+    // corpus-sized operation is the one hash agg to hourly grain.
+    QueryDef(
+      "q64_rate_anomaly",
+      (s, d) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"h")
+          .rowsBetween(-24, -1)
+        Tables.events(s, d)
+          .groupBy(date_trunc("hour", $"ts").as("h"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("k", count(lit(1)).over(w))
+          .withColumn("sm", sum($"n").over(w))
+          .withColumn("sq", sum($"n" * $"n").over(w))
+          .filter($"k" >= 12) // need at least half a day of history
+          .select($"h".cast("date").as("day"), hour($"h").cast("long").as("hh"), $"n",
+            floor(($"n" * $"k" - $"sm") * lit(1000.0) /
+              (sqrt(($"sq" * $"k" - $"sm" * $"sm")) + lit(1.0))).cast("long")
+              .as("z_milli"))
+          .withColumn("anomaly", ($"z_milli" >= 3000L || $"z_milli" <= -3000L).cast("long"))
+          .orderBy($"day", $"hh")
+      },
+      oracle = Some("""
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1),
+        stats AS (
+          SELECT h, n,
+                 CAST(count(*) OVER tw AS BIGINT) AS k,
+                 CAST(sum(n) OVER tw AS BIGINT) AS sm,
+                 CAST(sum(n * n) OVER tw AS BIGINT) AS sq
+          FROM hourly
+          WINDOW tw AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        SELECT CAST(h AS DATE) AS day, CAST(hour(h) AS BIGINT) AS hh, n,
+               CAST(floor((n * k - sm) * 1000.0 /
+                 (sqrt(CAST(sq * k - sm * sm AS DOUBLE)) + 1.0)) AS BIGINT) AS z_milli,
+               CAST(CASE WHEN floor((n * k - sm) * 1000.0 /
+                      (sqrt(CAST(sq * k - sm * sm AS DOUBLE)) + 1.0)) >= 3000
+                      OR floor((n * k - sm) * 1000.0 /
+                      (sqrt(CAST(sq * k - sm * sm AS DOUBLE)) + 1.0)) <= -3000
+                    THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+        FROM stats WHERE k >= 12
+        ORDER BY day, hh""")),
+
     // ----- rolling 7-day distinct users (WAU) -------------------------------
     // Rolling DISTINCT is the aggregate windows can't do (distinct doesn't
     // decompose over a sliding frame); the scalable exact form credits each

@@ -188,36 +188,109 @@ object DedupQueries {
     * holds: persist the signature table before the band join. */
   def minhashNearDupPairs(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val groups = cached(docs
-      .select($"doc_id", $"text", md5(TextFns.normalize($"text")).as("k"))
-      .groupBy($"k")
-      .agg(min($"doc_id").as("rep"), sort_array(collect_list($"doc_id")).as("ids"),
-        first($"text").as("text")))
+    val groups = exactDupGroups(docs)
     val sh = cached(shinglesOf(s, groups.select($"rep".as("doc_id"), $"text")))
     val bands = cached(bandRowsTyped(s, sh))
     val cand = bands.select($"band", $"bh", $"doc_id".as("rep_a"))
       .join(bands.select($"band", $"bh", $"doc_id".as("rep_b")), Seq("band", "bh"))
       .filter($"rep_a" < $"rep_b")
       .select($"rep_a", $"rep_b").distinct()
-    val verified = cand
+    expandRepPairs(groups, verifyJaccard(cand, sh))
+  }
+
+  /** Exact-duplicate collapse shared by every pair-mining pipeline: one row
+    * per distinct normalized text, keeping the min doc_id as representative
+    * plus the full sorted member list for later expansion. This is the
+    * skew-proof pre-pass — an adversarial flood of m identical documents
+    * contributes ONE row to any downstream bucket instead of m (whose
+    * self-join would explode as m²). */
+  private def exactDupGroups(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    cached(docs
+      .select($"doc_id", $"text", md5(TextFns.normalize($"text")).as("k"))
+      .groupBy($"k")
+      .agg(min($"doc_id").as("rep"), sort_array(collect_list($"doc_id")).as("ids"),
+        first($"text").as("text")))
+  }
+
+  /** Exact-jaccard verification of a candidate (rep_a, rep_b) set against
+    * the shingle table — removes every candidate-generation false positive,
+    * so any GENERATION scheme with guaranteed recall yields the exact pair
+    * set. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    import cand.sparkSession.implicits._
+    cand
       .join(sh.select($"doc_id".as("rep_a"), $"sh".as("sh_a")), Seq("rep_a"))
       .join(sh.select($"doc_id".as("rep_b"), $"sh".as("sh_b")), Seq("rep_b"))
       .select($"rep_a", $"rep_b", TextFns.jaccardMilli($"sh_a", $"sh_b").as("j_milli"))
       .filter($"j_milli" >= 800)
-    // cross-group expansion: identical texts => identical jaccard
+  }
+
+  /** Expand verified representative pairs back over their exact-duplicate
+    * groups: cross-group pairs inherit the representatives' jaccard
+    * (identical texts => identical shingle sets), within-group pairs are
+    * exact duplicates (jaccard 1000 by definition). */
+  private def expandRepPairs(groups: DataFrame, verified: DataFrame): DataFrame = {
+    import groups.sparkSession.implicits._
     val cross = verified
       .join(groups.select($"rep".as("rep_a"), $"ids".as("ids_a")), Seq("rep_a"))
       .join(groups.select($"rep".as("rep_b"), $"ids".as("ids_b")), Seq("rep_b"))
       .select(explode($"ids_a").as("ia"), $"ids_b", $"j_milli")
       .select($"ia", explode($"ids_b").as("ib"), $"j_milli")
       .select(least($"ia", $"ib").as("doc_a"), greatest($"ia", $"ib").as("doc_b"), $"j_milli")
-    // within-group pairs: exact duplicates, jaccard = 1000 by definition
     val within = groups.filter(size($"ids") > 1)
       .select($"ids").as[Seq[Long]]
       .flatMap(ids => ids.combinations(2).map(p => (p(0), p(1), 1000L)))
       .toDF("doc_a", "doc_b", "j_milli")
     cross.unionByName(within)
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** EXACT Jaccard similarity join at scale via prefix filtering — the
+    * AllPairs/PPJoin candidate scheme (Bayardo–Ma–Srikant, WWW'07; Xiao et
+    * al., WWW'08). Same result set as the quadratic baseline d02 and the
+    * LSH path d03, but with a recall GUARANTEE the probabilistic sketch
+    * lacks: a missed pair is impossible, not merely ~1e-5 unlikely.
+    *
+    * Principle: fix any global total order on shingles. For Jaccard
+    * threshold t, J(A,B) >= t forces |A∩B| >= ceil(t·|A|) (J >= t implies
+    * |B| >= t·|A|, so i >= t/(1+t)·(|A|+|B|) >= t·|A|). If the smallest
+    * common shingle x were outside A's first |A| − ceil(t·|A|) + 1
+    * shingles, every common shingle (all >= x in the order) would sit in
+    * A's last ceil(t·|A|) − 1 positions — fewer than the overlap requires.
+    * So x lies in BOTH docs' prefixes, and an equi-join on prefix shingles
+    * finds every qualifying pair; exact verification then removes false
+    * positives. t = 0.8 here, matching j_milli >= 800 exactly (floor(1000
+    * i/u) >= 800 <=> 5i >= 4u).
+    *
+    * Scale shape: ordering shingles by ascending document frequency
+    * (rarest first — the order is a performance choice, completeness holds
+    * for ANY total order) makes prefix buckets small: a shingle appearing
+    * in df docs contributes at most df prefix rows, and common shingles
+    * are pushed out of prefixes entirely. Costs are one O(vocab) hash agg
+    * for df, per-doc bounded windows for prefix selection (partitioned by
+    * doc_id — never corpus-sized), one equi-join on prefix shingle keys,
+    * and the shared verify. The 5·n_b >= 4·n_a size filter prunes
+    * impossible-size pairs before verification. Exact-duplicate collapse
+    * up front caps the worst bucket skew exactly as in d03. */
+  def prefixFilterNearDupPairs(s: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val groups = exactDupGroups(docs)
+    val sh = cached(shinglesOf(s, groups.select($"rep".as("doc_id"), $"text")))
+    val toks = sh.select($"doc_id", size($"sh").as("n"), explode($"sh").as("tok"))
+    val dfreq = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+    // prefix length p = n − ceil(0.8·n) + 1, with ceil(4n/5) = (4n+4) div 5
+    val prefix = toks.join(dfreq, Seq("tok"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"tok")))
+      .filter($"r" <= $"n" - expr("(n * 4 + 4) div 5") + 1)
+      .select($"tok", $"doc_id", $"n")
+    val cand = prefix.select($"tok", $"doc_id".as("rep_a"), $"n".as("na"))
+      .join(prefix.select($"tok", $"doc_id".as("rep_b"), $"n".as("nb")), Seq("tok"))
+      .filter($"rep_a" < $"rep_b" && $"nb" * 5 >= $"na" * 4 && $"na" * 5 >= $"nb" * 4)
+      .select($"rep_a", $"rep_b").distinct()
+    expandRepPairs(groups, verifyJaccard(cand, sh))
   }
 
   /** Connected-components cluster labels over an arbitrary near-dup pair
@@ -405,6 +478,16 @@ object DedupQueries {
     QueryDef(
       "d03_dedup_minhash_lsh",
       (s, d) => minhashNearDupPairs(s, Tables.documents(s, d)),
+      oracle = Some(PairSql)),
+
+    // ----- EXACT Jaccard join at scale: prefix filtering --------------------
+    // The deterministic counterpart to d03: candidates from an equi-join on
+    // rare-first prefix shingles (pigeonhole-complete for J >= 0.8) instead
+    // of MinHash bands — zero miss probability, no sketch parameters. Same
+    // oracle as d02/d03 because the result is the exact pair set.
+    QueryDef(
+      "d13_dedup_jaccard_prefixfilter",
+      (s, d) => prefixFilterNearDupPairs(s, Tables.documents(s, d)),
       oracle = Some(PairSql)),
 
     // ----- near-dup cluster assignment: connected components ----------------

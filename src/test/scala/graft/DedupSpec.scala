@@ -19,6 +19,39 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("prefix filtering finds exactly the exact-jaccard pairs (zero-miss guarantee)") {
+    val exact = pairs("d02_dedup_ngram_jaccard")
+    val pf = pairs("d13_dedup_jaccard_prefixfilter")
+    assert(exact.nonEmpty, "fixture should contain injected near-dups")
+    assert(pf === exact)
+  }
+
+  test("prefix filtering is complete on adversarial corpora (dup floods + chains)") {
+    import spark.implicits._
+    // a flood of exact duplicates (worst prefix-bucket skew), a near-dup
+    // chain that shares only a rare tail shingle region, and unrelated noise
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = (
+      (1L to 8L).map(i => i -> base) ++                            // exact-dup flood
+        Seq(20L -> (base + " omega"), 21L -> (base + " omicron"),  // near-dups of the flood
+          30L -> "completely different words about distributed query engines here",
+          31L -> "completely different words about distributed query engines there")
+      ).toDF("doc_id", "text")
+    val got = DedupQueries.prefixFilterNearDupPairs(spark, docs)
+      .select("doc_a", "doc_b", "j_milli").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // quadratic ground truth over the same shingle sets
+    import graft.functions.TextFns
+    import org.apache.spark.sql.functions._
+    val sh = DedupQueries.shinglesOf(spark, docs)
+    val want = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id", TextFns.jaccardMilli($"a.sh", $"b.sh").as("j"))
+      .filter($"j" >= 800).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(want.nonEmpty && want.size > 30, s"ground truth should be rich, got ${want.size}")
+    assert(got === want)
+  }
+
   test("simhash pairs are bag-of-words near-dups and recall injected dups") {
     // simhash is order-insensitive: its ground truth is token-multiset
     // similarity, not the (order-sensitive) shingle jaccard of d02

@@ -524,7 +524,108 @@ object EventQueries {
                CAST(floor(count(*) * 1000.0 / cohort_size) AS BIGINT) AS retention_milli
         FROM j JOIN cs ON j.cw = cs.cw
         GROUP BY j.cw, weeks_since, cohort_size
-        ORDER BY cohort_week, weeks_since"""))
+        ORDER BY cohort_week, weeks_since""")),
+
+    // ----- CDC log compaction (latest-wins + tombstones) --------------------
+    // The events table read as a change-data-capture stream on entity =
+    // user_id: 'error' is a delete tombstone, every other event upserts the
+    // payload. Materializing current state from a 100 TB log is ONE hash
+    // aggregation: max_by(payload, (ts, event_id)) is a declarative
+    // aggregate with map-side partial merge, so each input partition sends
+    // one candidate row per entity into a single shuffle — no global sort,
+    // no per-entity window, no skew beyond what AQE already splits. The
+    // same shape (minus count) runs incrementally under foreachBatch.
+    QueryDef(
+      "q65_cdc_compaction",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"user_id")
+          .agg(
+            count(lit(1)).as("n_changes"),
+            max_by(
+              struct($"event_type", $"value", $"ts"),
+              struct($"ts", $"event_id")).as("last"))
+          .select(
+            $"user_id", $"n_changes",
+            when($"last.event_type" === "error", lit("deleted"))
+              .otherwise(lit("live")).as("status"),
+            date_trunc("second", $"last.ts").as("last_ts"),
+            when($"last.event_type" === "error", lit(0L))
+              .otherwise(floor($"last.value" * 100).cast("long")).as("last_value_c"))
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT user_id, event_type, value, ts,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n_changes
+          FROM events)
+        SELECT user_id, CAST(n_changes AS BIGINT) AS n_changes,
+               CASE WHEN event_type = 'error' THEN 'deleted' ELSE 'live' END AS status,
+               date_trunc('second', ts) AS last_ts,
+               CAST(CASE WHEN event_type = 'error' THEN 0
+                    ELSE floor(value * 100) END AS BIGINT) AS last_value_c
+        FROM v WHERE rn = 1
+        ORDER BY user_id""")),
+
+    // ----- SCD Type-2 dimension history (gaps and islands) ------------------
+    // Build slowly-changing-dimension intervals from the change log: per
+    // user, consecutive events with the same attribute (props.k bucketed)
+    // collapse into one [valid_from, valid_to) version row; the open
+    // interval is the current version. Change points come from one lag()
+    // pass, island ids from a running sum — both inside per-user windows,
+    // so every window is bounded by one entity's history, never the
+    // corpus. One shuffle on user_id serves the lag, the running sum, the
+    // island agg, and the valid_to lead (same partitioning throughout).
+    QueryDef(
+      "q66_scd2_intervals",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val wv = Window.partitionBy($"user_id").orderBy($"version")
+        Tables.events(s, d)
+          .select($"user_id", $"ts", $"event_id",
+            expr("cast(get_json_object(props, '$.k') as bigint) div 25").as("kb"))
+          .withColumn("chg",
+            when(lag($"kb", 1).over(w).isNull || lag($"kb", 1).over(w) =!= $"kb", 1L)
+              .otherwise(0L))
+          .withColumn("version", sum($"chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"version")
+          .agg(min($"kb").as("kb"),
+            min(date_trunc("second", $"ts")).as("valid_from"),
+            count(lit(1)).as("n_events"))
+          .select($"user_id", $"version", $"kb", $"valid_from",
+            lead($"valid_from", 1).over(wv).as("valid_to"),
+            lead($"valid_from", 1).over(wv).isNull.as("is_current"),
+            $"n_events")
+          .orderBy($"user_id", $"version")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS kb
+          FROM events),
+        m AS (
+          SELECT *, CASE WHEN lag(kb) OVER w IS NULL OR lag(kb) OVER w <> kb
+                         THEN 1 ELSE 0 END AS chg
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        v AS (
+          SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+          FROM m),
+        i AS (
+          SELECT user_id, version, min(kb) AS kb,
+                 min(date_trunc('second', ts)) AS valid_from,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM v GROUP BY user_id, version)
+        SELECT user_id, version, kb, valid_from,
+               lead(valid_from) OVER wv AS valid_to,
+               (lead(valid_from) OVER wv IS NULL) AS is_current,
+               n_events
+        FROM i WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+        ORDER BY user_id, version"""))
   )
 
   /** One unrolled PageRank iteration as a DuckDB CTE (oracle helper):

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Semantics invariants for the CDC materialization pair: q65 latest-wins
+  * compaction and q66 SCD Type-2 interval history. Both are additionally
+  * DuckDB-oracle-gated; these tests pin the CHANGE-LOG semantics
+  * independently of the oracle SQL (tiling, tombstones, version
+  * contiguity) so an oracle rewrite can't silently shift meaning. */
+class CdcScd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = Tables.events(spark, sf).cache()
+  private lazy val cdc = SparkEntry.queries("q65_cdc_compaction")(spark, sf).cache()
+  private lazy val scd = SparkEntry.queries("q66_scd2_intervals")(spark, sf).cache()
+
+  // Plan gates run FIRST on fresh instances: once the lazy vals above are
+  // cached, the cache manager substitutes InMemoryTableScan into any
+  // same-plan query (its printed subtree would double-count exchanges).
+  test("q65 plan: compaction is one partial-aggregated agg, no window/sort over the log") {
+    val p = SparkEntry.queries("q65_cdc_compaction")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), s"no map-side partial aggregation: $p")
+    assert(!p.contains("Window"), s"latest-wins must not window over the log: $p")
+  }
+
+  test("q66 plan: one shuffle on user_id serves lag, running sum, island agg and lead") {
+    val p = SparkEntry.queries("q66_scd2_intervals")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected a single hash exchange, got $exchanges:\n$p")
+  }
+
+  test("q65: one state row per entity, change counts conserve the log") {
+    val users = events.select($"user_id").distinct().count()
+    assert(cdc.count() === users)
+    val total = cdc.agg(sum($"n_changes")).as[Long].head()
+    assert(total === events.count(), "every log row must be accounted for")
+  }
+
+  test("q65: status is the independently-computed last op (tombstone semantics)") {
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val lastOps = events
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", when($"event_type" === "error", "deleted")
+        .otherwise("live").as("want"))
+    val diff = cdc.join(lastOps, Seq("user_id"))
+      .filter($"status" =!= $"want").count()
+    assert(diff === 0L)
+  }
+
+  test("q66: intervals tile each entity's history exactly") {
+    // per-user event counts conserved across islands
+    val perUser = scd.groupBy($"user_id").agg(sum($"n_events").as("n"))
+    val want = events.groupBy($"user_id").agg(count(lit(1)).as("w"))
+    assert(perUser.join(want, Seq("user_id")).filter($"n" =!= $"w").count() === 0L)
+    // versions contiguous from 1, exactly one open (current) interval
+    val bad = scd.groupBy($"user_id").agg(
+      min($"version").as("lo"), max($"version").as("hi"),
+      count(lit(1)).as("n"),
+      sum(when($"is_current", 1L).otherwise(0L)).as("open"))
+      .filter($"lo" =!= 1L || $"hi" =!= $"n" || $"open" =!= 1L)
+    assert(bad.count() === 0L)
+  }
+
+  test("q66: valid_to chains to the successor's valid_from and attribute changes across versions") {
+    val wv = Window.partitionBy($"user_id").orderBy($"version")
+    val chained = scd
+      .withColumn("next_from", lead($"valid_from", 1).over(wv))
+      .withColumn("next_kb", lead($"kb", 1).over(wv))
+    assert(chained.filter($"valid_to" =!= $"next_from").count() === 0L)
+    assert(chained.filter($"next_kb".isNotNull && $"kb" === $"next_kb")
+      .count() === 0L, "consecutive versions must differ in the tracked attribute")
+  }
+
+}

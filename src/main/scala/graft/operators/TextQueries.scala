@@ -959,6 +959,34 @@ object TextQueries {
         FROM r WHERE sample_rank <= $SampleK
         ORDER BY lang, sample_rank""")),
 
+    // ----- weighted PPS sample (sequential Poisson, Ohlsson 1998) -----------
+    // t17's uniform bottom-k generalized to probability-proportional-to-size:
+    // priority = u/w (u a salted unit-uniform hash of doc_id, w = doc
+    // weight), keep the K SMALLEST priorities per stratum — heavier docs get
+    // proportionally smaller priorities, so inclusion probability tracks
+    // weight (the standard πps approximation). Priorities are quantized to
+    // integer micro-units with truncating division, so both engines rank
+    // identical BIGINTs — no IEEE reasoning needed anywhere. Same
+    // mergeability and retry-stability as t17 (priority is a pure function
+    // of (doc_id, weight)), same WindowGroupLimit partial->final execution:
+    // the shuffle carries O(partitions * K), never the corpus.
+    QueryDef(
+      "t27_weighted_sample",
+      (s, d) => weightedSample(Tables.documents(s, d), SampleK),
+      oracle = Some(s"""
+        WITH t AS (SELECT doc_id, lang, greatest(n_chars, 1) AS w,
+                          ${saltedDocHashSql("wsample:")} AS h
+                   FROM documents),
+        r AS (SELECT lang, doc_id, w, (h * 1000000) // w AS priority_micro
+              FROM t),
+        k AS (SELECT lang, doc_id, w, priority_micro,
+                     CAST(row_number() OVER (PARTITION BY lang
+                       ORDER BY priority_micro, doc_id) AS BIGINT) AS sample_rank
+              FROM r)
+        SELECT lang, sample_rank, doc_id, w AS weight, priority_micro
+        FROM k WHERE sample_rank <= $SampleK
+        ORDER BY lang, sample_rank""")),
+
     // ----- BPE tokenizer APPLICATION at corpus scale -------------------------
     // The other half of t13: learn the merge table (same 3 greedy rounds),
     // then tokenize the WHOLE corpus with it and report per-lang token
@@ -1376,6 +1404,27 @@ object TextQueries {
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter($"sample_rank" <= k)
       .select($"lang", $"sample_rank", $"doc_id", $"h".as("sample_hash"))
+      .orderBy($"lang", $"sample_rank")
+  }
+
+  /** Weighted PPS bottom-k sample (t27), exposed as a library call:
+    * sequential Poisson sampling (Ohlsson 1998) — per stratum, the k docs
+    * with the smallest priority = salted-unit-uniform-hash / weight,
+    * quantized to integer micro-units so ranking is engine-exact. Weight
+    * is n_chars clamped to >= 1. Output: (lang, sample_rank [1..k],
+    * doc_id, weight, priority_micro). */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val s = docs.sparkSession
+    import s.implicits._
+    val wlim = Window.partitionBy($"lang").orderBy($"priority_micro", $"doc_id")
+    docs
+      .select($"doc_id", $"lang", greatest($"n_chars", lit(1L)).as("w"),
+        saltedDocHash("wsample:").as("h"))
+      .withColumn("priority_micro", expr("(h * 1000000) div w"))
+      .withColumn("sample_rank", row_number().over(wlim).cast("long"))
+      .filter($"sample_rank" <= k)
+      .select($"lang", $"sample_rank", $"doc_id", $"w".as("weight"), $"priority_micro")
       .orderBy($"lang", $"sample_rank")
   }
 

@@ -125,6 +125,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("weightedSample: PPS bias toward heavy docs, partition-stable, weight clamp") {
+    // 30 light docs (w=10) vs 30 heavy (w=1000): the k=10 PPS sample must
+    // be dominated by heavy docs (priority = u/w, heavy => ~100x smaller)
+    val docs = ((1L to 30L).map(i => (i, "x", "en", 10L)) ++
+      (31L to 60L).map(i => (i, "x", "en", 1000L)))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val picked = TextQueries.weightedSample(docs, 10)
+      .select($"doc_id").as[Long].collect().toSet
+    val heavy = picked.count(_ > 30L)
+    assert(heavy >= 8, s"PPS sample should favor 100x-heavier docs, got $heavy/10 heavy")
+    // pure function of (doc_id, weight): physical layout can't change it
+    val a = TextQueries.weightedSample(docs, 5).collect().toSeq
+    val b = TextQueries.weightedSample(docs.repartition(7), 5).collect().toSeq
+    assert(a === b)
+    // zero-weight docs are clamped, not divided by zero
+    val z = Seq((1L, "x", "en", 0L)).toDF("doc_id", "text", "lang", "n_chars")
+    assert(TextQueries.weightedSample(z, 3).select($"weight").as[Long].head() === 1L)
+  }
+
   test("bm25Search: empty corpus, unknown terms, k past the match count") {
     val qs = Seq(1L -> Seq("spark", "engines"), 2L -> Seq("zzz_not_a_word"))
     assert(SimilarityQueries.bm25Search(noDocs, qs, 10).count() === 0L)

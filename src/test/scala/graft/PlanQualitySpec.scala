@@ -51,6 +51,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Partial"), s"no partial window group limit: $p")
   }
 
+  test("t27: weighted PPS sample keeps the t17 partial group limit shape") {
+    val p = plan("t27_weighted_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), s"no partial window group limit: $p")
+  }
+
   test("q21: interval join broadcasts the tiny bucket table") {
     val p = plan("q21_range_join_buckets")
     assert(p.contains("BroadcastNestedLoopJoin"), p)

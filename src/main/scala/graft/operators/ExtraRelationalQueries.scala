@@ -922,5 +922,50 @@ object ExtraRelationalQueries {
                  abs(s_b // greatest(n_b, 1) - s_a // greatest(n_a, 1)) * 1000.0 /
                  greatest(abs(s_a // greatest(n_a, 1)), 1)) ELSE 0 END AS BIGINT) AS drift_milli
         FROM rep
-        ORDER BY "column"""")))
+        ORDER BY "column"""")),
+
+    // ----- replica-reconciliation checksums (q67) ---------------------------
+    // How you compare two 100 TB replicas/snapshots WITHOUT moving data:
+    // each side computes per-bucket commutative signatures locally — count,
+    // bit_xor of a deterministic row hash, and a wrap-safe additive sum —
+    // then only the O(buckets) signature tables travel and divergent
+    // buckets pinpoint what to re-sync. Everything is a map-side-combinable
+    // hash agg (xor and sum are commutative+associative, so partitioning
+    // and row order are irrelevant); the row hash serializes doubles as
+    // integer cents and timestamps as epoch micros so any engine
+    // reproduces it bit-for-bit. xor catches value edits, count catches
+    // cardinality, the modular sum catches xor-cancelling double edits.
+    QueryDef(
+      "q67_replica_checksum",
+      (s, d) => checksumReport(
+        Tables.orders(s, d),
+        date_trunc("day", col("o_orderdate")).cast("date"),
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long"),
+        unix_micros(col("o_orderdate").cast("timestamp")), col("o_orderpriority")),
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS bucket,
+                 ${TextQueries.polyHashSqlOf(
+                   "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+                   "CAST(floor(o_totalprice * 100) AS BIGINT), " +
+                   "epoch_us(o_orderdate), o_orderpriority)")} AS h
+          FROM orders)
+        SELECT bucket, count(*) AS n_rows, bit_xor(h) AS xor_sig,
+               CAST(sum(h % 1048576) AS BIGINT) AS sum_sig
+        FROM t GROUP BY bucket ORDER BY bucket""")))
+
+  /** Per-bucket commutative checksum table (q67), exposed as a library
+    * call: (bucket, n_rows, xor_sig, sum_sig) from a deterministic
+    * poly-hash of the '|'-joined field list. Two replicas diverge exactly
+    * in the buckets whose signature rows differ. */
+  def checksumReport(df: org.apache.spark.sql.DataFrame, bucket: org.apache.spark.sql.Column,
+      fields: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+    df.select(bucket.as("bucket"),
+        graft.functions.TextFns.polyHash(concat_ws("|", fields: _*)).as("h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_sig"),
+        sum(expr("h % 1048576")).as("sum_sig"))
+      .orderBy(col("bucket"))
 }

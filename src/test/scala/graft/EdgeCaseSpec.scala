@@ -125,6 +125,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("checksumReport: planted divergence flags exactly its bucket; order-invariant") {
+    import graft.operators.ExtraRelationalQueries.checksumReport
+    val rows = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 20L), (4L, "d", 20L))
+    def report(data: Seq[(Long, String, Long)], parts: Int) =
+      checksumReport(data.toDF("id", "v", "bucket").repartition(parts),
+        $"bucket", $"id", $"v")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val base = report(rows, 1)
+    // signatures are pure functions of the multiset: layout can't move them
+    assert(report(scala.util.Random.shuffle(rows), 7) === base)
+    // mutate one row's value: only its bucket's signature may change
+    val mutated = report(rows.updated(2, (3L, "X", 20L)), 2)
+    assert(mutated(10L) === base(10L))
+    assert(mutated(20L) !== base(20L))
+    assert(mutated(20L)._1 === base(20L)._1, "count stays — value edit, not cardinality")
+    // drop a row: count catches it
+    val dropped = report(rows.take(3), 2)
+    assert(dropped(20L)._1 === 1L && base(20L)._1 === 2L)
+  }
+
   test("weightedSample: PPS bias toward heavy docs, partition-stable, weight clamp") {
     // 30 light docs (w=10) vs 30 heavy (w=1000): the k=10 PPS sample must
     // be dominated by heavy docs (priority = u/w, heavy => ~100x smaller)

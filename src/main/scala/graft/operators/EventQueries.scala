@@ -625,7 +625,64 @@ object EventQueries {
                (lead(valid_from) OVER wv IS NULL) AS is_current,
                n_events
         FROM i WINDOW wv AS (PARTITION BY user_id ORDER BY version)
-        ORDER BY user_id, version"""))
+        ORDER BY user_id, version""")),
+
+    // ----- multi-touch attribution (time-decay) -----------------------------
+    // Marketing-style revenue attribution: each purchase distributes its
+    // cents across the user's view/click touchpoints in the 7 preceding
+    // days, weighted by 2^(7 - days_before) (halving per day of age).
+    // Power-of-two weights + truncating division keep every credit an
+    // exact integer on both engines — no remainder juggling, no floats.
+    // Shape: conversions and touches both hash-shuffle ONCE on user_id
+    // into an equi-join whose fan-out is bounded by per-user activity in
+    // the window (never corpus x corpus); the per-conversion weight total
+    // is a window over that conversion's own touches; the report is a
+    // final O(channels x 8) agg. Skewed power users are AQE's standard
+    // split case because the join key is the plain user_id.
+    QueryDef(
+      "q68_attribution",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.events(s, d)
+        val conv = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id".as("conv_id"), $"ts".as("cts"),
+            floor($"value" * 100).cast("long").as("total_c"))
+        val touch = e.filter($"event_type".isin("view", "click"))
+          .select($"user_id", $"event_type".as("touch_type"), $"ts".as("tts"))
+        val wc = Window.partitionBy($"conv_id")
+        conv.join(touch, Seq("user_id"))
+          .filter($"tts" <= $"cts")
+          .withColumn("days",
+            expr("(unix_micros(cts) - unix_micros(tts)) div 86400000000"))
+          .filter($"days" <= 7)
+          .withColumn("w", expr("shiftleft(cast(1 as bigint), cast(7 - days as int))"))
+          .withColumn("sum_w", sum($"w").over(wc))
+          .withColumn("credit_c", expr("(total_c * w) div sum_w"))
+          .groupBy($"touch_type", $"days")
+          .agg(count(lit(1)).as("n_touches"), sum($"credit_c").as("credit_c"))
+          .orderBy($"touch_type", $"days")
+      },
+      oracle = Some("""
+        WITH conv AS (
+          SELECT user_id, event_id AS conv_id, ts AS cts,
+                 CAST(floor(value * 100) AS BIGINT) AS total_c
+          FROM events WHERE event_type = 'purchase'),
+        touch AS (
+          SELECT user_id, event_type AS touch_type, ts AS tts
+          FROM events WHERE event_type IN ('view', 'click')),
+        j AS (
+          SELECT conv_id, total_c, touch_type,
+                 (epoch_us(cts) - epoch_us(tts)) // 86400000000 AS days
+          FROM conv JOIN touch USING (user_id)
+          WHERE tts <= cts
+            AND (epoch_us(cts) - epoch_us(tts)) // 86400000000 <= 7),
+        w AS (SELECT *, (CAST(1 AS BIGINT) << CAST(7 - days AS INT)) AS w FROM j),
+        sw AS (SELECT *, CAST(sum(w) OVER (PARTITION BY conv_id) AS BIGINT) AS sum_w
+               FROM w)
+        SELECT touch_type, days, CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(sum((total_c * w) // sum_w) AS BIGINT) AS credit_c
+        FROM sw GROUP BY touch_type, days
+        ORDER BY touch_type, days"""))
   )
 
   /** One unrolled PageRank iteration as a DuckDB CTE (oracle helper):

@@ -64,6 +64,26 @@ class CdcScd2Spec extends SparkSpec {
     assert(bad.count() === 0L)
   }
 
+  test("q68: attributed credit conserves purchase cents up to truncation") {
+    // independent bound, not a replay of the query: total credit must not
+    // exceed the purchase cents of conversions that HAVE a qualifying
+    // touch, and truncating division loses under one cent per touch row
+    val credit = SparkEntry.queries("q68_attribution")(spark, sf)
+      .agg(sum($"credit_c"), sum($"n_touches")).as[(Long, Long)].head()
+    val conv = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts".as("cts"),
+        floor($"value" * 100).cast("long").as("total_c"))
+    val touched = events.filter($"event_type".isin("view", "click"))
+      .select($"user_id", $"ts".as("tts"))
+    val qualifying = conv.join(touched, Seq("user_id"))
+      .filter($"tts" <= $"cts" &&
+        expr("(unix_micros(cts) - unix_micros(tts)) div 86400000000") <= 7)
+      .groupBy($"event_id").agg(first($"total_c").as("total_c"))
+      .agg(sum($"total_c")).as[Long].head()
+    assert(credit._1 <= qualifying)
+    assert(credit._1 > qualifying - credit._2, "lost more than 1 cent per touch row")
+  }
+
   test("q66: valid_to chains to the successor's valid_from and attribute changes across versions") {
     val wv = Window.partitionBy($"user_id").orderBy($"version")
     val chained = scd

@@ -374,6 +374,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC compaction equals the one-shot batch snapshot (q65 twin)") {
+    // latest-wins state is a mergeable fold: max_by over the stored
+    // (ts, event_id) order key is associative/commutative, so folding the
+    // log in ANY batch split yields the batch compaction; a retried
+    // batchId is a no-op (counting state cannot dedup rows)
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamCdc
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      (1L, ts(1, 0), 10L, "signup", 1.0), (2L, ts(1, 5), 11L, "view", 2.0),
+      (3L, ts(2, 0), 10L, "purchase", 33.33), (4L, ts(2, 5), 11L, "error", 0.0),
+      (5L, ts(3, 0), 12L, "click", 4.5), (6L, ts(3, 5), 10L, "view", 7.25),
+      (7L, ts(4, 0), 11L, "signup", 9.0)) // resurrects the tombstoned entity
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val (q, state) = StreamCdc.start(
+      ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+    try {
+      rows.grouped(3).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      val streamed = state.snapshot.collect().toSeq
+      val batch = StreamCdc.compactBatch(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value")).collect().toSeq
+      assert(streamed === batch)
+      // semantics on the small domain: 11 was tombstoned mid-stream but the
+      // later signup wins; every entity is live with its last payload
+      val m = streamed.map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(4))).toMap
+      assert(m(10L) === ((3L, "live", 725L)))
+      assert(m(11L) === ((3L, "live", 900L)))
+      assert(m(12L) === ((1L, "live", 450L)))
+      // a retried batchId must not double-count n_changes
+      val before = state.snapshot.collect().toSeq
+      state.merge(
+        rows.take(3).toDF("event_id", "ts", "user_id", "event_type", "value"), 0L)
+      assert(state.snapshot.collect().toSeq === before)
+    } finally q.stop()
+  }
+
   test("streaming rolling distinct on HLL state equals the batch sketch exactly") {
     // mergeable-sketch state: HLL insert is value-idempotent and union is
     // associative/commutative, so the micro-batch fold — including a

@@ -953,7 +953,68 @@ object ExtraRelationalQueries {
           FROM orders)
         SELECT bucket, count(*) AS n_rows, bit_xor(h) AS xor_sig,
                CAST(sum(h % 1048576) AS BIGINT) AS sum_sig
-        FROM t GROUP BY bucket ORDER BY bucket""")))
+        FROM t GROUP BY bucket ORDER BY bucket""")),
+
+    // ----- market-basket association mining (q69) ---------------------------
+    // Frequent-pair support / confidence / lift over order baskets — the
+    // classic co-purchase analysis, in the shape that survives 100 TB of
+    // baskets: items per basket are DISTINCT'd first, the pair explode is a
+    // self-equi-join on the basket key (fan-out bounded by basket size
+    // squared, here <= 13 lines -> <= 78 pairs, NEVER corpus x corpus),
+    // pair counts are one hash agg, and item counts join back onto the
+    // O(item-vocab^2) pair table, not onto baskets. Metrics are exact
+    // integer millis with truncating division: lift = c_ab*N/(c_a*c_b).
+    // Brand dimension arrives by broadcast; min support 5 prunes noise
+    // pairs before the metric joins.
+    QueryDef(
+      "q69_market_basket",
+      (s, d) => {
+        import s.implicits._
+        val basket = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand")),
+            $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey".as("o"), $"p_brand".as("b"))
+          .distinct().cache()
+        val nBaskets = basket.select($"o").distinct()
+          .agg(count(lit(1)).as("n_baskets"))
+        val items = basket.groupBy($"b").agg(count(lit(1)).as("c"))
+        val pairs = basket.select($"o", $"b".as("brand_a"))
+          .join(basket.select($"o", $"b".as("brand_b")), Seq("o"))
+          .filter($"brand_a" < $"brand_b")
+          .groupBy($"brand_a", $"brand_b").agg(count(lit(1)).as("n_ab"))
+          .filter($"n_ab" >= 5)
+        pairs
+          .join(items.select($"b".as("brand_a"), $"c".as("c_a")), Seq("brand_a"))
+          .join(items.select($"b".as("brand_b"), $"c".as("c_b")), Seq("brand_b"))
+          .crossJoin(broadcast(nBaskets))
+          .select($"brand_a", $"brand_b", $"n_ab",
+            expr("(1000 * n_ab) div n_baskets").as("support_milli"),
+            expr("(1000 * n_ab) div c_a").as("conf_ab_milli"),
+            expr("(1000 * n_ab) div c_b").as("conf_ba_milli"),
+            expr("(1000 * n_ab * n_baskets) div (c_a * c_b)").as("lift_milli"))
+          .orderBy($"brand_a", $"brand_b")
+      },
+      oracle = Some("""
+        WITH basket AS (
+          SELECT DISTINCT l_orderkey AS o, p_brand AS b
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        n AS (SELECT count(DISTINCT o) AS n_baskets FROM basket),
+        items AS (SELECT b, count(*) AS c FROM basket GROUP BY b),
+        pairs AS (
+          SELECT a.b AS brand_a, bb.b AS brand_b, count(*) AS n_ab
+          FROM basket a JOIN basket bb ON a.o = bb.o AND a.b < bb.b
+          GROUP BY a.b, bb.b
+          HAVING count(*) >= 5)
+        SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+               CAST((1000 * n_ab) // n_baskets AS BIGINT) AS support_milli,
+               CAST((1000 * n_ab) // ia.c AS BIGINT) AS conf_ab_milli,
+               CAST((1000 * n_ab) // ib.c AS BIGINT) AS conf_ba_milli,
+               CAST((1000 * n_ab * n_baskets) // (ia.c * ib.c) AS BIGINT) AS lift_milli
+        FROM pairs
+        JOIN items ia ON ia.b = brand_a
+        JOIN items ib ON ib.b = brand_b
+        CROSS JOIN n
+        ORDER BY brand_a, brand_b""")))
 
   /** Per-bucket commutative checksum table (q67), exposed as a library
     * call: (bucket, n_rows, xor_sig, sum_sig) from a deterministic

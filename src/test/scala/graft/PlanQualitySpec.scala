@@ -51,6 +51,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Partial"), s"no partial window group limit: $p")
   }
 
+  test("q69: basket pair explode is an equi-join on the basket key; stats broadcast") {
+    val p = plan("q69_market_basket")
+    // the only tolerated non-equi element is the 1-row n_baskets broadcast
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"only the 1-row stats broadcast may be non-equi: $p")
+  }
+
   test("t27: weighted PPS sample keeps the t17 partial group limit shape") {
     val p = plan("t27_weighted_sample")
     assert(p.contains("WindowGroupLimit"), p)

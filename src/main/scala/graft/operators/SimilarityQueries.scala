@@ -49,6 +49,15 @@ object SimilarityQueries {
   private val Bm25Terms: Seq[(Long, String)] =
     Bm25Queries.flatMap { case (q, ts) => ts.map(q -> _) }
 
+  // s15 proximity queries: (qid, term_a, term_b) pairs of common fixture
+  // terms, matched when they co-occur within ProxWindow token positions.
+  // MUST be declared above `val all` (object init is sequential).
+  private val ProxQueries: Seq[(Long, String, String)] =
+    Seq((1L, "hash", "join"), (2L, "merge", "join"), (3L, "scan", "filter"))
+  private val ProxWindow = 5
+  private val ProxQueriesSqlValues: String =
+    ProxQueries.map { case (q, a, b) => s"($q, '$a', '$b')" }.mkString(", ")
+
   /** The BM25 per-(term, doc) contribution in exact integer arithmetic,
     * written once and rendered for either engine's integer-division
     * operator (Spark `div`, DuckDB `//` — identical on the all-positive
@@ -949,7 +958,44 @@ object SimilarityQueries {
                CAST(min(cos_milli) AS BIGINT) AS min_cos_milli,
                CAST(sum(CASE WHEN cos_milli < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_far
         FROM scored GROUP BY label
-        ORDER BY label""")))
+        ORDER BY label""")),
+
+    // ----- positional proximity search (s15) --------------------------------
+    // The positional half of the inverted index: docs where two query
+    // terms co-occur within ProxWindow token positions — phrase/NEAR
+    // semantics BM25's bag-of-words scoring cannot express. Scale shape is
+    // s10's discipline extended with positions: postings carry (doc, pos,
+    // token), the BROADCAST query-term join discards every non-queried
+    // posting before any shuffle, and the position pairing is an equi-join
+    // on (qid, doc) whose fan-out is bounded by per-doc term frequency —
+    // never a corpus scan per query, never all-pairs. Report is an
+    // O(queries x langs) aggregate: matched docs + qualifying position
+    // pairs.
+    QueryDef(
+      "s15_proximity_search",
+      (s, d) => proximitySearch(Tables.documents(s, d), ProxQueries, ProxWindow),
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        pos AS (
+          SELECT doc_id, lang, u.i AS pos, t[u.i] AS tok
+          FROM toks, unnest(generate_series(1, len(t))) u(i)),
+        qs(qid, term_a, term_b) AS (VALUES $ProxQueriesSqlValues),
+        pa AS (SELECT qid, doc_id, lang, pos AS pos_a
+               FROM pos JOIN qs ON tok = term_a),
+        pb AS (SELECT qid, doc_id, pos AS pos_b
+               FROM pos JOIN qs ON tok = term_b),
+        m AS (SELECT pa.qid, pa.doc_id, pa.lang
+              FROM pa JOIN pb ON pa.qid = pb.qid AND pa.doc_id = pb.doc_id
+              WHERE abs(pos_a - pos_b) <= $ProxWindow)
+        SELECT CAST(qid AS BIGINT) AS qid, term_a, term_b, lang,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM m JOIN qs USING (qid)
+        GROUP BY qid, term_a, term_b, lang
+        ORDER BY qid, lang""")))
 
   /** The s10 pipeline over an arbitrary (doc_id, text) table: BM25 top-k
     * per query in exact integer-milli arithmetic (see the s10 comment).
@@ -983,6 +1029,35 @@ object SimilarityQueries {
       .filter($"rank" <= k)
       .select($"query_id", $"rank", $"doc_id", $"score_milli")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** The s15 pipeline over an arbitrary (doc_id, lang, text) table:
+    * positional proximity (NEAR) search. For each (qid, term_a, term_b),
+    * reports per-lang how many docs contain the terms within `window`
+    * token positions and how many qualifying position pairs exist.
+    * Postings are pruned to queried terms by broadcast join BEFORE any
+    * shuffle; position pairing is an equi-join on (qid, doc_id) bounded
+    * by per-doc term frequency. */
+  def proximitySearch(docs: DataFrame, queries: Seq[(Long, String, String)],
+      window: Int): DataFrame = {
+    require(window >= 0, s"need window >= 0, got $window")
+    val s = docs.sparkSession
+    import s.implicits._
+    val pos = docs
+      .select($"doc_id", $"lang", posexplode(TextFns.tokens($"text")).as(Seq("p0", "tok")))
+      .select($"doc_id", $"lang", ($"p0" + 1).as("pos"), $"tok")
+    val qs = queries.toDF("qid", "term_a", "term_b")
+    val pa = pos.join(broadcast(qs.select($"qid", $"term_a".as("tok"))), Seq("tok"))
+      .select($"qid", $"doc_id", $"lang", $"pos".as("pos_a"))
+    val pb = pos.join(broadcast(qs.select($"qid", $"term_b".as("tok"))), Seq("tok"))
+      .select($"qid", $"doc_id", $"pos".as("pos_b"))
+    pa.join(pb, Seq("qid", "doc_id"))
+      .filter(abs($"pos_a" - $"pos_b") <= window)
+      .groupBy($"qid", $"lang")
+      .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_pairs"))
+      .join(broadcast(qs), Seq("qid"))
+      .select($"qid", $"term_a", $"term_b", $"lang", $"n_docs", $"n_pairs")
+      .orderBy($"qid", $"lang")
   }
 
   /** The s12 pipeline over an arbitrary (vec_id, embedding) table: per

@@ -164,6 +164,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextQueries.weightedSample(z, 3).select($"weight").as[Long].head() === 1L)
   }
 
+  test("proximitySearch: window boundary is inclusive, order-agnostic, unknown terms empty") {
+    import graft.operators.SimilarityQueries.proximitySearch
+    // "b" at pos 2; "z" at pos 5 (distance 3) and pos 9 (distance 7)
+    val docs = Seq((1L, "en", "a b c d z f g h z")).toDF("doc_id", "lang", "text")
+    def run(w: Int, qs: Seq[(Long, String, String)]) =
+      proximitySearch(docs, qs, w).select($"n_docs", $"n_pairs")
+        .as[(Long, Long)].collect().toSeq
+    assert(run(3, Seq((1L, "b", "z"))) === Seq((1L, 1L)), "distance-3 pair inside w=3")
+    assert(run(2, Seq((1L, "b", "z"))) === Seq.empty, "w=2 excludes distance 3")
+    assert(run(7, Seq((1L, "b", "z"))) === Seq((1L, 2L)), "w=7 admits both z positions")
+    assert(run(7, Seq((1L, "z", "b"))) === Seq((1L, 2L)), "term order irrelevant")
+    assert(run(9, Seq((1L, "b", "nope"))) === Seq.empty, "unknown term matches nothing")
+  }
+
   test("bm25Search: empty corpus, unknown terms, k past the match count") {
     val qs = Seq(1L -> Seq("spark", "engines"), 2L -> Seq("zzz_not_a_word"))
     assert(SimilarityQueries.bm25Search(noDocs, qs, 10).count() === 0L)

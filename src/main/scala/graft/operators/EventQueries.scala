@@ -682,7 +682,47 @@ object EventQueries {
         SELECT touch_type, days, CAST(count(*) AS BIGINT) AS n_touches,
                CAST(sum((total_c * w) // sum_w) AS BIGINT) AS credit_c
         FROM sw GROUP BY touch_type, days
-        ORDER BY touch_type, days"""))
+        ORDER BY touch_type, days""")),
+
+    // ----- duration-weighted average (q70) ----------------------------------
+    // The TWAP/state-duration primitive: each event's attribute (props.k)
+    // HOLDS from its timestamp until the user's next event, so the honest
+    // per-user average weighs each value by how long it was in force —
+    // time-weighted, not event-weighted (a burst of short-lived states no
+    // longer dominates). One lead() inside the per-user window prices the
+    // holding duration in exact epoch micros; the aggregate is two integer
+    // sums and one truncating division — associative, partition-order-free,
+    // engine-exact. Same single user_id shuffle discipline as q66.
+    QueryDef(
+      "q70_time_weighted_avg",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.events(s, d)
+          .select($"user_id", $"ts", $"event_id",
+            expr("cast(get_json_object(props, '$.k') as bigint)").as("k"))
+          .withColumn("dur_us",
+            expr("unix_micros(lead(ts, 1) over (partition by user_id order by ts, event_id)) - unix_micros(ts)"))
+          .filter($"dur_us".isNotNull)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum($"dur_us").as("held_us"),
+            expr("(1000 * sum(k * dur_us)) div sum(dur_us)").as("twa_k_milli"))
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                 epoch_us(lead(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id)) - epoch_us(ts) AS dur_us
+          FROM events)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(sum(dur_us) AS BIGINT) AS held_us,
+               CAST((1000 * sum(k * dur_us)) // sum(dur_us) AS BIGINT) AS twa_k_milli
+        FROM e WHERE dur_us IS NOT NULL
+        GROUP BY user_id
+        ORDER BY user_id"""))
   )
 
   /** One unrolled PageRank iteration as a DuckDB CTE (oracle helper):

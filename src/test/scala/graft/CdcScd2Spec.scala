@@ -84,6 +84,21 @@ class CdcScd2Spec extends SparkSpec {
     assert(credit._1 > qualifying - credit._2, "lost more than 1 cent per touch row")
   }
 
+  test("q70: time-weighted average stays within per-user attribute bounds") {
+    val twa = SparkEntry.queries("q70_time_weighted_avg")(spark, sf)
+    val bounds = events
+      .select($"user_id", expr("cast(get_json_object(props, '$.k') as bigint)").as("k"),
+        count(lit(1)).over(Window.partitionBy($"user_id")).as("n_events"))
+      .groupBy($"user_id")
+      .agg(min($"k").as("kmin"), max($"k").as("kmax"), first($"n_events").as("ne"))
+    val joined = twa.join(bounds, Seq("user_id")).cache()
+    // a weighted mean cannot leave [min, max] (milli-scaled, floor-truncated)
+    assert(joined.filter($"twa_k_milli" < $"kmin" * 1000 - 1 ||
+      $"twa_k_milli" > $"kmax" * 1000).count() === 0L)
+    // each user with n events contributes exactly n-1 holding intervals
+    assert(joined.filter($"n_intervals" =!= $"ne" - 1).count() === 0L)
+  }
+
   test("q66: valid_to chains to the successor's valid_from and attribute changes across versions") {
     val wv = Window.partitionBy($"user_id").orderBy($"version")
     val chained = scd

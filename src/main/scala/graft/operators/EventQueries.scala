@@ -722,7 +722,47 @@ object EventQueries {
                CAST((1000 * sum(k * dur_us)) // sum(dur_us) AS BIGINT) AS twa_k_milli
         FROM e WHERE dur_us IS NOT NULL
         GROUP BY user_id
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ----- join-size estimation from count-min sketches (q71) ---------------
+    // The planner's cardinality question answered WITHOUT running the join:
+    // sketch each side's key multiset with a mergeable count-min Aggregator
+    // (map-side partial sketches, raw keys never shuffle, O(1 KB) state),
+    // then the row-wise sketch inner product upper-bounds the equi-join
+    // size — deterministically >= exact (cells are exact sums, collisions
+    // only add), and within e/Width relative L1 mass with overwhelming
+    // probability. The query also runs the real join once to verify, and
+    // emits the guarantee booleans next to the exact values (q24/q53's
+    // sketch-flag convention — the estimate itself is JVM-side state no
+    // SQL engine reproduces). Collecting two 1 KB sketches is a
+    // constant-size driver decision, independent of table size.
+    QueryDef(
+      "q71_cms_join_estimate",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.CountMin
+        val cms = new CountMin().toColumn
+        val ev = Tables.events(s, d).select($"user_id").as[Long]
+        val or = Tables.orders(s, d).select($"o_custkey").as[Long]
+        val skE = ev.select(cms).head()
+        val skO = or.select(cms).head()
+        val est = CountMin.innerProduct(skE, skO)
+        val nE = skE.take(CountMin.Width).sum // row 0 holds every key once
+        val nO = skO.take(CountMin.Width).sum
+        val exact = Tables.events(s, d)
+          .join(Tables.orders(s, d), $"user_id" === $"o_custkey").count()
+        val bound = exact + 4L * nE * nO / CountMin.Width
+        Seq((nE, nO, exact, est >= exact, est <= bound))
+          .toDF("n_events", "n_orders", "exact_join_rows",
+            "est_ge_exact", "est_within_eps")
+      },
+      oracle = Some("""
+        SELECT e.n_events, o.n_orders, j.exact_join_rows,
+               TRUE AS est_ge_exact, TRUE AS est_within_eps
+        FROM (SELECT CAST(count(*) AS BIGINT) AS n_events FROM events) e,
+             (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders) o,
+             (SELECT CAST(count(*) AS BIGINT) AS exact_join_rows
+              FROM events JOIN orders ON user_id = o_custkey) j"""))
   )
 
   /** One unrolled PageRank iteration as a DuckDB CTE (oracle helper):

@@ -82,6 +82,46 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("count-min: never underestimates, exact sketch under any partitioning") {
+    import graft.functions.CountMin
+    val cm = new CountMin()
+    // zipf-ish multiset over a domain far wider than Width: collisions real
+    val data = for (key <- 0 until 600; _ <- 0 until (key % 7 + 1)) yield key.toLong * 31
+    val exact = data.groupBy(identity).map { case (x, v) => x -> v.size.toLong }
+    val base = spark.createDataset(data.toSeq).select(cm.toColumn).head()
+    // cells are exact sums => the whole sketch is partitioning-invariant
+    for (parts <- Seq(4, 13)) {
+      val got = spark.createDataset(data.toSeq).repartition(parts)
+        .select(cm.toColumn).head()
+      assert(got.toSeq === base.toSeq, s"sketch varies with partitioning at $parts")
+    }
+    exact.foreach { case (key, c) =>
+      assert(CountMin.estimate(base, key) >= c, s"underestimate of $key")
+    }
+    // small distinct domain: no collisions possible across all rows => exact
+    val small = (0L until 40L).flatMap(k => Seq.fill((k % 3 + 1).toInt)(k))
+    val sk = spark.createDataset(small).select(cm.toColumn).head()
+    small.groupBy(identity).foreach { case (k, v) =>
+      assert(CountMin.estimate(sk, k) === v.size.toLong)
+    }
+  }
+
+  test("count-min inner product upper-bounds the exact equi-join size") {
+    import graft.functions.CountMin
+    val cm = new CountMin()
+    val a = (0L until 300L).flatMap(k => Seq.fill((k % 5 + 1).toInt)(k))
+    val b = (150L until 450L).flatMap(k => Seq.fill((k % 3 + 1).toInt)(k))
+    val ska = spark.createDataset(a).select(cm.toColumn).head()
+    val skb = spark.createDataset(b).select(cm.toColumn).head()
+    val ca = a.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cb = b.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val exactJoin = ca.map { case (k, n) => n * cb.getOrElse(k, 0L) }.sum
+    val est = CountMin.innerProduct(ska, skb)
+    assert(est >= exactJoin, "inner product must never undercount the join")
+    val bound = exactJoin + 4L * a.size * b.size / CountMin.Width
+    assert(est <= bound, s"estimate $est beyond the collision bound $bound (exact $exactJoin)")
+  }
+
   test("q53's guarantee flags are all true (oracle-checkable form)") {
     val rows = SparkEntry.queries("q53_heavy_hitters_mg")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -1340,7 +1340,96 @@ object TextQueries {
                CAST(sum(n_chars) AS BIGINT) AS chars
         FROM ranked
         GROUP BY lang, tier
-        ORDER BY lang, tier""")))
+        ORDER BY lang, tier""")),
+
+    // ----- k-anonymity audit (t28) ------------------------------------------
+    // The privacy gate a corpus runs before release: how many documents sit
+    // in quasi-identifier groups smaller than k=5? Quasi-identifier here is
+    // (lang, source, n_chars div 50) — metadata an adversary could match
+    // against an external table even with text scrubbed (t10's PII scan
+    // covers CONTENT; this covers METADATA linkability). Two map-side-
+    // combinable hash aggs: group sizes on the quasi-identifier, then the
+    // per-lang risk report with the smallest group size (the k the release
+    // actually achieves). No joins, no windows, nothing corpus-ordered.
+    QueryDef(
+      "t28_kanonymity",
+      (s, d) => {
+        import s.implicits._
+        val groups = Tables.documents(s, d)
+          .groupBy($"lang", $"source", expr("n_chars div 50").as("len_b"))
+          .agg(count(lit(1)).as("gsize"))
+        groups.groupBy($"lang")
+          .agg(sum($"gsize").as("n_docs"),
+            count(lit(1)).as("n_groups"),
+            min($"gsize").as("k_achieved"),
+            sum(when($"gsize" < 5, 1L).otherwise(0L)).as("n_risky_groups"),
+            sum(when($"gsize" < 5, $"gsize").otherwise(0L)).as("n_risky_docs"))
+          .withColumn("risky_milli", expr("(1000 * n_risky_docs) div n_docs"))
+          .orderBy($"lang")
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT lang, source, n_chars // 50 AS len_b, count(*) AS gsize
+          FROM documents GROUP BY 1, 2, 3)
+        SELECT lang, CAST(sum(gsize) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(min(gsize) AS BIGINT) AS k_achieved,
+               CAST(sum(CASE WHEN gsize < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+               CAST(sum(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS BIGINT) AS n_risky_docs,
+               CAST((1000 * sum(CASE WHEN gsize < 5 THEN gsize ELSE 0 END))
+                    // sum(gsize) AS BIGINT) AS risky_milli
+        FROM g GROUP BY lang
+        ORDER BY lang""")),
+
+    // ----- TF-IDF keyword extraction (t29) ----------------------------------
+    // Per-document top-3 keywords by tf x floor-log2-idf — the metadata
+    // tagger a corpus pipeline runs for routing and inspection. IDF uses
+    // t12's libm-free trick: floor(log2(n_docs/df)) = length(bin(n_docs
+    // div df)) - 1, so scores are exact integers on both engines. Shape:
+    // one corpus explode into (doc, tok, tf) hash agg, a vocab-sized df
+    // agg joined back ON THE TOKEN (vocab-sized build side), the 1-row
+    // n_docs broadcast, and a per-doc WindowGroupLimit top-3 (t17's
+    // partial->final shape) — the corpus is never sorted globally.
+    QueryDef(
+      "t29_keywords",
+      (s, d) => {
+        import s.implicits._
+        val dt = Tables.documents(s, d)
+          .select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
+          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+          .cache()
+        val dfreq = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
+        val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val wk = Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok")
+        dt.join(dfreq, Seq("tok"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score", expr("tf * (length(bin(n_docs div df)) - 1)"))
+          .withColumn("rank", row_number().over(wk).cast("long"))
+          .filter($"rank" <= 3)
+          .select($"doc_id", $"rank", $"tok", $"tf", $"df", $"score")
+          .orderBy($"doc_id", $"rank")
+      },
+      oracle = Some("""
+        WITH dt AS (
+          SELECT doc_id, tok, count(*) AS tf FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+            FROM documents)
+          GROUP BY doc_id, tok),
+        dfreq AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, tok, tf, df,
+                 tf * (length(bin(n_docs // df)) - 1) AS score
+          FROM dt JOIN dfreq USING (tok) CROSS JOIN n),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, tok) AS BIGINT) AS rank
+          FROM scored)
+        SELECT doc_id, rank, tok, CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
+        FROM ranked WHERE rank <= 3
+        ORDER BY doc_id, rank""")))
 
   /** The t18 oracle: t13's unrolled merge-learning CTE chain (same pair
     * counts, same argmax order, same list_reduce merge fold) carried over a

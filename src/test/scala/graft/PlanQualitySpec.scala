@@ -66,6 +66,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Partial"), s"no partial window group limit: $p")
   }
 
+  test("t29: per-doc keyword top-3 pushes a partial group limit; no global sort of scores") {
+    val p = plan("t29_keywords")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), s"no partial window group limit: $p")
+  }
+
   test("q21: interval join broadcasts the tiny bucket table") {
     val p = plan("q21_range_join_buckets")
     assert(p.contains("BroadcastNestedLoopJoin"), p)

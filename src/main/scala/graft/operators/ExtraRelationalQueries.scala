@@ -955,6 +955,43 @@ object ExtraRelationalQueries {
                CAST(sum(h % 1048576) AS BIGINT) AS sum_sig
         FROM t GROUP BY bucket ORDER BY bucket""")),
 
+    // ----- MERGE INTO semantics (q72) ---------------------------------------
+    // The ANSI MERGE dataflow on plain tables: a refund ledger derived from
+    // error events merges into customer balances — matched keys UPDATE
+    // (balance minus refunds), ledger keys with no customer INSERT,
+    // untouched customers pass through, and every output row is classified.
+    // Executed as ONE full-outer hash join on the key (both sides
+    // pre-aggregated/unique), not row-at-a-time lookups: the same shape a
+    // transactional MERGE compiles to, minus the log — pair with a
+    // partitioned rewrite for storage. Money stays integer cents
+    // throughout.
+    QueryDef(
+      "q72_merge_upsert",
+      (s, d) => {
+        import s.implicits._
+        val target = Tables.customer(s, d)
+          .select($"c_custkey".as("k"), floor($"c_acctbal" * 100).cast("long").as("tval"))
+        val source = Tables.events(s, d)
+          .filter($"event_type" === "error")
+          .groupBy($"user_id".as("k"))
+          .agg((-sum(floor($"value" * 100))).cast("long").as("delta"))
+        mergeUpsert(target, source).orderBy($"k")
+      },
+      oracle = Some("""
+        WITH target AS (
+          SELECT c_custkey AS k, CAST(floor(c_acctbal * 100) AS BIGINT) AS tval
+          FROM customer),
+        source AS (
+          SELECT user_id AS k, CAST(-sum(floor(value * 100)) AS BIGINT) AS delta
+          FROM events WHERE event_type = 'error' GROUP BY user_id)
+        SELECT coalesce(t.k, s.k) AS k,
+               CASE WHEN t.k IS NULL THEN 'inserted'
+                    WHEN s.k IS NULL THEN 'unchanged'
+                    ELSE 'updated' END AS merge_action,
+               coalesce(tval, 0) + coalesce(delta, 0) AS new_val
+        FROM target t FULL OUTER JOIN source s ON t.k = s.k
+        ORDER BY k""")),
+
     // ----- market-basket association mining (q69) ---------------------------
     // Frequent-pair support / confidence / lift over order baskets — the
     // classic co-purchase analysis, in the shape that survives 100 TB of
@@ -1015,6 +1052,23 @@ object ExtraRelationalQueries {
         JOIN items ib ON ib.b = brand_b
         CROSS JOIN n
         ORDER BY brand_a, brand_b""")))
+
+  /** ANSI MERGE INTO semantics as one full-outer join (q72), exposed as a
+    * library call. `target` keyed uniquely by `key`; `source` rows carry a
+    * delta column. Matched rows apply the update expression, source-only
+    * rows insert, target-only rows pass through — each row classified
+    * (updated / inserted / unchanged). This is the transactional MERGE's
+    * dataflow semantics on plain tables: one shuffle on the key, no
+    * row-at-a-time lookups; pair it with a partitioned rewrite
+    * (LayoutQueries.compact's discipline) for the storage side. */
+  def mergeUpsert(target: org.apache.spark.sql.DataFrame, source: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    target.join(source, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("tval").isNull, lit("inserted"))
+          .when(col("delta").isNull, lit("unchanged"))
+          .otherwise(lit("updated")).as("merge_action"),
+        (coalesce(col("tval"), lit(0L)) + coalesce(col("delta"), lit(0L))).as("new_val"))
 
   /** Per-bucket commutative checksum table (q67), exposed as a library
     * call: (bucket, n_rows, xor_sig, sum_sig) from a deterministic

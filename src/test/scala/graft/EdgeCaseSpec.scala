@@ -125,6 +125,17 @@ class EdgeCaseSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("mergeUpsert: all three MERGE actions classify correctly, key set is the union") {
+    import graft.operators.ExtraRelationalQueries.mergeUpsert
+    val target = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("k", "tval")
+    val source = Seq((2L, -50L), (9L, 700L)).toDF("k", "delta")
+    val got = mergeUpsert(target, source)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got === Map(
+      1L -> ("unchanged", 100L), 2L -> ("updated", 150L),
+      3L -> ("unchanged", 300L), 9L -> ("inserted", 700L)))
+  }
+
   test("checksumReport: planted divergence flags exactly its bucket; order-invariant") {
     import graft.operators.ExtraRelationalQueries.checksumReport
     val rows = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 20L), (4L, "d", 20L))

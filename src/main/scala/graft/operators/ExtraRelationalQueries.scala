@@ -632,36 +632,9 @@ object ExtraRelationalQueries {
       (s, d) => {
         import s.implicits._
         val li = Tables.lineitem(s, d)
-        val cents = floor($"l_extendedprice" * 100).cast("long")
-        val targets = Seq(0.25, 0.5, 0.75)
-        // pass 1: coarse bucket histogram -> the bucket containing each
-        // target rank, plus the cumulative count strictly before it
-        val coarse = li.groupBy($"l_linestatus".as("st"),
-            (cents / 65536L).cast("long").as("b"))
-          .agg(count(lit(1)).as("hn"))
-        val wb = Window.partitionBy($"st").orderBy($"b")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cb = coarse
-          .withColumn("cum", sum($"hn").over(wb))
-          .withColumn("n", sum($"hn").over(Window.partitionBy($"st")))
-        val picks = targets.map { p =>
-          // percentile_disc(p): min value whose cumulative fraction >= p
-          cb.filter($"cum" / $"n" >= p && ($"cum" - $"hn") / $"n" < p)
-            .select($"st", lit(p).as("p"), $"b", ($"cum" - $"hn").as("before"), $"n")
-        }.reduce(_ union _)
-        // pass 2: fine histogram ONLY inside the picked buckets (a few per
-        // group), then the same min-value-over-threshold selection
-        val fine = li
-          .select($"l_linestatus".as("st"), cents.as("c"), (cents / 65536L).cast("long").as("b"))
-          .join(broadcast(picks), Seq("st", "b"))
-          .groupBy($"st", $"p", $"before", $"n", $"c")
-          .agg(count(lit(1)).as("fn"))
-        val wf = Window.partitionBy($"st", $"p").orderBy($"c")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val resolved = fine
-          .withColumn("cum", $"before" + sum($"fn").over(wf))
-          .filter($"cum" / $"n" >= $"p" && ($"cum" - $"fn") / $"n" < $"p")
-          .select($"st", $"p", $"c")
+        val resolved = percentileDiscTwoLevel(
+          li, $"l_linestatus", floor($"l_extendedprice" * 100).cast("long"),
+          Seq(0.25, 0.5, 0.75))
         val pct = resolved.groupBy($"st").agg(
           min(when($"p" === 0.25, $"c")).as("p25_c"),
           min(when($"p" === 0.5, $"c")).as("p50_c"),
@@ -696,6 +669,66 @@ object ExtraRelationalQueries {
                WHERE rk = 1)
         SELECT st AS l_linestatus, mode_qty, p25_c, p50_c, p75_c
         FROM pct JOIN md USING (st) ORDER BY l_linestatus""")),
+
+    // ----- winsorized robust statistics (q73) -------------------------------
+    // Outlier-robust aggregates: per return flag, the revenue mean with
+    // values clamped into [P10, P90] — the winsorized mean a metrics
+    // pipeline reports when a few extreme rows would otherwise move the
+    // average. The percentile cut points come from the SAME two-level
+    // range-partition selection as q45 (shared helper — constant-size
+    // windows at any data scale); clamping is then one broadcast join of
+    // the O(groups) cut table onto the fact scan and a plain integer hash
+    // agg. Means are truncating-division cents, exact on both engines.
+    QueryDef(
+      "q73_winsorized_stats",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val cents = floor($"l_extendedprice" * 100).cast("long")
+        val cuts = percentileDiscTwoLevel(li, $"l_returnflag", cents, Seq(0.10, 0.90))
+          .groupBy($"st")
+          .agg(min(when($"p" === 0.10, $"c")).as("p10_c"),
+            min(when($"p" === 0.90, $"c")).as("p90_c"))
+        li.select($"l_returnflag".as("st"), cents.as("c"))
+          .join(broadcast(cuts), Seq("st"))
+          .withColumn("w", least(greatest($"c", $"p10_c"), $"p90_c"))
+          .groupBy($"st")
+          .agg(count(lit(1)).as("n"),
+            first($"p10_c").as("p10_c"), first($"p90_c").as("p90_c"),
+            expr("sum(c) div count(1)").as("raw_mean_c"),
+            expr("sum(w) div count(1)").as("wins_mean_c"),
+            sum(when($"c" < $"p10_c", 1L).otherwise(0L)).as("n_clipped_lo"),
+            sum(when($"c" > $"p90_c", 1L).otherwise(0L)).as("n_clipped_hi"))
+          .select($"st".as("l_returnflag"), $"n", $"p10_c", $"p90_c",
+            $"raw_mean_c", $"wins_mean_c", $"n_clipped_lo", $"n_clipped_hi")
+          .orderBy($"l_returnflag")
+      },
+      oracle = Some("""
+        WITH hist AS (
+          SELECT l_returnflag AS st, CAST(floor(l_extendedprice * 100) AS BIGINT) AS c,
+                 count(*) AS hn
+          FROM lineitem GROUP BY 1, 2),
+        cd AS (SELECT st, c,
+                      CAST(sum(hn) OVER (PARTITION BY st ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                      / CAST(sum(hn) OVER (PARTITION BY st) AS BIGINT) AS d
+               FROM hist),
+        cuts AS (SELECT st, min(CASE WHEN d >= 0.10 THEN c END) AS p10_c,
+                        min(CASE WHEN d >= 0.90 THEN c END) AS p90_c
+                 FROM cd GROUP BY st),
+        v AS (SELECT st, c, p10_c, p90_c,
+                     least(greatest(c, p10_c), p90_c) AS w
+              FROM (SELECT l_returnflag AS st,
+                           CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+                    FROM lineitem) JOIN cuts USING (st))
+        SELECT st AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               p10_c, p90_c,
+               CAST(sum(c) // count(*) AS BIGINT) AS raw_mean_c,
+               CAST(sum(w) // count(*) AS BIGINT) AS wins_mean_c,
+               CAST(sum(CASE WHEN c < p10_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+               CAST(sum(CASE WHEN c > p90_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi
+        FROM v GROUP BY st, p10_c, p90_c
+        ORDER BY l_returnflag""")),
 
     // ----- correlated EXISTS subquery (decorrelation) ------------------------
     QueryDef(
@@ -1052,6 +1085,44 @@ object ExtraRelationalQueries {
         JOIN items ib ON ib.b = brand_b
         CROSS JOIN n
         ORDER BY brand_a, brand_b""")))
+
+  /** Two-level range-partition exact percentile_disc over an integer-cents
+    * expression, grouped by `stCol`: returns (st, p, c) — for each group
+    * and target fraction, the minimum value whose cumulative fraction
+    * >= p (the ANSI cume_dist definition). Pass 1 finds the 65536-cent
+    * coarse bucket holding each target rank (parallel hash agg, O(200)
+    * entries per group at ANY data size); pass 2 resolves the exact cents
+    * value inside only those buckets. Both windows are constant-size by
+    * construction — no window ever sees raw rows (q45/q22's discipline,
+    * shared by q73's winsorization). */
+  private def percentileDiscTwoLevel(li: org.apache.spark.sql.DataFrame,
+      stCol: org.apache.spark.sql.Column, cents: org.apache.spark.sql.Column,
+      targets: Seq[Double]): org.apache.spark.sql.DataFrame = {
+    val coarse = li.groupBy(stCol.as("st"), (cents / 65536L).cast("long").as("b"))
+      .agg(count(lit(1)).as("hn"))
+    val wb = Window.partitionBy(col("st")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cb = coarse
+      .withColumn("cum", sum(col("hn")).over(wb))
+      .withColumn("n", sum(col("hn")).over(Window.partitionBy(col("st"))))
+    val picks = targets.map { p =>
+      cb.filter(col("cum") / col("n") >= p && (col("cum") - col("hn")) / col("n") < p)
+        .select(col("st"), lit(p).as("p"), col("b"),
+          (col("cum") - col("hn")).as("before"), col("n"))
+    }.reduce(_ union _)
+    val fine = li
+      .select(stCol.as("st"), cents.as("c"), (cents / 65536L).cast("long").as("b"))
+      .join(broadcast(picks), Seq("st", "b"))
+      .groupBy(col("st"), col("p"), col("before"), col("n"), col("c"))
+      .agg(count(lit(1)).as("fn"))
+    val wf = Window.partitionBy(col("st"), col("p")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fine
+      .withColumn("cum", col("before") + sum(col("fn")).over(wf))
+      .filter(col("cum") / col("n") >= col("p") &&
+        (col("cum") - col("fn")) / col("n") < col("p"))
+      .select(col("st"), col("p"), col("c"))
+  }
 
   /** ANSI MERGE INTO semantics as one full-outer join (q72), exposed as a
     * library call. `target` keyed uniquely by `key`; `source` rows carry a

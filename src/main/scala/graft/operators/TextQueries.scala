@@ -1429,7 +1429,72 @@ object TextQueries {
         SELECT doc_id, rank, tok, CAST(tf AS BIGINT) AS tf,
                CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
         FROM ranked WHERE rank <= 3
-        ORDER BY doc_id, rank""")))
+        ORDER BY doc_id, rank""")),
+
+    // ----- Neyman allocation for stratified sampling (t30) ------------------
+    // Survey-sampling optimal design: given a total inspection budget of
+    // K=200 docs, allocate per-language sample sizes proportional to
+    // N_h * sigma_h (Neyman 1934) — strata that are bigger OR more variable
+    // in length get more of the budget. Determinism discipline: per-stratum
+    // moments are exact integer sums (q23's recipe), sigma uses sqrt — the
+    // one IEEE-exact non-integer exponent (t22's rule) — and the weight is
+    // immediately quantized to integer millis, so the shares, the floor
+    // allocations, and the largest-remainder top-up (rank by remainder
+    // desc, lang asc) are all exact integer arithmetic on both engines.
+    // One corpus hash agg; everything after is O(strata).
+    QueryDef(
+      "t30_neyman_allocation",
+      (s, d) => {
+        import s.implicits._
+        val k = 200L
+        val st = Tables.documents(s, d)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"), sum($"n_chars").as("sx"),
+            sum($"n_chars" * $"n_chars").as("sx2"))
+          .withColumn("w_milli", expr(
+            "cast(floor(cast(n as double) * sqrt(cast(n * sx2 - sx * sx as double) / (cast(n as double) * cast(n - 1 as double))) * 1000) as bigint)"))
+        val tot = st.agg(sum($"w_milli").as("tw"), count(lit(1)).as("n_strata"))
+        val base = st.crossJoin(broadcast(tot))
+          .withColumn("alloc_base", expr(s"($k * w_milli) div tw"))
+          .withColumn("rem", expr(s"$k * w_milli - alloc_base * tw"))
+        val wl = Window.orderBy($"rem".desc, $"lang")
+        val wall = Window.partitionBy(lit(1))
+        base
+          .withColumn("shortfall", lit(k) - sum($"alloc_base").over(wall))
+          .withColumn("rrank", row_number().over(wl))
+          .withColumn("alloc",
+            $"alloc_base" + when($"rrank" <= $"shortfall", 1L).otherwise(0L))
+          .select($"lang", $"n".as("n_docs"), $"w_milli", $"alloc_base", $"alloc")
+          .orderBy($"lang")
+      },
+      oracle = Some("""
+        WITH st AS (
+          SELECT lang, count(*) AS n, sum(n_chars) AS sx,
+                 sum(n_chars * n_chars) AS sx2
+          FROM documents GROUP BY lang),
+        w AS (
+          SELECT lang, n,
+                 CAST(floor(CAST(n AS DOUBLE) *
+                   sqrt(CAST(n * sx2 - sx * sx AS DOUBLE) /
+                        (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) * 1000)
+                   AS BIGINT) AS w_milli
+          FROM st),
+        tot AS (SELECT CAST(sum(w_milli) AS BIGINT) AS tw FROM w),
+        base AS (
+          SELECT lang, n, w_milli,
+                 (200 * w_milli) // tw AS alloc_base,
+                 200 * w_milli - ((200 * w_milli) // tw) * tw AS rem
+          FROM w CROSS JOIN tot),
+        ranked AS (
+          SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rrank,
+                 200 - sum(alloc_base) OVER () AS shortfall
+          FROM base)
+        SELECT lang, CAST(n AS BIGINT) AS n_docs, w_milli,
+               CAST(alloc_base AS BIGINT) AS alloc_base,
+               CAST(alloc_base + CASE WHEN rrank <= shortfall THEN 1 ELSE 0 END
+                 AS BIGINT) AS alloc
+        FROM ranked
+        ORDER BY lang""")))
 
   /** The t18 oracle: t13's unrolled merge-learning CTE chain (same pair
     * counts, same argmax order, same list_reduce merge fold) carried over a

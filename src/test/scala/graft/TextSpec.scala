@@ -300,6 +300,23 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("t30: Neyman allocations spend the budget exactly, within 1 of proportionality") {
+    val rows = SparkEntry.queries("t30_neyman_allocation")(spark, sf).collect()
+    assert(rows.length > 1)
+    val alloc = rows.map(_.getLong(4))
+    assert(alloc.sum === 200L, s"largest-remainder must spend exactly K: ${alloc.toSeq}")
+    rows.foreach { r =>
+      val (base, a) = (r.getLong(3), r.getLong(4))
+      assert(a === base || a === base + 1, s"allocation strays from floor/floor+1: $r")
+    }
+    // heavier (N*sigma) strata never get fewer samples
+    val byW = rows.sortBy(_.getLong(2))
+    byW.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(4) <= hi.getLong(4) + 1,
+        s"allocation not monotone in weight: $lo vs $hi")
+    }
+  }
+
   test("t21: model join broadcasts (no corpus shuffle before the doc agg) and scores recompute") {
     import spark.implicits._
     val df = SparkEntry.queries("t21_model_score")(spark, sf)

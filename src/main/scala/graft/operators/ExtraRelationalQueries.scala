@@ -730,6 +730,84 @@ object ExtraRelationalQueries {
         FROM v GROUP BY st, p10_c, p90_c
         ORDER BY l_returnflag""")),
 
+    // ----- ANSI percentile_cont (q74) ---------------------------------------
+    // Interpolated continuous percentiles — the other half of the ANSI
+    // percentile pair (q45 covers percentile_disc). pos = (n-1)*p brackets
+    // two order statistics; the result is v1 + (v2-v1)*frac. Spark's
+    // built-in percentile_cont buffers per-group values (collect-like at
+    // scale) and its interpolation isn't bit-contracted against other
+    // engines, so this uses the q45 two-level RANK selection instead:
+    // coarse 65536-cent histogram locates the buckets holding ranks
+    // floor(pos)+1 and +2, a fine histogram inside only those buckets
+    // resolves both exact cents values, and ONE identical double formula
+    // on both engines interpolates (per-row IEEE arithmetic, floored to
+    // millis). Every window is histogram-sized; raw rows are never sorted.
+    QueryDef(
+      "q74_percentile_cont",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val cents = floor($"l_extendedprice" * 100).cast("long")
+        val vals = li.select($"l_linestatus".as("st"), cents.as("c"),
+          (cents / 65536L).cast("long").as("b"))
+        val coarse = vals.groupBy($"st", $"b").agg(count(lit(1)).as("hn"))
+        val wb = Window.partitionBy($"st").orderBy($"b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cb = coarse
+          .withColumn("cum", sum($"hn").over(wb))
+          .withColumn("n", sum($"hn").over(Window.partitionBy($"st")))
+        val ranks = cb.select($"st", $"n").distinct()
+          .select($"st", $"n", explode(array(lit(0.5), lit(0.95))).as("p"))
+          .withColumn("k", expr("cast(floor((n - 1) * p) as bigint)"))
+          .select($"st", $"n", $"p", explode(array(
+            struct(lit(1).as("which"), ($"k" + 1).as("r")),
+            struct(lit(2).as("which"), least($"k" + 2, $"n").as("r")))).as("t"))
+          .select($"st", $"n", $"p", $"t.which".as("which"), $"t.r".as("r"))
+        val picks = cb.join(ranks.select($"st", $"p", $"which", $"r"), Seq("st"))
+          .filter($"cum" >= $"r" && $"cum" - $"hn" < $"r")
+          .select($"st", $"p", $"which", $"r", $"b", ($"cum" - $"hn").as("before"))
+        val wf = Window.partitionBy($"st", $"p", $"which").orderBy($"c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val resolved = vals
+          .join(broadcast(picks), Seq("st", "b"))
+          .groupBy($"st", $"p", $"which", $"r", $"before", $"c")
+          .agg(count(lit(1)).as("fn"))
+          .withColumn("cum", $"before" + sum($"fn").over(wf))
+          .filter($"cum" >= $"r" && $"cum" - $"fn" < $"r")
+        resolved.groupBy($"st", $"p")
+          .agg(min(when($"which" === 1, $"c")).as("v1"),
+            min(when($"which" === 2, $"c")).as("v2"))
+          .join(ranks.select($"st", $"n").distinct(), Seq("st"))
+          .withColumn("pcont_milli", expr(
+            "cast(floor(1000 * (v1 + (v2 - v1) * ((n - 1) * p - floor((n - 1) * p)))) as bigint)"))
+          .select($"st".as("l_linestatus"), $"p", $"v1", $"v2", $"pcont_milli")
+          .orderBy($"l_linestatus", $"p")
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT l_linestatus AS st, CAST(floor(l_extendedprice * 100) AS BIGINT) AS c,
+                 row_number() OVER (PARTITION BY l_linestatus
+                   ORDER BY floor(l_extendedprice * 100)) AS rn,
+                 count(*) OVER (PARTITION BY l_linestatus) AS n
+          FROM lineitem),
+        ps(p) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE))),
+        t AS (
+          SELECT st, n, p,
+                 CAST(floor((n - 1) * p) AS BIGINT) + 1 AS r1,
+                 least(CAST(floor((n - 1) * p) AS BIGINT) + 2, n) AS r2
+          FROM (SELECT DISTINCT st, n FROM v) CROSS JOIN ps),
+        picked AS (
+          SELECT t.st, t.p, t.n,
+                 min(CASE WHEN rn = r1 THEN c END) AS v1,
+                 min(CASE WHEN rn = r2 THEN c END) AS v2
+          FROM t JOIN v ON v.st = t.st AND (rn = r1 OR rn = r2)
+          GROUP BY t.st, t.p, t.n)
+        SELECT st AS l_linestatus, p, v1, v2,
+               CAST(floor(1000 * (v1 + (v2 - v1) * ((n - 1) * p - floor((n - 1) * p))))
+                 AS BIGINT) AS pcont_milli
+        FROM picked
+        ORDER BY l_linestatus, p""")),
+
     // ----- correlated EXISTS subquery (decorrelation) ------------------------
     QueryDef(
       "q46_exists_subquery",

@@ -66,17 +66,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Partial"), s"no partial window group limit: $p")
   }
 
-  test("q73: winsorization windows only over histograms (the shared q45 discipline)") {
-    val plan = SparkEntry.queries("q73_winsorized_stats")(spark, sf)
-      .queryExecution.optimizedPlan
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => WindowNode}
-    val windows = plan.collect { case w: WindowNode => w }
-    assert(windows.nonEmpty)
-    windows.foreach { w =>
-      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
-        s"window over raw rows (no aggregate below it): $w")
+  for (q <- Seq("q73_winsorized_stats", "q74_percentile_cont"))
+    test(s"$q: windows only over histograms (the shared q45 discipline)") {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => WindowNode}
+      val windows = plan.collect { case w: WindowNode => w }
+      assert(windows.nonEmpty)
+      windows.foreach { w =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"window over raw rows (no aggregate below it): $w")
+      }
     }
-  }
 
   test("t29: per-doc keyword top-3 pushes a partial group limit; no global sort of scores") {
     val p = plan("t29_keywords")

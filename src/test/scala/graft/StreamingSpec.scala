@@ -410,6 +410,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2 maintenance equals batch q66 under any batch split (run-monoid fold)") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamScd2
+    // the run-list fold must agree with the one-shot q66 on the REAL fixture
+    val fixture = Tables.events(spark, sf)
+    val batchQ66 = SparkEntry.queries("q66_scd2_intervals")(spark, sf).collect().toSeq
+    assert(StreamScd2.scd2Batch(fixture).collect().toSeq === batchQ66)
+    // streamed fold across batch boundaries — runs that straddle a batch
+    // edge with the SAME attribute must merge back into one version
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    def ev(id: Long, t: java.sql.Timestamp, u: Long, k: Int) =
+      (id, t, u, s"""{"k": $k}""")
+    val rows = Seq(
+      ev(1, ts(1, 0), 10, 3), ev(2, ts(1, 10), 10, 7),   // u10: kb 0 then 0
+      ev(3, ts(2, 0), 10, 30), ev(4, ts(2, 30), 10, 60), // kb 1, kb 2
+      ev(5, ts(3, 0), 10, 55),                           // kb 2 continues
+      ev(6, ts(1, 5), 11, 90), ev(7, ts(4, 0), 11, 99))  // u11: kb 3, kb 3
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val (q, state) = StreamScd2.start(
+      ms.toDF().toDF("event_id", "ts", "user_id", "props"))
+    try {
+      // split INSIDE u10's kb=2 run and u11's kb=3 run
+      ms.addData(rows.take(4): _*); q.processAllAvailable()
+      ms.addData(rows.drop(4): _*); q.processAllAvailable()
+      val streamed = state.history.collect().toSeq
+      val oneShot = StreamScd2.scd2Batch(
+        rows.toDF("event_id", "ts", "user_id", "props")).collect().toSeq
+      assert(streamed === oneShot)
+      // the straddling runs merged: u10 has versions kb 0(x2),1,2(x2); u11 one version
+      val u10 = streamed.filter(_.getLong(0) == 10L)
+      assert(u10.map(r => (r.getLong(2), r.getLong(6))) === Seq((0L, 2L), (1L, 1L), (2L, 2L)))
+      assert(streamed.count(_.getLong(0) == 11L) === 1)
+      // retried batchId is a no-op
+      val before = state.history.collect().toSeq
+      state.merge(rows.take(4).toDF("event_id", "ts", "user_id", "props"), 0L)
+      assert(state.history.collect().toSeq === before)
+    } finally q.stop()
+  }
+
   test("streaming rolling distinct on HLL state equals the batch sketch exactly") {
     // mergeable-sketch state: HLL insert is value-idempotent and union is
     // associative/commutative, so the micro-batch fold — including a

@@ -1209,7 +1209,17 @@ object ExtraRelationalQueries {
     * (updated / inserted / unchanged). This is the transactional MERGE's
     * dataflow semantics on plain tables: one shuffle on the key, no
     * row-at-a-time lookups; pair it with a partitioned rewrite
-    * (LayoutQueries.compact's discipline) for the storage side. */
+    * (LayoutQueries.compact's discipline) for the storage side.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val target = Seq((1L, 100L), (2L, 200L)).toDF("k", "tval")
+    * val deltas = Seq((2L, -50L), (9L, 700L)).toDF("k", "delta")
+    * ExtraRelationalQueries.mergeUpsert(target, deltas)
+    *   .orderBy("k").collect().map(_.toSeq) ==
+    *   Seq(Seq(1L, "unchanged", 100L), Seq(2L, "updated", 150L),
+    *       Seq(9L, "inserted", 700L))
+    * }}} */
   def mergeUpsert(target: org.apache.spark.sql.DataFrame, source: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     target.join(source, Seq("k"), "full_outer")

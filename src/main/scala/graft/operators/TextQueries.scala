@@ -1566,7 +1566,16 @@ object TextQueries {
     * with the smallest priority = salted-unit-uniform-hash / weight,
     * quantized to integer micro-units so ranking is engine-exact. Weight
     * is n_chars clamped to >= 1. Output: (lang, sample_rank [1..k],
-    * doc_id, weight, priority_micro). */
+    * doc_id, weight, priority_micro).
+    *
+    * Example (run verbatim by DocExamplesSpec) — a 1000x heavier doc wins
+    * the k=1 slot because its priority is its hash divided by its weight:
+    * {{{
+    * val docs = Seq((1L, "x", "en", 1L), (2L, "x", "en", 1000L))
+    *   .toDF("doc_id", "text", "lang", "n_chars")
+    * TextQueries.weightedSample(docs, 1)
+    *   .select($"doc_id").as[Long].head() == 2L
+    * }}} */
   def weightedSample(docs: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     val s = docs.sparkSession

@@ -75,4 +75,22 @@ class DocExamplesSpec extends SparkSpec {
     assert(r.getLong(2) == 3L &&
       r.getLong(4) == math.floor(r.getLong(3) * 1000.0 / 3).toLong)
   }
+
+  test("ExtraRelationalQueries.mergeUpsert scaladoc example") {
+    import graft.operators.ExtraRelationalQueries
+    val target = Seq((1L, 100L), (2L, 200L)).toDF("k", "tval")
+    val deltas = Seq((2L, -50L), (9L, 700L)).toDF("k", "delta")
+    assert(ExtraRelationalQueries.mergeUpsert(target, deltas)
+      .orderBy("k").collect().map(_.toSeq).toSeq ===
+      Seq(Seq(1L, "unchanged", 100L), Seq(2L, "updated", 150L),
+        Seq(9L, "inserted", 700L)))
+  }
+
+  test("TextQueries.weightedSample scaladoc example") {
+    import graft.operators.TextQueries
+    val docs = Seq((1L, "x", "en", 1L), (2L, "x", "en", 1000L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    assert(TextQueries.weightedSample(docs, 1)
+      .select($"doc_id").as[Long].head() === 2L)
+  }
 }

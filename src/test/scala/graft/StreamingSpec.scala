@@ -449,6 +449,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact percentiles on histogram state equal the batch read") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamQuantiles
+    val data = (1L to 400L).map(_ % 37) // bounded domain, skewed multiset
+    val ms = MemoryStream[Long]
+    val (q, state) = StreamQuantiles.start(ms.toDF().toDF("c"))
+    try {
+      data.grouped(150).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      val ps = Seq(0.1, 0.5, 0.9, 1.0)
+      val streamed = state.quantiles(ps).collect().map(r => (r.getDouble(0), r.getLong(1)))
+      val batch = StreamQuantiles.quantilesBatch(data.toDF("c"), ps)
+        .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      assert(streamed.toSeq === batch.toSeq)
+      // cross-check p=0.5 against a plain sort on the small domain
+      val sorted = data.sorted
+      val median = sorted(math.ceil(0.5 * data.size).toInt - 1)
+      assert(streamed.toMap.apply(0.5) === median)
+      // retried batchId must not double-count the histogram
+      val before = state.quantiles(Seq(0.5)).collect().toSeq
+      state.merge(data.take(150).toDF("c"), 0L)
+      assert(state.quantiles(Seq(0.5)).collect().toSeq === before)
+    } finally q.stop()
+  }
+
   test("streaming rolling distinct on HLL state equals the batch sketch exactly") {
     // mergeable-sketch state: HLL insert is value-idempotent and union is
     // associative/commutative, so the micro-batch fold — including a

@@ -22,10 +22,10 @@ class PlanLintSpec extends SparkSpec {
   private val bnljOk = Set("q21_range_join_buckets", "s01_ann_bruteforce_topk",
     "s05_ann_projected_rerank", "s07_mmr_diverse_topk", "t12_unigram_surprisal",
     "s10_bm25_retrieval", "s14_trunc_recall",
-    // q69 and t29 join a 1-row corpus stat onto vocab-sized tables —
-    // t12/s10's stats-broadcast pattern; PlanQualitySpec separately caps
-    // q69 at ONE such join
-    "q69_market_basket", "t29_keywords")
+    // q69, t29, t30 join a 1-row corpus stat onto vocab-/strata-sized
+    // tables — t12/s10's stats-broadcast pattern; PlanQualitySpec
+    // separately caps q69 at ONE such join
+    "q69_market_basket", "t29_keywords", "t30_neyman_allocation")
 
   for (q <- SparkEntry.allDefs.filter(_.benchmark)) {
     test(s"${q.name}: no cartesian product, no stray nested-loop join, no mid-plan collect") {

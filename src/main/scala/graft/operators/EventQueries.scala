@@ -762,7 +762,72 @@ object EventQueries {
         FROM (SELECT CAST(count(*) AS BIGINT) AS n_events FROM events) e,
              (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders) o,
              (SELECT CAST(count(*) AS BIGINT) AS exact_join_rows
-              FROM events JOIN orders ON user_id = o_custkey) j"""))
+              FROM events JOIN orders ON user_id = o_custkey) j""")),
+
+    // ----- chi-square independence test (q75) -------------------------------
+    // The A/B experimentation seat: users deterministically hash into two
+    // arms (t06's RNG-free discipline — assignment is a pure function of
+    // user_id, retry-stable on both engines), and the test asks whether
+    // event-type mix is independent of arm. The contingency table is ONE
+    // hash agg over the corpus; everything after is O(cells). Expected
+    // counts and per-cell chi-square contributions are one identical double
+    // formula from exact integer marginals; each contribution is floored
+    // to integer micros BEFORE the total sums, so the statistic is an
+    // integer sum — engine-order-free (the q23 discipline applied to a
+    // test statistic).
+    QueryDef(
+      "q75_chi_square",
+      (s, d) => {
+        import s.implicits._
+        val cells = Tables.events(s, d)
+          .select(pmod(graft.functions.TextFns.polyHash(
+            concat(lit("ab:"), $"user_id".cast("string"))), lit(2L)).as("arm"),
+            $"event_type")
+          .groupBy($"arm", $"event_type")
+          .agg(count(lit(1)).as("o"))
+        val wArm = Window.partitionBy($"arm")
+        val wType = Window.partitionBy($"event_type")
+        val wAll = Window.partitionBy(lit(1))
+        cells
+          .withColumn("rt", sum($"o").over(wArm))
+          .withColumn("ct", sum($"o").over(wType))
+          .withColumn("n", sum($"o").over(wAll))
+          .withColumn("e_milli", expr(
+            "cast(floor(1000 * cast(rt as double) * cast(ct as double) / cast(n as double)) as bigint)"))
+          .withColumn("contrib_micro", expr(
+            """cast(floor(1000000 *
+               (cast(o as double) - cast(rt as double) * cast(ct as double) / cast(n as double)) *
+               (cast(o as double) - cast(rt as double) * cast(ct as double) / cast(n as double)) /
+               (cast(rt as double) * cast(ct as double) / cast(n as double))) as bigint)"""))
+          .withColumn("chi2_micro", sum($"contrib_micro").over(wAll))
+          .select($"arm", $"event_type", $"o", $"e_milli", $"contrib_micro", $"chi2_micro")
+          .orderBy($"arm", $"event_type")
+      },
+      oracle = Some(s"""
+        WITH cells AS (
+          SELECT (${TextQueries.polyHashSqlOf("'ab:' || CAST(user_id AS VARCHAR)")}) % 2 AS arm,
+                 event_type, count(*) AS o
+          FROM events GROUP BY 1, 2),
+        m AS (
+          SELECT arm, event_type, o,
+                 sum(o) OVER (PARTITION BY arm) AS rt,
+                 sum(o) OVER (PARTITION BY event_type) AS ct,
+                 sum(o) OVER () AS n
+          FROM cells),
+        c AS (
+          SELECT arm, event_type, CAST(o AS BIGINT) AS o,
+                 CAST(floor(1000 * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) /
+                   CAST(n AS DOUBLE)) AS BIGINT) AS e_milli,
+                 CAST(floor(1000000 *
+                   (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) *
+                   (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) /
+                   (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
+                   AS contrib_micro
+          FROM m)
+        SELECT arm, event_type, o, e_milli, contrib_micro,
+               CAST(sum(contrib_micro) OVER () AS BIGINT) AS chi2_micro
+        FROM c
+        ORDER BY arm, event_type"""))
   )
 
   /** One unrolled PageRank iteration as a DuckDB CTE (oracle helper):

@@ -808,6 +808,58 @@ object ExtraRelationalQueries {
         FROM picked
         ORDER BY l_linestatus, p""")),
 
+    // ----- distributed OLS regression via sufficient statistics (q76) -------
+    // Trend fitting at 100 TB the way statistics libraries can't: ordinary
+    // least squares needs only five sufficient statistics (n, Σx, Σy, Σxy,
+    // Σx²[, Σy² for R²]) — ALL exact integer sums from one map-side-
+    // combinable hash agg per group; slope/intercept/R² are then one
+    // identical double formula over those exact moments (q41/q23's recipe
+    // extended from correlation to the fitted line). Per market segment:
+    // order value in whole dollars (keeps Σy² far from overflow at any
+    // SF) against days since 1995-01-01. The customer dimension arrives
+    // by broadcast; nothing but the one fact agg ever shuffles.
+    QueryDef(
+      "q76_ols_trend",
+      (s, d) => {
+        import s.implicits._
+        val xy = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")),
+            $"o_custkey" === $"c_custkey")
+          .select($"c_mktsegment".as("seg"),
+            datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date"))
+              .cast("long").as("x"),
+            floor($"o_totalprice").cast("long").as("y"))
+        olsFit(xy).withColumnRenamed("seg", "c_mktsegment")
+          .orderBy($"c_mktsegment")
+      },
+      oracle = Some("""
+        WITH xy AS (
+          SELECT c_mktsegment AS seg,
+                 CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+                 CAST(floor(o_totalprice) AS BIGINT) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        m AS (
+          SELECT seg, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sx2, sum(y * y) AS sy2
+          FROM xy GROUP BY seg)
+        SELECT seg AS c_mktsegment, CAST(n AS BIGINT) AS n,
+               CAST(floor(1000000 *
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                 (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 AS BIGINT) AS slope_micro,
+               CAST(floor(1000 * (CAST(sy AS DOUBLE) -
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                 (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                 CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_milli,
+               CAST(floor(1000 *
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                 ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                  (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                 AS BIGINT) AS r2_milli
+        FROM m
+        ORDER BY c_mktsegment""")),
+
     // ----- correlated EXISTS subquery (decorrelation) ------------------------
     QueryDef(
       "q46_exists_subquery",
@@ -1163,6 +1215,36 @@ object ExtraRelationalQueries {
         JOIN items ib ON ib.b = brand_b
         CROSS JOIN n
         ORDER BY brand_a, brand_b""")))
+
+  /** Per-group OLS fit from sufficient statistics (q76), exposed as a
+    * library call over any (seg, x, y) integer frame: one hash agg of the
+    * five exact integer moments per group, then slope/intercept/R² as one
+    * identical double formula — nothing but the moment agg ever shuffles.
+    * Output: (seg, n, slope_micro, intercept_milli, r2_milli). */
+  def olsFit(xy: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    xy.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"))
+      .withColumn("slope_micro", expr(
+        """cast(floor(1000000 *
+           (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) /
+           (cast(n as double) * cast(sx2 as double) - cast(sx as double) * cast(sx as double)))
+           as bigint)"""))
+      .withColumn("intercept_milli", expr(
+        """cast(floor(1000 * (cast(sy as double) -
+           (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) /
+           (cast(n as double) * cast(sx2 as double) - cast(sx as double) * cast(sx as double)) *
+           cast(sx as double)) / cast(n as double)) as bigint)"""))
+      .withColumn("r2_milli", expr(
+        """cast(floor(1000 *
+           (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) *
+           (cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) /
+           ((cast(n as double) * cast(sx2 as double) - cast(sx as double) * cast(sx as double)) *
+            (cast(n as double) * cast(sy2 as double) - cast(sy as double) * cast(sy as double))))
+           as bigint)"""))
+      .select(col("seg"), col("n"), col("slope_micro"),
+        col("intercept_milli"), col("r2_milli"))
 
   /** Two-level range-partition exact percentile_disc over an integer-cents
     * expression, grouped by `stCol`: returns (st, p, c) — for each group

@@ -122,6 +122,29 @@ class SketchSpec extends SparkSpec {
     assert(est <= bound, s"estimate $est beyond the collision bound $bound (exact $exactJoin)")
   }
 
+  test("olsFit recovers a planted line exactly and bounds R² on noise") {
+    import graft.operators.ExtraRelationalQueries.olsFit
+    // y = 3x + 7 exactly: slope/intercept/R² all land on exact values
+    val line = (0L until 50L).map(x => ("a", x, 3 * x + 7)).toDF("seg", "x", "y")
+    val r = olsFit(line).head()
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((3000000L, 7000L, 1000L)))
+    // deterministic "noise" (x % 5) keeps a strong but imperfect fit
+    val noisy = (0L until 200L).map(x => ("b", x, 3 * x + 7 + (x % 5)))
+      .toDF("seg", "x", "y")
+    val rn = olsFit(noisy).head()
+    assert(rn.getLong(4) < 1000L && rn.getLong(4) > 900L, s"R²=${rn.getLong(4)}")
+    assert(math.abs(rn.getLong(2) - 3000000L) < 100000L, s"slope=${rn.getLong(2)}")
+  }
+
+  test("q75: chi-square cells conserve the corpus and the statistic is non-negative") {
+    val rows = SparkEntry.queries("q75_chi_square")(spark, sf).collect()
+    val n = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === n, "observed cells must conserve the corpus")
+    assert(rows.map(_.getLong(5)).distinct.length === 1, "one total statistic")
+    assert(rows.head.getLong(5) >= 0L)
+    assert(rows.forall(_.getLong(4) >= 0L), "contributions are squares")
+  }
+
   test("q53's guarantee flags are all true (oracle-checkable form)") {
     val rows = SparkEntry.queries("q53_heavy_hitters_mg")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -272,7 +272,16 @@ object DedupQueries {
     * doc_id — never corpus-sized), one equi-join on prefix shingle keys,
     * and the shared verify. The 5·n_b >= 4·n_a size filter prunes
     * impossible-size pairs before verification. Exact-duplicate collapse
-    * up front caps the worst bucket skew exactly as in d03. */
+    * up front caps the worst bucket skew exactly as in d03.
+    *
+    * Prefix keys deliberately stay STRINGS (unlike t14/d03's 64-bit
+    * hashed shingle keys): hashing the order/join key would let a hash
+    * collision between two distinct shingles reorder the global prefix
+    * ranking inconsistently across documents, degrading the zero-miss
+    * guarantee to a probabilistic one — the whole point of this operator
+    * over d03. Only PREFIX tokens (a ~1/5 fraction, rare-first) ever
+    * cross the shuffle, so the string overhead is bounded; ScaleSpec
+    * measures the 10x trend. */
   def prefixFilterNearDupPairs(s: SparkSession, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._

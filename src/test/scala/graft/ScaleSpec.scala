@@ -97,6 +97,16 @@ class ScaleSpec extends SparkSpec {
       docCorpus(4000), docCorpus(40000))
   }
 
+  test("d13 prefix-filter exact join: 10x corpus => ~10x runtime and pairs") {
+    // the EXACT path must show the same trend as the sketch path: prefix
+    // buckets (rare-first) keep candidate generation linear in true
+    // near-dups; a degenerate prefix (e.g. ordering regression putting
+    // common shingles in prefixes) floods candidates and trips the clock
+    assertTrend("d13",
+      df => DedupQueries.prefixFilterNearDupPairs(spark, df).count(),
+      docCorpus(4000), docCorpus(40000))
+  }
+
   test("t14 boilerplate spans: 10x corpus => ~10x runtime and shared shingles") {
     // every 10th doc shares 37 of its 8-gram shingles with its template
     // doc, so true shared-shingle counts scale linearly by construction

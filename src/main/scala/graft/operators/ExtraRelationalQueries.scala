@@ -860,6 +860,92 @@ object ExtraRelationalQueries {
         FROM m
         ORDER BY c_mktsegment""")),
 
+    // ----- mix-shift decomposition (q77) ------------------------------------
+    // "Why did the average order value move between 1995 and 1996?" —
+    // decompose the change into rate effects (each segment's own average
+    // moved), mix effects (order volume shifted between segments), and the
+    // interaction term, per segment. ONE scan: conditional aggregates
+    // split the two periods inside a single hash agg (q60's single-scan
+    // discipline); totals come from windows over the O(segments) result,
+    // so nothing rescans or re-shuffles the facts. Averages and shares
+    // are exact truncating-division integers; the effect terms are one
+    // identical double formula over those exact integers, floored to
+    // micros per segment (engine-order-free — any cross-segment total is
+    // then an integer sum).
+    QueryDef(
+      "q77_mix_shift",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")),
+            $"o_custkey" === $"c_custkey")
+          .filter(year($"o_orderdate").isin(1995, 1996))
+          .select($"c_mktsegment".as("seg"),
+            (year($"o_orderdate") === 1995).as("p1"),
+            floor($"o_totalprice" * 100).cast("long").as("c"))
+        val wAll = Window.partitionBy(lit(1))
+        o.groupBy($"seg")
+          .agg(sum(when($"p1", 1L).otherwise(0L)).as("n1"),
+            sum(when(!$"p1", 1L).otherwise(0L)).as("n2"),
+            sum(when($"p1", $"c").otherwise(0L)).as("s1"),
+            sum(when(!$"p1", $"c").otherwise(0L)).as("s2"))
+          .withColumn("t1", sum($"n1").over(wAll))
+          .withColumn("t2", sum($"n2").over(wAll))
+          .withColumn("avg1_c", expr("s1 div n1"))
+          .withColumn("avg2_c", expr("s2 div n2"))
+          .withColumn("share1_milli", expr("(1000 * n1) div t1"))
+          .withColumn("share2_milli", expr("(1000 * n2) div t2"))
+          .withColumn("rate_effect_micro", expr(
+            """cast(floor(1000000 * (cast(n1 as double) / cast(t1 as double)) *
+               (cast(avg2_c as double) - cast(avg1_c as double)) / 100) as bigint)"""))
+          .withColumn("mix_effect_micro", expr(
+            """cast(floor(1000000 * (cast(n2 as double) / cast(t2 as double) -
+               cast(n1 as double) / cast(t1 as double)) *
+               cast(avg1_c as double) / 100) as bigint)"""))
+          .withColumn("interaction_micro", expr(
+            """cast(floor(1000000 * (cast(n2 as double) / cast(t2 as double) -
+               cast(n1 as double) / cast(t1 as double)) *
+               (cast(avg2_c as double) - cast(avg1_c as double)) / 100) as bigint)"""))
+          .select($"seg".as("c_mktsegment"), $"n1", $"n2", $"avg1_c", $"avg2_c",
+            $"share1_milli", $"share2_milli",
+            $"rate_effect_micro", $"mix_effect_micro", $"interaction_micro")
+          .orderBy($"c_mktsegment")
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT c_mktsegment AS seg,
+                 (year(o_orderdate) = 1995) AS p1,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE year(o_orderdate) IN (1995, 1996)),
+        g AS (
+          SELECT seg,
+                 CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                 CAST(sum(CASE WHEN p1 THEN c ELSE 0 END) AS BIGINT) AS s1,
+                 CAST(sum(CASE WHEN NOT p1 THEN c ELSE 0 END) AS BIGINT) AS s2
+          FROM o GROUP BY seg),
+        t AS (
+          SELECT *, CAST(sum(n1) OVER () AS BIGINT) AS t1,
+                 CAST(sum(n2) OVER () AS BIGINT) AS t2,
+                 s1 // n1 AS avg1_c, s2 // n2 AS avg2_c
+          FROM g)
+        SELECT seg AS c_mktsegment, n1, n2, avg1_c, avg2_c,
+               (1000 * n1) // t1 AS share1_milli,
+               (1000 * n2) // t2 AS share2_milli,
+               CAST(floor(1000000 * (CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE)) *
+                 (CAST(avg2_c AS DOUBLE) - CAST(avg1_c AS DOUBLE)) / 100) AS BIGINT)
+                 AS rate_effect_micro,
+               CAST(floor(1000000 * (CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE) -
+                 CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE)) *
+                 CAST(avg1_c AS DOUBLE) / 100) AS BIGINT) AS mix_effect_micro,
+               CAST(floor(1000000 * (CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE) -
+                 CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE)) *
+                 (CAST(avg2_c AS DOUBLE) - CAST(avg1_c AS DOUBLE)) / 100) AS BIGINT)
+                 AS interaction_micro
+        FROM t
+        ORDER BY c_mktsegment""")),
+
     // ----- correlated EXISTS subquery (decorrelation) ------------------------
     QueryDef(
       "q46_exists_subquery",

@@ -145,6 +145,23 @@ class SketchSpec extends SparkSpec {
     assert(rows.forall(_.getLong(4) >= 0L), "contributions are squares")
   }
 
+  test("q77: rate + mix + interaction reconstruct the overall average change") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q77_mix_shift")(spark, sf).collect()
+    val effects = rows.map(r => r.getLong(7) + r.getLong(8) + r.getLong(9)).sum / 1e6
+    val o = Tables.orders(spark, sf)
+      .filter(year($"o_orderdate").isin(1995, 1996))
+      .select((year($"o_orderdate") === 1995).as("p1"),
+        floor($"o_totalprice" * 100).cast("long").as("c"))
+      .agg(sum(when($"p1", $"c")).as("s1"), sum(when($"p1", 1L)).as("n1"),
+        sum(when(!$"p1", $"c")).as("s2"), sum(when(!$"p1", 1L)).as("n2"))
+      .head()
+    val delta = (o.getLong(2).toDouble / o.getLong(3) - o.getLong(0).toDouble / o.getLong(1)) / 100
+    assert(math.abs(effects - delta) < 0.25,
+      s"decomposition ${effects} should reconstruct the overall change $delta " +
+        "within quantization slack")
+  }
+
   test("q53's guarantee flags are all true (oracle-checkable form)") {
     val rows = SparkEntry.queries("q53_heavy_hitters_mg")(spark, sf).collect()
     assert(rows.nonEmpty)

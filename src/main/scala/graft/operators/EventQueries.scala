@@ -827,7 +827,71 @@ object EventQueries {
         SELECT arm, event_type, o, e_milli, contrib_micro,
                CAST(sum(contrib_micro) OVER () AS BIGINT) AS chi2_micro
         FROM c
-        ORDER BY arm, event_type"""))
+        ORDER BY arm, event_type""")),
+
+    // ----- point-in-time join against SCD2 history (q78) --------------------
+    // The feature-store correctness primitive: revenue attributed to the
+    // attribute version that was ACTIVE when each purchase happened — a
+    // temporal containment join of facts against the q66-built dimension
+    // history, the thing that prevents label leakage in training-data
+    // assembly (using today's attribute for yesterday's example). The
+    // history intervals tile each user's timeline (valid_to = successor's
+    // valid_from, open current version), so every purchase matches
+    // EXACTLY one version row; the join is equi on user_id with an
+    // interval post-filter — per-user fan-out bounded by that user's
+    // version count, never a cross product. History build + join share
+    // one user_id partitioning.
+    QueryDef(
+      "q78_pit_join",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val hist = graft.streaming.StreamScd2.scd2Batch(ev)
+          .select($"user_id", $"version", $"kb", $"valid_from", $"valid_to")
+        val purch = ev.filter($"event_type" === "purchase")
+          .select($"user_id", date_trunc("second", $"ts").as("pts"),
+            floor($"value" * 100).cast("long").as("c"))
+        purch.join(hist, Seq("user_id"))
+          .filter($"pts" >= $"valid_from" &&
+            ($"valid_to".isNull || $"pts" < $"valid_to"))
+          .groupBy($"kb")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum($"c").as("revenue_c"),
+            countDistinct($"user_id").as("n_users"))
+          .orderBy($"kb")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS kb
+          FROM events),
+        m AS (
+          SELECT *, CASE WHEN lag(kb) OVER w IS NULL OR lag(kb) OVER w <> kb
+                         THEN 1 ELSE 0 END AS chg
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        v AS (
+          SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+          FROM m),
+        i AS (
+          SELECT user_id, version, min(kb) AS kb,
+                 min(date_trunc('second', ts)) AS valid_from
+          FROM v GROUP BY user_id, version),
+        hist AS (
+          SELECT user_id, kb, valid_from,
+                 lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+          FROM i),
+        p AS (
+          SELECT user_id, date_trunc('second', ts) AS pts,
+                 CAST(floor(value * 100) AS BIGINT) AS c
+          FROM events WHERE event_type = 'purchase')
+        SELECT kb, CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(c) AS BIGINT) AS revenue_c,
+               CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+        FROM p JOIN hist ON p.user_id = hist.user_id
+         AND pts >= valid_from AND (valid_to IS NULL OR pts < valid_to)
+        GROUP BY kb
+        ORDER BY kb"""))
   )
 
   /** One unrolled PageRank iteration as a DuckDB CTE (oracle helper):

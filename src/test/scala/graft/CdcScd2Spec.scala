@@ -84,6 +84,14 @@ class CdcScd2Spec extends SparkSpec {
     assert(credit._1 > qualifying - credit._2, "lost more than 1 cent per touch row")
   }
 
+  test("q78: every purchase lands in exactly one history version (no leakage, no loss)") {
+    val report = SparkEntry.queries("q78_pit_join")(spark, sf)
+    val matched = report.agg(sum($"n_purchases")).as[Long].head()
+    val purchases = events.filter($"event_type" === "purchase").count()
+    assert(matched === purchases,
+      "point-in-time containment must match each purchase exactly once")
+  }
+
   test("q70: time-weighted average stays within per-user attribute bounds") {
     val twa = SparkEntry.queries("q70_time_weighted_avg")(spark, sf)
     val bounds = events

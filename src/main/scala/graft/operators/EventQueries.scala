@@ -891,7 +891,66 @@ object EventQueries {
         FROM p JOIN hist ON p.user_id = hist.user_id
          AND pts >= valid_from AND (valid_to IS NULL OR pts < valid_to)
         GROUP BY kb
-        ORDER BY kb"""))
+        ORDER BY kb""")),
+
+    // ----- bot / automation detection (q79) ---------------------------------
+    // The behavioral data-quality gate a pipeline runs before training on
+    // user events: humans are bursty, bots are fast OR metronomic. Per
+    // user, inter-event gaps (one lead() in the per-user window, gaps in
+    // whole seconds so squared sums stay far from overflow), then exact
+    // integer moments give rate and the coefficient of variation via one
+    // identical double formula (q23's recipe on gaps). Flags are explicit
+    // integer thresholds — >30 events/hour sustained, or cv < 0.4 with
+    // enough events (too regular for a human) — so the decision table is
+    // engine-exact. One user_id shuffle serves the gaps and the moments.
+    QueryDef(
+      "q79_bot_detection",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.events(s, d)
+          .select($"user_id", $"ts", $"event_id")
+          .withColumn("gap_s", expr(
+            "(unix_micros(lead(ts, 1) over (partition by user_id order by ts, event_id)) - unix_micros(ts)) div 1000000"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"gap_s".isNotNull, 1L).otherwise(0L)).as("ng"),
+            sum($"gap_s").as("sg"), sum($"gap_s" * $"gap_s").as("sg2"),
+            min($"gap_s").as("min_gap_s"))
+          .filter($"ng" >= 2)
+          .withColumn("rate_milli", expr("(n * 3600 * 1000) div sg"))
+          .withColumn("cv_milli", expr(
+            """cast(floor(1000 * sqrt(cast(ng * sg2 - sg * sg as double) /
+               (cast(ng as double) * cast(ng - 1 as double))) /
+               (cast(sg as double) / cast(ng as double))) as bigint)"""))
+          .withColumn("is_bot",
+            $"rate_milli" > 30000L || ($"cv_milli" < 400L && $"n" >= 20L))
+          .select($"user_id", $"n", $"min_gap_s", $"rate_milli", $"cv_milli", $"is_bot")
+          .orderBy($"user_id")
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT user_id,
+                 (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                  - epoch_us(ts)) // 1000000 AS gap_s
+          FROM events),
+        m AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN gap_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ng,
+                 CAST(sum(gap_s) AS BIGINT) AS sg,
+                 CAST(sum(gap_s * gap_s) AS BIGINT) AS sg2,
+                 CAST(min(gap_s) AS BIGINT) AS min_gap_s
+          FROM g GROUP BY user_id),
+        r AS (
+          SELECT *, (n * 3600 * 1000) // sg AS rate_milli,
+                 CAST(floor(1000 * sqrt(CAST(ng * sg2 - sg * sg AS DOUBLE) /
+                   (CAST(ng AS DOUBLE) * CAST(ng - 1 AS DOUBLE))) /
+                   (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))) AS BIGINT) AS cv_milli
+          FROM m WHERE ng >= 2)
+        SELECT user_id, n, min_gap_s, rate_milli, cv_milli,
+               (rate_milli > 30000 OR (cv_milli < 400 AND n >= 20)) AS is_bot
+        FROM r
+        ORDER BY user_id"""))
   )
 
   /** One unrolled PageRank iteration as a DuckDB CTE (oracle helper):

@@ -946,6 +946,95 @@ object ExtraRelationalQueries {
         FROM t
         ORDER BY c_mktsegment""")),
 
+    // ----- FIFO allocation via cumulative-interval overlap (q80) ------------
+    // Inventory-style matching WITHOUT iteration: per part, 'F' lineitems
+    // are supply lots and 'O' lineitems are demand, both in shipdate
+    // order. FIFO pairing = overlap of cumulative-quantity intervals —
+    // supply row i owns [cum_i - qty_i, cum_i) of the part's supply axis,
+    // demand row j owns the same on the demand axis, and FIFO matches
+    // exactly the overlapping interval pairs (the classic cumsum trick
+    // that replaces a sequential allocator loop). The overlap join is
+    // equi on partkey + range predicates, and fan-out is LINEAR: each
+    // demand interval overlaps amortized O(1) supply intervals because
+    // both axes are partitions of the same line. Per-pair staleness
+    // (demand date - supply date, quantity-weighted) is the genuinely
+    // FIFO-dependent output; matched totals telescope to min(supply,
+    // demand) — asserted as the conservation invariant.
+    QueryDef(
+      "q80_fifo_allocation",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_partkey".as("pk"), $"l_linestatus".as("st"),
+            floor($"l_quantity").cast("long").as("qty"),
+            $"l_shipdate".cast("date").as("sd"), $"l_orderkey", $"l_linenumber")
+        val w = Window.partitionBy($"pk").orderBy($"sd", $"l_orderkey", $"l_linenumber")
+        def cumOf(status: String, p: String) = li.filter($"st" === status)
+          .withColumn("hi", sum($"qty").over(w))
+          .select($"pk", $"sd".as(s"${p}_sd"), ($"hi" - $"qty").as(s"${p}_lo"),
+            $"hi".as(s"${p}_hi"))
+        val sup = cumOf("F", "s")
+        val dem = cumOf("O", "d")
+        val pairs = sup.join(dem, Seq("pk"))
+          .filter($"s_lo" < $"d_hi" && $"d_lo" < $"s_hi")
+          .select($"pk",
+            (least($"s_hi", $"d_hi") - greatest($"s_lo", $"d_lo")).as("m"),
+            datediff($"d_sd", $"s_sd").cast("long").as("days"))
+          .groupBy($"pk")
+          .agg(count(lit(1)).as("n_pairs"), sum($"m").as("matched_q"),
+            sum($"m" * $"days").as("staleness_qty_days"))
+        li.groupBy($"pk")
+          .agg(sum(when($"st" === "F", $"qty").otherwise(0L)).as("supply_q"),
+            sum(when($"st" === "O", $"qty").otherwise(0L)).as("demand_q"))
+          .join(pairs, Seq("pk"), "left")
+          .select($"pk".as("l_partkey"), $"supply_q", $"demand_q",
+            coalesce($"matched_q", lit(0L)).as("matched_q"),
+            ($"demand_q" - coalesce($"matched_q", lit(0L))).as("unmet_q"),
+            coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+            coalesce($"staleness_qty_days", lit(0L)).as("staleness_qty_days"))
+          .orderBy($"l_partkey")
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_partkey AS pk, l_linestatus AS st,
+                 CAST(floor(l_quantity) AS BIGINT) AS qty,
+                 CAST(l_shipdate AS DATE) AS sd, l_orderkey, l_linenumber
+          FROM lineitem),
+        sup AS (
+          SELECT pk, sd AS s_sd,
+                 CAST(sum(qty) OVER w - qty AS BIGINT) AS s_lo,
+                 CAST(sum(qty) OVER w AS BIGINT) AS s_hi
+          FROM li WHERE st = 'F'
+          WINDOW w AS (PARTITION BY pk ORDER BY sd, l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING)),
+        dem AS (
+          SELECT pk, sd AS d_sd,
+                 CAST(sum(qty) OVER w - qty AS BIGINT) AS d_lo,
+                 CAST(sum(qty) OVER w AS BIGINT) AS d_hi
+          FROM li WHERE st = 'O'
+          WINDOW w AS (PARTITION BY pk ORDER BY sd, l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING)),
+        pairs AS (
+          SELECT sup.pk, CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(least(s_hi, d_hi) - greatest(s_lo, d_lo)) AS BIGINT) AS matched_q,
+                 CAST(sum((least(s_hi, d_hi) - greatest(s_lo, d_lo)) *
+                      date_diff('day', s_sd, d_sd)) AS BIGINT) AS staleness_qty_days
+          FROM sup JOIN dem ON sup.pk = dem.pk
+            AND s_lo < d_hi AND d_lo < s_hi
+          GROUP BY sup.pk),
+        tot AS (
+          SELECT pk,
+                 CAST(sum(CASE WHEN st = 'F' THEN qty ELSE 0 END) AS BIGINT) AS supply_q,
+                 CAST(sum(CASE WHEN st = 'O' THEN qty ELSE 0 END) AS BIGINT) AS demand_q
+          FROM li GROUP BY pk)
+        SELECT pk AS l_partkey, supply_q, demand_q,
+               coalesce(matched_q, 0) AS matched_q,
+               demand_q - coalesce(matched_q, 0) AS unmet_q,
+               coalesce(n_pairs, 0) AS n_pairs,
+               coalesce(staleness_qty_days, 0) AS staleness_qty_days
+        FROM tot LEFT JOIN pairs USING (pk)
+        ORDER BY l_partkey""")),
+
     // ----- correlated EXISTS subquery (decorrelation) ------------------------
     QueryDef(
       "q46_exists_subquery",

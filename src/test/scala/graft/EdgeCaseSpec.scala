@@ -125,6 +125,16 @@ class EdgeCaseSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("q80: FIFO overlap matching telescopes to min(supply, demand) per part") {
+    val rows = SparkEntry.queries("q80_fifo_allocation")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sup, dem, m, unmet) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(m === math.min(sup, dem), s"conservation broken: $r")
+      assert(unmet === dem - m, s"unmet mismatch: $r")
+    }
+  }
+
   test("mergeUpsert: all three MERGE actions classify correctly, key set is the union") {
     import graft.operators.ExtraRelationalQueries.mergeUpsert
     val target = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("k", "tval")

@@ -1494,6 +1494,57 @@ object TextQueries {
                CAST(alloc_base + CASE WHEN rrank <= shortfall THEN 1 ELSE 0 END
                  AS BIGINT) AS alloc
         FROM ranked
+        ORDER BY lang""")),
+
+    // ----- within-document periodicity (t31) --------------------------------
+    // The inference-loop detector: a model (or scraper template) stuck in
+    // a loop emits the SAME n-gram at a REGULAR period — a signal t09's
+    // global ratios and t20's cross-document spans both miss. Positional
+    // bigram hashes come off the scan via the codegen'd ShingleHashesExpr
+    // (t20's kernel at n=2); gaps between consecutive occurrences of each
+    // repeated bigram live in per-(doc, bigram) windows; a doc is flagged
+    // periodic when one gap value dominates (>= 50% of >= 8 repeat pairs).
+    // Everything is per-doc bounded — no cross-document joins at all; the
+    // report is a per-lang aggregate. Hash keys carry t20's collision
+    // budget (join/grouping keys only, never output).
+    QueryDef(
+      "t31_periodicity",
+      (s, d) => periodicityReport(Tables.documents(s, d)),
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        pos AS (
+          SELECT doc_id, lang, i AS pos, concat_ws(' ', t[i], t[i+1]) AS g
+          FROM (SELECT doc_id, lang, t,
+                       unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
+                FROM toks)),
+        gaps AS (
+          SELECT doc_id, lang, nxt - pos AS gap
+          FROM (SELECT doc_id, lang, pos,
+                       lead(pos) OVER (PARTITION BY doc_id, g ORDER BY pos) AS nxt
+                FROM pos)
+          WHERE nxt IS NOT NULL),
+        pg AS (SELECT doc_id, lang, gap, count(*) AS cnt
+               FROM gaps GROUP BY 1, 2, 3),
+        pd AS (SELECT doc_id, lang, cnt,
+                      CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS total,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY cnt DESC, gap) AS rk
+               FROM pg),
+        top AS (SELECT doc_id, lang, total, CAST(cnt AS BIGINT) AS top_cnt,
+                       (total >= 8 AND cnt * 2 >= total) AS periodic
+                FROM pd WHERE rk = 1),
+        dl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang)
+        SELECT dl.lang, n_docs,
+               CAST(count(top.doc_id) AS BIGINT) AS n_with_repeats,
+               CAST(coalesce(sum(CASE WHEN periodic THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS n_periodic,
+               CAST(coalesce(max(top_cnt), 0) AS BIGINT) AS max_top_cnt
+        FROM dl LEFT JOIN top USING (lang)
+        GROUP BY dl.lang, n_docs
         ORDER BY lang""")))
 
   /** The t18 oracle: t13's unrolled merge-learning CTE chain (same pair
@@ -1559,6 +1610,42 @@ object TextQueries {
       .filter($"sample_rank" <= k)
       .select($"lang", $"sample_rank", $"doc_id", $"h".as("sample_hash"))
       .orderBy($"lang", $"sample_rank")
+  }
+
+  /** Within-document periodicity report (t31), exposed as a library call
+    * over any (doc_id, lang, text) frame: per-doc dominant repeat period
+    * of bigrams, flagged periodic when one gap dominates (>= 50% of >= 8
+    * repeat pairs), aggregated per lang. Per-doc windows only — no
+    * cross-document joins. */
+  def periodicityReport(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pos = docs.select($"doc_id", $"lang",
+        posexplode(TextFns.shingleHashes(TextFns.tokens($"text"), 2)).as(Seq("p0", "g")))
+      .select($"doc_id", $"lang", ($"p0" + 1L).cast("long").as("pos"), $"g")
+    val wg = Window.partitionBy($"doc_id", $"g").orderBy($"pos")
+    val perGap = pos
+      .withColumn("nxt", lead($"pos", 1).over(wg))
+      .filter($"nxt".isNotNull)
+      .select($"doc_id", $"lang", ($"nxt" - $"pos").as("gap"))
+      .groupBy($"doc_id", $"lang", $"gap").agg(count(lit(1)).as("cnt"))
+    val wd = Window.partitionBy($"doc_id").orderBy($"cnt".desc, $"gap")
+    val top = perGap
+      .withColumn("total", sum($"cnt").over(Window.partitionBy($"doc_id")))
+      .withColumn("rk", row_number().over(wd))
+      .filter($"rk" === 1)
+      .select($"doc_id", $"lang", $"total", $"cnt".as("top_cnt"),
+        ($"total" >= 8L && $"cnt" * 2 >= $"total").as("periodic"))
+    docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .join(top.groupBy($"lang").agg(
+        count(lit(1)).as("n_with_repeats"),
+        sum(when($"periodic", 1L).otherwise(0L)).as("n_periodic"),
+        max($"top_cnt").as("max_top_cnt")), Seq("lang"), "left")
+      .select($"lang", $"n_docs",
+        coalesce($"n_with_repeats", lit(0L)).as("n_with_repeats"),
+        coalesce($"n_periodic", lit(0L)).as("n_periodic"),
+        coalesce($"max_top_cnt", lit(0L)).as("max_top_cnt"))
+      .orderBy($"lang")
   }
 
   /** Weighted PPS bottom-k sample (t27), exposed as a library call:

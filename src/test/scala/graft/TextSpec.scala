@@ -300,6 +300,18 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("t31: a planted generation loop is flagged periodic, normal prose is not") {
+    import graft.operators.TextQueries
+    val loop = (("start now " + "the cat sat ") * 20).trim // period-3 loop
+    val prose = (1 to 60).map(i => s"w$i").mkString(" ")    // all-distinct tokens
+    val docs = Seq((1L, loop, "en"), (2L, prose, "en"), (3L, loop, "de"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextQueries.periodicityReport(docs).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r("en") === ((2L, 1L, 1L)), s"en: loop flagged, prose clean: $r")
+    assert(r("de") === ((1L, 1L, 1L)), s"de: loop flagged: $r")
+  }
+
   test("t30: Neyman allocations spend the budget exactly, within 1 of proportionality") {
     val rows = SparkEntry.queries("t30_neyman_allocation")(spark, sf).collect()
     assert(rows.length > 1)

@@ -995,7 +995,54 @@ object SimilarityQueries {
                CAST(count(*) AS BIGINT) AS n_pairs
         FROM m JOIN qs USING (qid)
         GROUP BY qid, term_a, term_b, lang
-        ORDER BY qid, lang""")))
+        ORDER BY qid, lang""")),
+
+    // ----- attribute-filtered ANN (s16) -------------------------------------
+    // The vector-DB "filtered search" seat: top-k nearest neighbors among
+    // vectors satisfying a metadata predicate — here each query retrieves
+    // within its OWN label (same-category retrieval). The predicate is a
+    // PRE-filter expressed as an equi-join key: corpus joins the broadcast
+    // query set ON label, so candidate selection is a BroadcastHashJoin
+    // that touches only same-label rows — no theta-join corpus sweep (the
+    // contrast with s01's deliberate brute force, gated), and selectivity
+    // scales with label cardinality. Post-filtering would score everything
+    // and then discard — the classic filtered-ANN mistake at 100 TB.
+    QueryDef(
+      "s16_filtered_ann",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+        val queries = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"label", $"embedding".as("q"))
+        val w = Window.partitionBy($"query_id")
+          .orderBy($"cos_milli".desc, $"vec_id")
+        e.join(broadcast(queries), Seq("label"))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"label", $"vec_id",
+            VectorFns.cosineMilli($"q", $"embedding").as("cos_milli"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= 5)
+          .select($"query_id", $"label".cast("long").as("label"), $"rank",
+            $"vec_id", $"cos_milli")
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label, e AS qe FROM t WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, q.label, t.vec_id,
+                 CAST(floor(list_dot_product(q.qe, t.e) * 1000.0 /
+                   (sqrt(list_dot_product(q.qe, q.qe)) *
+                    sqrt(list_dot_product(t.e, t.e)))) AS BIGINT) AS cos_milli
+          FROM q JOIN t ON t.label = q.label AND t.vec_id != q.query_id),
+        ranked AS (
+          SELECT query_id, label, vec_id, cos_milli,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_milli DESC, vec_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT query_id, CAST(label AS BIGINT) AS label, rank, vec_id, cos_milli
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank""")))
 
   /** The s10 pipeline over an arbitrary (doc_id, text) table: BM25 top-k
     * per query in exact integer-milli arithmetic (see the s10 comment).

@@ -58,6 +58,23 @@ object StreamCdc {
       case Some(state) => reportOf(state)
       case None => s.emptyDataFrame
     }
+
+    /** The raw fold state (user_id, n_changes, last, ord) — what a
+      * production deployment persists each batch (e.g. a parquet
+      * overwrite keyed by batchId) so a restart resumes instead of
+      * re-reading the log. */
+    def stateTable: Option[DataFrame] = cur
+
+    /** Resume from a persisted [[stateTable]]: because the fold is a
+      * plain monoid over that table, seeding it and replaying only the
+      * unprocessed batches yields the same snapshot as never restarting
+      * (asserted in StreamingSpec). */
+    private[graft] def rehydrate(saved: DataFrame, savedBatchId: Long): Unit =
+      synchronized {
+        require(cur.isEmpty, "rehydrate() must run before any merge")
+        cur = Some(saved.localCheckpoint())
+        lastBatchId = savedBatchId
+      }
   }
 
   /** q65's report columns from the fold state — shared shape with the
@@ -74,6 +91,10 @@ object StreamCdc {
 
   /** One-shot batch twin over a static change-log frame. */
   def compactBatch(events: DataFrame): DataFrame = reportOf(partials(events))
+
+  /** A fresh, empty fold state — pair with [[CdcState.rehydrate]] to
+    * resume from a persisted state table after a restart. */
+  private[graft] def emptyState(s: SparkSession): CdcState = new CdcState(s)
 
   /** Start the fold over a streaming change log with
     * (event_id, ts, user_id, event_type, value) columns. */

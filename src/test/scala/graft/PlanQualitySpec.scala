@@ -102,6 +102,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen"), p.take(2000))
   }
 
+  test("s16: filtered ANN prefilters via an equi broadcast join on the label") {
+    val p = plan("s16_filtered_ann")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"filtered ANN must join on the predicate key, not sweep the corpus: $p")
+  }
+
   test("s01: ANN scoring broadcasts the query vectors") {
     val p = plan("s01_ann_bruteforce_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

@@ -407,6 +407,14 @@ class StreamingSpec extends SparkSpec {
       state.merge(
         rows.take(3).toDF("event_id", "ts", "user_id", "event_type", "value"), 0L)
       assert(state.snapshot.collect().toSeq === before)
+      // restart: rehydrate a fresh state from the persisted fold table and
+      // replay only the unprocessed tail — same snapshot as never restarting
+      val halfway = StreamCdc.emptyState(spark)
+      halfway.merge(rows.take(4).toDF("event_id", "ts", "user_id", "event_type", "value"), 0L)
+      val resumed = StreamCdc.emptyState(spark)
+      resumed.rehydrate(halfway.stateTable.get, 0L)
+      resumed.merge(rows.drop(4).toDF("event_id", "ts", "user_id", "event_type", "value"), 1L)
+      assert(resumed.snapshot.collect().toSeq === before)
     } finally q.stop()
   }
 

@@ -1035,6 +1035,62 @@ object ExtraRelationalQueries {
         FROM tot LEFT JOIN pairs USING (pk)
         ORDER BY l_partkey""")),
 
+    // ----- share-of-parent hierarchy report (q81) ---------------------------
+    // The OLAP drill-down companion to q15/q16's rollup: each nation's
+    // revenue with its share of the parent region and of the grand total,
+    // plus its rank within the parent — the numbers a drill-down UI
+    // actually shows. ONE fact aggregation (map-side combinable, dims by
+    // broadcast); parent and grand totals are windows over the O(nations)
+    // result — the fact table is never rescanned per level. Shares are
+    // truncating-division millis of exact integer cents.
+    QueryDef(
+      "q81_share_of_parent",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.lineitem(s, d)
+          .join(broadcast(Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey")),
+            $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(sum(floor($"l_extendedprice" * (lit(1) - $"l_discount") * 100).cast("long"))
+            .as("rev_c"))
+        val wr = Window.partitionBy($"r_name")
+        val wall = Window.partitionBy(lit(1))
+        base
+          .withColumn("region_c", sum($"rev_c").over(wr))
+          .withColumn("grand_c", sum($"rev_c").over(wall))
+          .withColumn("rank_in_region",
+            row_number().over(Window.partitionBy($"r_name")
+              .orderBy($"rev_c".desc, $"n_name")).cast("long"))
+          .select($"r_name", $"n_name", $"rev_c",
+            expr("(1000 * rev_c) div region_c").as("share_of_region_milli"),
+            expr("(1000 * rev_c) div grand_c").as("share_of_total_milli"),
+            $"rank_in_region")
+          .orderBy($"r_name", $"rank_in_region")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT r_name, n_name,
+                 CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT) AS rev_c
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name),
+        w AS (
+          SELECT *, CAST(sum(rev_c) OVER (PARTITION BY r_name) AS BIGINT) AS region_c,
+                 CAST(sum(rev_c) OVER () AS BIGINT) AS grand_c,
+                 CAST(row_number() OVER (PARTITION BY r_name
+                   ORDER BY rev_c DESC, n_name) AS BIGINT) AS rank_in_region
+          FROM base)
+        SELECT r_name, n_name, rev_c,
+               (1000 * rev_c) // region_c AS share_of_region_milli,
+               (1000 * rev_c) // grand_c AS share_of_total_milli,
+               rank_in_region
+        FROM w
+        ORDER BY r_name, rank_in_region""")),
+
     // ----- correlated EXISTS subquery (decorrelation) ------------------------
     QueryDef(
       "q46_exists_subquery",

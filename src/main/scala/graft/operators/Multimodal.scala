@@ -310,7 +310,60 @@ object Multimodal {
                CAST(min(asset_id) AS BIGINT) AS first_asset,
                CAST(floor(sum(n_bytes) * 1000.0 / $ShardBytes) AS BIGINT) AS fill_milli
         FROM sh GROUP BY media_type, grp, shard_id
-        ORDER BY media_type, grp, shard_id""")))
+        ORDER BY media_type, grp, shard_id""")),
+
+    // ----- random-access shard index (m07) ----------------------------------
+    // m06 packs assets into shards; this emits the per-asset INDEX a
+    // training loader actually seeks with: (asset -> shard, byte offset,
+    // length). Offsets are the same deterministic byte cumsum rebased to
+    // each shard's start (a window min over the shard's assets), so
+    // within every shard offsets are contiguous — offset + length =
+    // next offset, first offset 0 (EdgeCase-gated). Same one partition
+    // shuffle as m06; only (id, bytes) integers ever move, payloads
+    // never do. webdataset-style .idx files are exactly this table.
+    QueryDef(
+      "m07_shard_index",
+      (s, d) => {
+        import s.implicits._
+        val orderH = graft.functions.TextFns.polyHash(
+          concat(lit("order:"), $"asset_id".cast("string")))
+        val grpH = pmod(graft.functions.TextFns.polyHash(
+          concat(lit("shard:"), $"asset_id".cast("string"))), lit(ShardGroups))
+        val w = Window.partitionBy($"media_type", $"grp").orderBy($"h", $"asset_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ws = Window.partitionBy($"media_type", $"grp", $"shard_id")
+        assets(s, d)
+          .select($"asset_id", $"media_type", $"n_bytes",
+            grpH.as("grp"), orderH.as("h"))
+          .withColumn("pre", sum($"n_bytes").over(w) - $"n_bytes")
+          .withColumn("shard_id", floor($"pre" / ShardBytes).cast("long"))
+          .withColumn("offset", $"pre" - min($"pre").over(ws))
+          .select($"asset_id", $"media_type", $"grp", $"shard_id",
+            $"offset", $"n_bytes")
+          .orderBy($"media_type", $"grp", $"shard_id", $"offset")
+      },
+      oracle = Some(s"""
+        WITH a AS (
+          SELECT doc_id AS asset_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+                 CAST(length(text) AS BIGINT) AS n_bytes,
+                 (${polyHashSqlOf("'shard:' || CAST(doc_id AS VARCHAR)")}) % $ShardGroups AS grp,
+                 (${polyHashSqlOf("'order:' || CAST(doc_id AS VARCHAR)")}) AS h
+          FROM documents),
+        c AS (
+          SELECT *, CAST(sum(n_bytes) OVER (PARTITION BY media_type, grp
+                      ORDER BY h, asset_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes
+                    AS BIGINT) AS pre
+          FROM a),
+        sh AS (SELECT *, pre // $ShardBytes AS shard_id FROM c)
+        SELECT asset_id, media_type, CAST(grp AS BIGINT) AS grp,
+               CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(pre - min(pre) OVER (PARTITION BY media_type, grp, shard_id)
+                 AS BIGINT) AS "offset",
+               n_bytes
+        FROM sh
+        ORDER BY media_type, grp, shard_id, "offset"""")))
 
   /** The m05 pipeline over an arbitrary asset set: per-media-type frame
     * counts, frames whose fingerprint appears in >= 2 distinct assets of

@@ -80,4 +80,23 @@ class MultimodalSpec extends SparkSpec {
     // deterministic: a fresh plan reproduces the manifest bit for bit
     assert(run().collect().toSeq == rows.toSeq)
   }
+
+  test("m07: index offsets are contiguous within every shard and start at zero") {
+    val idx = SparkEntry.queries("m07_shard_index")(spark, sf).collect()
+      .map(r => ((r.getString(1), r.getLong(2), r.getLong(3)), (r.getLong(4), r.getLong(5))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    assert(idx.nonEmpty)
+    idx.foreach { case (shard, entries) =>
+      assert(entries.head._1 === 0L, s"first offset nonzero in $shard")
+      entries.sliding(2).foreach {
+        case Array((o1, len1), (o2, _)) =>
+          assert(o2 === o1 + len1, s"gap in $shard: $o1+$len1 != $o2")
+        case _ =>
+      }
+    }
+    // seekability: every (shard, offset) is unique
+    val keys = SparkEntry.queries("m07_shard_index")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(keys.distinct.length === keys.length)
+  }
 }

@@ -1091,6 +1091,61 @@ object ExtraRelationalQueries {
         FROM w
         ORDER BY r_name, rank_in_region""")),
 
+    // ----- ABC / Pareto classification (q82) --------------------------------
+    // Inventory's 80/15/5 rule: rank parts by revenue, classify by the
+    // cumulative share BEFORE each part (A until 80%, B until 95%, C the
+    // tail — "before" so a part straddling a boundary lands in the upper
+    // class on both engines). The fact table aggregates ONCE; ranking and
+    // cumulative sums are windows over the dimension-sized part result —
+    // at any fact scale the windowed table stays O(parts). Classes and
+    // shares are exact integer arithmetic on cents.
+    QueryDef(
+      "q82_abc_classification",
+      (s, d) => {
+        import s.implicits._
+        val perPart = Tables.lineitem(s, d)
+          .groupBy($"l_partkey")
+          .agg(sum(floor($"l_extendedprice" * (lit(1) - $"l_discount") * 100).cast("long"))
+            .as("rev_c"))
+        val wr = Window.orderBy($"rev_c".desc, $"l_partkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wall = Window.partitionBy(lit(1))
+        perPart
+          .withColumn("before_c", sum($"rev_c").over(wr) - $"rev_c")
+          .withColumn("total_c", sum($"rev_c").over(wall))
+          .withColumn("cls", expr(
+            """CASE WHEN (1000 * before_c) div total_c < 800 THEN 'A'
+                    WHEN (1000 * before_c) div total_c < 950 THEN 'B'
+                    ELSE 'C' END"""))
+          .groupBy($"cls")
+          .agg(count(lit(1)).as("n_parts"),
+            sum($"rev_c").as("class_rev_c"),
+            first($"total_c").as("total_c"))
+          .select($"cls", $"n_parts", $"class_rev_c",
+            expr("(1000 * class_rev_c) div total_c").as("class_share_milli"))
+          .orderBy($"cls")
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT l_partkey,
+                 CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT) AS rev_c
+          FROM lineitem GROUP BY l_partkey),
+        r AS (
+          SELECT *, CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                      ROWS UNBOUNDED PRECEDING) - rev_c AS BIGINT) AS before_c,
+                 CAST(sum(rev_c) OVER () AS BIGINT) AS total_c
+          FROM p),
+        c AS (
+          SELECT *, CASE WHEN (1000 * before_c) // total_c < 800 THEN 'A'
+                         WHEN (1000 * before_c) // total_c < 950 THEN 'B'
+                         ELSE 'C' END AS cls
+          FROM r)
+        SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(rev_c) AS BIGINT) AS class_rev_c,
+               (1000 * CAST(sum(rev_c) AS BIGINT)) // total_c AS class_share_milli
+        FROM c GROUP BY cls, total_c
+        ORDER BY cls""")),
+
     // ----- correlated EXISTS subquery (decorrelation) ------------------------
     QueryDef(
       "q46_exists_subquery",

@@ -1496,6 +1496,58 @@ object TextQueries {
         FROM ranked
         ORDER BY lang""")),
 
+    // ----- distribution-shape audit: length power law (t33) -----------------
+    // Corpus length distributions should be heavy-tailed; a truncation cap
+    // or padding pipeline bug shows up as a broken tail. Fit the log-log
+    // slope of the doc-length histogram: x = floor(log2(n_chars)), y =
+    // floor(log2(bin count)) — both via the libm-free bin-length trick —
+    // then q76's olsFit over the O(log n) histogram rows. A healthy Zipf
+    // tail gives a steady negative slope with high R²; the fit input is
+    // ONE corpus hash agg, the regression is over ~a dozen rows. Coarse
+    // by construction (integer logs) but exact on both engines — the
+    // audit wants the slope's sign and rough magnitude, not decimals.
+    QueryDef(
+      "t33_length_powerlaw",
+      (s, d) => {
+        import s.implicits._
+        val hist = Tables.documents(s, d)
+          .select(expr("cast(length(bin(greatest(n_chars, 1))) - 1 as bigint)").as("x"))
+          .groupBy($"x").agg(count(lit(1)).as("cnt"))
+          .select(lit("n_chars").as("seg"), $"x",
+            expr("cast(length(bin(cnt)) - 1 as bigint)").as("y"))
+        ExtraRelationalQueries.olsFit(hist).orderBy($"seg")
+      },
+      oracle = Some("""
+        WITH hist AS (
+          SELECT CAST(length(bin(greatest(n_chars, 1))) - 1 AS BIGINT) AS x,
+                 count(*) AS cnt
+          FROM documents GROUP BY 1),
+        xy AS (
+          SELECT 'n_chars' AS seg, x,
+                 CAST(length(bin(cnt)) - 1 AS BIGINT) AS y
+          FROM hist),
+        m AS (
+          SELECT seg, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sx2, sum(y * y) AS sy2
+          FROM xy GROUP BY seg)
+        SELECT seg, CAST(n AS BIGINT) AS n,
+               CAST(floor(1000000 *
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                 (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 AS BIGINT) AS slope_micro,
+               CAST(floor(1000 * (CAST(sy AS DOUBLE) -
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                 (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                 CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_milli,
+               CAST(floor(1000 *
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                 ((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                  (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                 AS BIGINT) AS r2_milli
+        FROM m
+        ORDER BY seg""")),
+
     // ----- within-document periodicity (t31) --------------------------------
     // The inference-loop detector: a model (or scraper template) stuck in
     // a loop emits the SAME n-gram at a REGULAR period — a signal t09's

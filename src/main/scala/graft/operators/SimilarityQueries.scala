@@ -354,37 +354,8 @@ object SimilarityQueries {
     // ----- brute-force cosine top-k (exact; the correctness baseline) -------
     QueryDef(
       "s01_ann_bruteforce_topk",
-      (s, d) => {
-        import s.implicits._
-        val e = Tables.embeddings(s, d)
-        val queries = e.filter($"vec_id" < 5)
-          .select($"vec_id".as("query_id"), $"embedding".as("q"))
-        val w = Window.partitionBy($"query_id")
-          .orderBy($"cos_milli".desc, $"vec_id")
-        e.join(broadcast(queries), $"vec_id" =!= $"query_id")
-          .select($"query_id", $"vec_id",
-            VectorFns.cosineMilli($"q", $"embedding").as("cos_milli"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter($"rank" <= 10)
-          .select($"query_id", $"rank", $"vec_id", $"cos_milli")
-          .orderBy($"query_id", $"rank")
-      },
-      oracle = Some("""
-        WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        q AS (SELECT vec_id AS query_id, e AS qe FROM t WHERE vec_id < 5),
-        scored AS (
-          SELECT q.query_id, t.vec_id,
-                 CAST(floor(list_dot_product(q.qe, t.e) * 1000.0 /
-                   (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(t.e, t.e)))) AS BIGINT) AS cos_milli
-          FROM q JOIN t ON t.vec_id != q.query_id),
-        ranked AS (
-          SELECT query_id, vec_id, cos_milli,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                   ORDER BY cos_milli DESC, vec_id) AS BIGINT) AS rank
-          FROM scored)
-        SELECT query_id, rank, vec_id, cos_milli
-        FROM ranked WHERE rank <= 10
-        ORDER BY query_id, rank""")),
+      (s, d) => bruteTopK(s, d),
+      oracle = Some(s01OracleSql)),
 
     // ----- sign-LSH bucketed ANN (scale path; recall checked in tests) ------
     // The query side explodes its bucket *neighborhood* (every bucket within
@@ -397,31 +368,7 @@ object SimilarityQueries {
     // hamming(x,q)<=3), so recall is unchanged.
     QueryDef(
       "s02_ann_lsh_bucketed",
-      (s, d) => {
-        import s.implicits._
-        val planes = VectorFns.hyperplanes(NumPlanes, Dim)
-        val neighborhood: Seq[Long] =
-          (0L until (1L << NumPlanes)).filter(java.lang.Long.bitCount(_) <= 3)
-        val e = Tables.embeddings(s, d)
-          .withColumn("bucket", VectorFns.signLshBucket($"embedding", planes))
-        val queries = e.filter($"vec_id" < 5)
-          .select($"vec_id".as("query_id"), $"embedding".as("q"),
-            explode(array(neighborhood.map(m => $"bucket".bitwiseXOR(lit(m))): _*))
-              .as("bucket"))
-        // equi-join on bucket: each corpus row lands in exactly one bucket and
-        // each (query, bucket) mask is distinct, so candidates are unique
-        val cand = e.join(broadcast(queries), Seq("bucket"))
-          .filter($"vec_id" =!= $"query_id")
-        val w = Window.partitionBy($"query_id")
-          .orderBy($"cos_milli".desc, $"vec_id")
-        cand
-          .select($"query_id", $"vec_id",
-            VectorFns.cosineMilli($"q", $"embedding").as("cos_milli"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter($"rank" <= 10)
-          .select($"query_id", $"rank", $"vec_id", $"cos_milli")
-          .orderBy($"query_id", $"rank")
-      },
+      (s, d) => lshTopK(s, d),
       oracle = Some(s02OracleSql)),
 
     // ----- IVF-flat ANN: coarse quantizer + probed cells --------------------
@@ -1042,7 +989,47 @@ object SimilarityQueries {
           FROM scored)
         SELECT query_id, CAST(label AS BIGINT) AS label, rank, vec_id, cos_milli
         FROM ranked WHERE rank <= 5
-        ORDER BY query_id, rank""")))
+        ORDER BY query_id, rank""")),
+
+    // ----- retrieval evaluation harness: recall@k (s17) ---------------------
+    // Evaluation as a first-class operator: per query, how much of the
+    // exact brute-force top-10 does the sign-LSH serving path recover?
+    // This is s14's truncation-recall report generalized to ANY two
+    // ranked retrievals — here the s01 ground truth vs the s02 serving
+    // path, computed by a semi-join of the two (query, id) top-k sets.
+    // Ground truth REQUIRES the brute-force ranking (what it measures),
+    // so the brute side reuses s01's gated pipeline; the report is
+    // O(queries). Run continuously, this is the recall monitor that
+    // catches LSH parameter drift in production.
+    QueryDef(
+      "s17_recall_harness",
+      (s, d) => {
+        import s.implicits._
+        val exact = bruteTopK(s, d).select($"query_id", $"vec_id")
+        val served = lshTopK(s, d).select($"query_id", $"vec_id")
+        val hit = exact.join(served, Seq("query_id", "vec_id"), "left_semi")
+          .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+        exact.groupBy($"query_id").agg(count(lit(1)).as("k"))
+          .join(hit, Seq("query_id"), "left")
+          .select($"query_id", $"k",
+            coalesce($"n_hit", lit(0L)).as("n_hit"),
+            expr("(1000 * coalesce(n_hit, 0)) div k").as("recall_milli"))
+          .orderBy($"query_id")
+      },
+      oracle = Some(s"""
+        WITH exact AS ($s01OracleSql),
+        served AS (${s02OracleSql.replace("ORDER BY query_id, rank", "")}),
+        hit AS (
+          SELECT e.query_id, count(*) AS n_hit
+          FROM exact e SEMI JOIN served s
+            ON e.query_id = s.query_id AND e.vec_id = s.vec_id
+          GROUP BY e.query_id),
+        base AS (SELECT query_id, count(*) AS k FROM exact GROUP BY query_id)
+        SELECT query_id, CAST(k AS BIGINT) AS k,
+               CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+               (1000 * CAST(coalesce(n_hit, 0) AS BIGINT)) // k AS recall_milli
+        FROM base LEFT JOIN hit USING (query_id)
+        ORDER BY query_id""")))
 
   /** The s10 pipeline over an arbitrary (doc_id, text) table: BM25 top-k
     * per query in exact integer-milli arithmetic (see the s10 comment).
@@ -1075,6 +1062,68 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= k)
       .select($"query_id", $"rank", $"doc_id", $"score_milli")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** s01's exact brute-force top-10 (the evaluation ground truth shared
+    * with s17's harness). */
+  private def bruteTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_milli".desc, $"vec_id")
+    e.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        VectorFns.cosineMilli($"q", $"embedding").as("cos_milli"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"vec_id", $"cos_milli")
+      .orderBy($"query_id", $"rank")
+  }
+
+  private def s01OracleSql: String = """
+        WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM t WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, t.vec_id,
+                 CAST(floor(list_dot_product(q.qe, t.e) * 1000.0 /
+                   (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(t.e, t.e)))) AS BIGINT) AS cos_milli
+          FROM q JOIN t ON t.vec_id != q.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, cos_milli,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_milli DESC, vec_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT query_id, rank, vec_id, cos_milli
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank"""
+
+  /** s02's sign-LSH bucketed top-10 (the serving path s17 evaluates). */
+  private def lshTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planes = VectorFns.hyperplanes(NumPlanes, Dim)
+    val neighborhood: Seq[Long] =
+      (0L until (1L << NumPlanes)).filter(java.lang.Long.bitCount(_) <= 3)
+    val e = Tables.embeddings(s, d)
+      .withColumn("bucket", VectorFns.signLshBucket($"embedding", planes))
+    val queries = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"),
+        explode(array(neighborhood.map(m => $"bucket".bitwiseXOR(lit(m))): _*))
+          .as("bucket"))
+    // equi-join on bucket: each corpus row lands in exactly one bucket and
+    // each (query, bucket) mask is distinct, so candidates are unique
+    val cand = e.join(broadcast(queries), Seq("bucket"))
+      .filter($"vec_id" =!= $"query_id")
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_milli".desc, $"vec_id")
+    cand
+      .select($"query_id", $"vec_id",
+        VectorFns.cosineMilli($"q", $"embedding").as("cos_milli"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"vec_id", $"cos_milli")
       .orderBy($"query_id", $"rank")
   }
 

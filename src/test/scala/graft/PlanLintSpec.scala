@@ -25,7 +25,10 @@ class PlanLintSpec extends SparkSpec {
     // q69, t29, t30 join a 1-row corpus stat onto vocab-/strata-sized
     // tables — t12/s10's stats-broadcast pattern; PlanQualitySpec
     // separately caps q69 at ONE such join
-    "q69_market_basket", "t29_keywords", "t30_neyman_allocation")
+    "q69_market_basket", "t29_keywords", "t30_neyman_allocation",
+    // s17 embeds s01's brute-force ground truth — recall evaluation
+    // REQUIRES the exact ranking it measures against
+    "s17_recall_harness")
 
   for (q <- SparkEntry.allDefs.filter(_.benchmark)) {
     test(s"${q.name}: no cartesian product, no stray nested-loop join, no mid-plan collect") {

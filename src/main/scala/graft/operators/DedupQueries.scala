@@ -274,29 +274,34 @@ object DedupQueries {
     * impossible-size pairs before verification. Exact-duplicate collapse
     * up front caps the worst bucket skew exactly as in d03.
     *
-    * Prefix keys deliberately stay STRINGS (unlike t14/d03's 64-bit
-    * hashed shingle keys): hashing the order/join key would let a hash
-    * collision between two distinct shingles reorder the global prefix
-    * ranking inconsistently across documents, degrading the zero-miss
-    * guarantee to a probabilistic one — the whole point of this operator
-    * over d03. Only PREFIX tokens (a ~1/5 fraction, rare-first) ever
-    * cross the shuffle, so the string overhead is bounded; ScaleSpec
-    * measures the 10x trend. */
+    * Everything after the shingle build runs on 64-bit hashed keys —
+    * and unlike the LSH paths this KEEPS the zero-miss guarantee. A
+    * collision merges two universe elements, which is monotone toward
+    * MORE candidates: hash-set intersections only grow and unions only
+    * shrink, so J_hash >= J_string, any truly-similar pair still clears
+    * the threshold on the hashed universe, and prefix filtering over
+    * hash sets (sizes, df, order (df, h), join key all on the SAME
+    * merged universe) remains pigeonhole-complete; the string-set verify
+    * then removes every false candidate. Net: only 8-byte keys cross
+    * the df/ranking/candidate shuffles (ShuffleSpec-measured), never
+    * shingle strings. */
   def prefixFilterNearDupPairs(s: SparkSession, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val groups = exactDupGroups(docs)
     val sh = cached(shinglesOf(s, groups.select($"rep".as("doc_id"), $"text")))
-    val toks = sh.select($"doc_id", size($"sh").as("n"), explode($"sh").as("tok"))
-    val dfreq = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val toks = cached(sh.select($"doc_id", explode($"sh").as("tok"))
+      .select($"doc_id", xxhash64($"tok").as("h")).distinct())
+    val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = toks.groupBy($"h").agg(count(lit(1)).as("df"))
     // prefix length p = n − ceil(0.8·n) + 1, with ceil(4n/5) = (4n+4) div 5
-    val prefix = toks.join(dfreq, Seq("tok"))
+    val prefix = toks.join(dfreq, Seq("h")).join(sizes, Seq("doc_id"))
       .withColumn("r", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"df", $"tok")))
+        Window.partitionBy($"doc_id").orderBy($"df", $"h")))
       .filter($"r" <= $"n" - expr("(n * 4 + 4) div 5") + 1)
-      .select($"tok", $"doc_id", $"n")
-    val cand = prefix.select($"tok", $"doc_id".as("rep_a"), $"n".as("na"))
-      .join(prefix.select($"tok", $"doc_id".as("rep_b"), $"n".as("nb")), Seq("tok"))
+      .select($"h", $"doc_id", $"n")
+    val cand = prefix.select($"h", $"doc_id".as("rep_a"), $"n".as("na"))
+      .join(prefix.select($"h", $"doc_id".as("rep_b"), $"n".as("nb")), Seq("h"))
       .filter($"rep_a" < $"rep_b" && $"nb" * 5 >= $"na" * 4 && $"na" * 5 >= $"nb" * 4)
       .select($"rep_a", $"rep_b").distinct()
     expandRepPairs(groups, verifyJaccard(cand, sh))

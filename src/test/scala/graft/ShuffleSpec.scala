@@ -64,4 +64,23 @@ class ShuffleSpec extends SparkSpec {
       s"t14 shuffled $bytes bytes for $nShingles shingles — strings back on the wire?")
     spark.catalog.clearCache()
   }
+
+  test("d13 candidate stages shuffle hashed keys; verify moves O(corpus) arrays, bounded") {
+    val docs = Tables.documents(spark, sf)
+    val textBytes = docs.select(sum(length($"text"))).as[Long].head()
+    val (bytes, rows) = shuffleBytes(
+      SparkEntry.queries("d13_dedup_jaccard_prefixfilter")(spark, sf))
+    assert(rows > 0)
+    // the candidate stages (df agg, prefix ranking, candidate join) move
+    // only 8-byte hashed keys; the remaining heavy traffic is the exact
+    // verify re-partitioning the shingle-ARRAY table by each join side —
+    // O(corpus) like d03's verify, ~2 x (3-gram arrays ~ 3x text). Budget
+    // 16x text: re-introducing shingle STRINGS into the candidate stages
+    // (3 more corpus-scale string exchanges) or a quadratic candidate set
+    // blows it; the measured value today is ~13x.
+    assert(bytes < 16L * textBytes + (1L << 20),
+      s"d13 shuffled $bytes bytes vs $textBytes corpus text bytes — " +
+        "strings in the candidate stages, or candidate blowup?")
+    spark.catalog.clearCache()
+  }
 }

@@ -504,6 +504,40 @@ object DedupQueries {
       (s, d) => prefixFilterNearDupPairs(s, Tables.documents(s, d)),
       oracle = Some(PairSql)),
 
+    // ----- LSH capacity introspection (d14) ---------------------------------
+    // The tuning evidence behind d06's K ~ 2*log2(n) - 10 contract, AS A
+    // QUERY: per LSH table, how full are the buckets and how many
+    // candidate pairs would the self-join generate (sum over buckets of
+    // occ*(occ-1)/2 — the exact pre-verify join size)? Run before a
+    // 100 TB dedup, this report says whether K is too small (hot buckets,
+    // quadratic candidates) BEFORE paying for the join — measure, don't
+    // guess, applied to the sketch parameters themselves. One bucket-
+    // assignment scan + an O(tables x 2^K) aggregate.
+    QueryDef(
+      "d14_lsh_introspection",
+      (s, d) => {
+        import s.implicits._
+        val planes = VectorFns.hyperplanes(LshTables * LshPlanesPerTable, EmbDim)
+        val bcols = (0 until LshTables).map { t =>
+          VectorFns.signLshBucket($"embedding",
+            planes.slice(t * LshPlanesPerTable, (t + 1) * LshPlanesPerTable)).as(s"b$t")
+        }
+        val tb = (0 until LshTables).map(t =>
+          struct(lit(t.toLong).as("tbl"), col(s"b$t").as("bucket")))
+        Tables.embeddings(s, d)
+          .select($"vec_id" +: bcols: _*)
+          .select(explode(array(tb: _*)).as("x"))
+          .select($"x.tbl", $"x.bucket")
+          .groupBy($"tbl", $"bucket").agg(count(lit(1)).as("occ"))
+          .groupBy($"tbl")
+          .agg(count(lit(1)).as("n_buckets_used"),
+            sum($"occ").as("n_vectors"),
+            max($"occ").as("max_occ"),
+            sum(expr("(occ * (occ - 1)) div 2")).as("est_cand_pairs"))
+          .orderBy($"tbl")
+      },
+      oracle = Some(d14OracleSql)),
+
     // ----- near-dup cluster assignment: connected components ----------------
     // The step after pair mining in a real dedup pipeline: group docs into
     // transitive near-dup clusters and label each with the cluster's min
@@ -1015,6 +1049,32 @@ object DedupQueries {
     * from literal planes (list_dot_product matches the JVM kernel's
     * sequential double accumulation bit for bit), candidates = pairs
     * sharing any table bucket, verified with the exact cosine. */
+  /** d14 oracle: the same literal-plane per-table buckets as d06's oracle,
+    * unpivoted and aggregated to the occupancy report. */
+  private def d14OracleSql: String = {
+    val planes = graft.functions.VectorFns.hyperplanes(LshTables * LshPlanesPerTable, EmbDim)
+    def bucket(t: Int): String = (0 until LshPlanesPerTable).map { k =>
+      s"(CASE WHEN list_dot_product(e, ${SimilarityQueries.planeLit(planes(t * LshPlanesPerTable + k))}) >= 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+    val bcols = (0 until LshTables).map(t => s"(${bucket(t)}) AS b$t").mkString(",\n               ")
+    val unions = (0 until LshTables)
+      .map(t => s"SELECT $t AS tbl, b$t AS bucket FROM bk").mkString("\n          UNION ALL ")
+    s"""
+        WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        bk AS (SELECT vec_id,
+               $bcols
+               FROM t),
+        tb AS ($unions),
+        occ AS (SELECT tbl, bucket, count(*) AS occ FROM tb GROUP BY tbl, bucket)
+        SELECT CAST(tbl AS BIGINT) AS tbl,
+               CAST(count(*) AS BIGINT) AS n_buckets_used,
+               CAST(sum(occ) AS BIGINT) AS n_vectors,
+               CAST(max(occ) AS BIGINT) AS max_occ,
+               CAST(sum((occ * (occ - 1)) // 2) AS BIGINT) AS est_cand_pairs
+        FROM occ GROUP BY tbl
+        ORDER BY tbl"""
+  }
+
   private[operators] def d06OracleSql: String = {
     val planes = graft.functions.VectorFns.hyperplanes(LshTables * LshPlanesPerTable, EmbDim)
     def bucket(t: Int): String = (0 until LshPlanesPerTable).map { k =>

@@ -21,6 +21,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * eps = e/Width per unit L1 mass with failure probability e^-Depth.
   * Hashes are fixed-seed pairwise-independent affine maps mod a prime, so
   * results are reproducible across runs and engines.
+  *
+  * Example (run verbatim by DocExamplesSpec):
+  * {{{
+  * val sk = spark.createDataset(Seq(1L, 1L, 1L, 2L))
+  *   .select(new CountMin().toColumn).head()
+  * CountMin.estimate(sk, 1L) >= 3L && CountMin.estimate(sk, 2L) >= 1L
+  * }}}
   */
 final class CountMin extends Aggregator[Long, Array[Long], Array[Long]] {
   import CountMin._

@@ -1506,7 +1506,15 @@ object ExtraRelationalQueries {
     * library call over any (seg, x, y) integer frame: one hash agg of the
     * five exact integer moments per group, then slope/intercept/R² as one
     * identical double formula — nothing but the moment agg ever shuffles.
-    * Output: (seg, n, slope_micro, intercept_milli, r2_milli). */
+    * Output: (seg, n, slope_micro, intercept_milli, r2_milli).
+    *
+    * Example (run verbatim by DocExamplesSpec) — a perfect line comes
+    * back exactly:
+    * {{{
+    * val line = (0L until 10L).map(x => ("a", x, 3 * x + 7)).toDF("seg", "x", "y")
+    * val r = ExtraRelationalQueries.olsFit(line).head()
+    * (r.getLong(2), r.getLong(3), r.getLong(4)) == ((3000000L, 7000L, 1000L))
+    * }}} */
   def olsFit(xy: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     xy.groupBy(col("seg"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),

@@ -93,4 +93,19 @@ class DocExamplesSpec extends SparkSpec {
     assert(TextQueries.weightedSample(docs, 1)
       .select($"doc_id").as[Long].head() === 2L)
   }
+
+  test("ExtraRelationalQueries.olsFit scaladoc example") {
+    import graft.operators.ExtraRelationalQueries
+    val line = (0L until 10L).map(x => ("a", x, 3 * x + 7)).toDF("seg", "x", "y")
+    val r = ExtraRelationalQueries.olsFit(line).head()
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((3000000L, 7000L, 1000L)))
+  }
+
+  test("CountMin scaladoc example") {
+    import graft.functions.CountMin
+    val sk = spark.createDataset(Seq(1L, 1L, 1L, 2L))
+      .select(new CountMin().toColumn).head()
+    assert(CountMin.estimate(sk, 1L) >= 3L)
+    assert(CountMin.estimate(sk, 2L) >= 1L)
+  }
 }

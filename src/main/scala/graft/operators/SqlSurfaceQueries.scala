@@ -67,6 +67,18 @@ object SqlSurfaceQueries {
     * Catalyst decorrelates the per-row subquery into a window top-k (gated
     * in SqlSurfaceSpec: no nested-loop, no per-row re-execution).
     */
+  /** One SQL text executed verbatim by BOTH engines (q83): GROUP BY ALL —
+    * keys inferred from the non-aggregate select items. MUST be declared
+    * above `val all`. */
+  private val GroupByAllSql = """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               CAST(sum(floor(l_extendedprice * 100)) AS BIGINT) AS rev_c,
+               CAST(sum(floor(l_quantity)) AS BIGINT) AS qty
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY l_returnflag, l_linestatus"""
+
   private val LateralTopKSql = """
     SELECT n.n_name AS nation, t.customer, t.bal_c
     FROM nation n, LATERAL (
@@ -95,6 +107,19 @@ object SqlSurfaceQueries {
         s.sql(LateralTopKSql)
       },
       oracle = Some(LateralTopKSql)),
+
+    // ----- GROUP BY ALL (modern ANSI shorthand) -----------------------------
+    // One SQL text, verbatim on both engines: GROUP BY ALL infers the
+    // grouping keys from the non-aggregate select items — the analyzer
+    // must pick exactly (l_returnflag, l_linestatus) here. Catches an
+    // engine whose inference diverges (e.g. grouping an aliased scalar).
+    QueryDef(
+      "q83_group_by_all",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(GroupByAllSql)
+      },
+      oracle = Some(GroupByAllSql)),
 
     // ----- VARIANT semi-structured round trip ------------------------------
     // Build a nested JSON document from typed columns, parse it to VARIANT,

@@ -1500,7 +1500,244 @@ object ExtraRelationalQueries {
         JOIN items ia ON ia.b = brand_a
         JOIN items ib ON ib.b = brand_b
         CROSS JOIN n
-        ORDER BY brand_a, brand_b""")))
+        ORDER BY brand_a, brand_b""")),
+
+    // ----- RFM customer segmentation (q84) ----------------------------------
+    // The classic CRM segmentation: score every customer 1-5 on Recency
+    // (days since last order), Frequency (order count) and Monetary (cents
+    // spent), then bucket score triples into named segments. The fact table
+    // aggregates ONCE to an O(customers) profile; scores are quintiles from
+    // explicit row_number ranks with (value, custkey) tie order — exact
+    // integer arithmetic, no NTILE tie-convention dependence. The three
+    // global rank windows run over the customer-level aggregate, never raw
+    // orders; at the largest scales the quintile BOUNDARIES would come from
+    // the q45 two-level range-partition selection instead of a global sort
+    // (same output, no single-task rank) — the formula stays identical.
+    QueryDef(
+      "q84_rfm_segmentation",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.orders(s, d)
+          .groupBy($"o_custkey")
+          .agg(max($"o_orderdate").as("last_ts"),
+            count(lit(1)).as("freq"),
+            sum(floor($"o_totalprice" * 100).cast("long")).as("mon_c"))
+        val wall = Window.partitionBy(lit(1))
+        val wr = Window.orderBy($"rec_days".asc, $"o_custkey")
+        val wf = Window.orderBy($"freq".desc, $"o_custkey")
+        val wm = Window.orderBy($"mon_c".desc, $"o_custkey")
+        per
+          .withColumn("end_ts", max($"last_ts").over(wall))
+          .withColumn("rec_days", datediff($"end_ts", $"last_ts").cast("long"))
+          .withColumn("n", count(lit(1)).over(wall))
+          .withColumn("r_rn", row_number().over(wr).cast("long"))
+          .withColumn("f_rn", row_number().over(wf).cast("long"))
+          .withColumn("m_rn", row_number().over(wm).cast("long"))
+          .withColumn("r_score", expr("5 - (5 * (r_rn - 1)) div n"))
+          .withColumn("f_score", expr("5 - (5 * (f_rn - 1)) div n"))
+          .withColumn("m_score", expr("5 - (5 * (m_rn - 1)) div n"))
+          .withColumn("segment", expr(
+            """CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champions'
+                    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                    WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                    WHEN r_score >= 4 AND f_score <= 2 THEN 'recent_light'
+                    ELSE 'core' END"""))
+          .groupBy($"segment")
+          .agg(count(lit(1)).as("n_customers"),
+            sum($"mon_c").as("total_mon_c"),
+            sum($"rec_days").as("sum_rec_days"),
+            sum($"freq").as("sum_freq"))
+          .select($"segment", $"n_customers", $"total_mon_c",
+            expr("total_mon_c div n_customers").as("avg_mon_c"),
+            expr("sum_rec_days div n_customers").as("avg_rec_days"),
+            expr("(1000 * sum_freq) div n_customers").as("avg_freq_milli"))
+          .orderBy($"segment")
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT o_custkey, max(o_orderdate) AS last_ts,
+                 CAST(count(*) AS BIGINT) AS freq,
+                 CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS mon_c
+          FROM orders GROUP BY o_custkey),
+        scored AS (
+          SELECT o_custkey, freq, mon_c,
+                 date_diff('day', CAST(last_ts AS DATE),
+                   CAST((SELECT max(last_ts) FROM per) AS DATE)) AS rec_days,
+                 CAST(count(*) OVER () AS BIGINT) AS n,
+                 CAST(row_number() OVER (ORDER BY date_diff('day', CAST(last_ts AS DATE),
+                   CAST((SELECT max(last_ts) FROM per) AS DATE)), o_custkey) AS BIGINT) AS r_rn,
+                 CAST(row_number() OVER (ORDER BY freq DESC, o_custkey) AS BIGINT) AS f_rn,
+                 CAST(row_number() OVER (ORDER BY mon_c DESC, o_custkey) AS BIGINT) AS m_rn
+          FROM per),
+        seg AS (
+          SELECT rec_days, freq, mon_c,
+                 5 - (5 * (r_rn - 1)) // n AS r_score,
+                 5 - (5 * (f_rn - 1)) // n AS f_score,
+                 5 - (5 * (m_rn - 1)) // n AS m_score
+          FROM scored),
+        named AS (
+          SELECT *,
+                 CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champions'
+                      WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                      WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                      WHEN r_score >= 4 AND f_score <= 2 THEN 'recent_light'
+                      ELSE 'core' END AS segment
+          FROM seg)
+        SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(mon_c) AS BIGINT) AS total_mon_c,
+               CAST(sum(mon_c) AS BIGINT) // count(*) AS avg_mon_c,
+               CAST(sum(rec_days) AS BIGINT) // count(*) AS avg_rec_days,
+               (1000 * CAST(sum(freq) AS BIGINT)) // count(*) AS avg_freq_milli
+        FROM named GROUP BY segment
+        ORDER BY segment""")),
+
+    // ----- Kaplan-Meier survival / churn curve (q85) ------------------------
+    // Customer-lifetime survival analysis with right censoring: lifetime =
+    // weeks between a customer's first and last order; the churn event is
+    // observed only when the last order predates the observation end by
+    // more than 90 days (otherwise the lifetime is censored — the customer
+    // may still be active). Estimator: S(t) = prod_{t_i <= t} (1 - d_i/n_i),
+    // computed as the integer-milli recurrence S <- (S * (n_i - d_i)) div n_i
+    // in event-time order — exact on both engines, no floating products.
+    // Scale shape: ONE per-customer agg over orders (the only corpus-sized
+    // op), then everything runs on the O(distinct lifetime weeks) series —
+    // at-risk counts are a reverse cumsum window over that series, and the
+    // sequential fold (inherently ordered, like every KM implementation)
+    // runs as a single-task kernel over <=O(weeks) rows, constant-size at
+    // any corpus scale. The DuckDB oracle replays the identical recurrence
+    // as a recursive CTE.
+    QueryDef(
+      "q85_survival_km",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.orders(s, d)
+          .groupBy($"o_custkey")
+          .agg(min($"o_orderdate").as("first_ts"), max($"o_orderdate").as("last_ts"))
+        val wall = Window.partitionBy(lit(1))
+        val lab = per
+          .withColumn("end_ts", max($"last_ts").over(wall))
+          .select(expr("CAST(datediff(last_ts, first_ts) div 7 AS BIGINT)").as("t"),
+            (datediff($"end_ts", $"last_ts") > 90).as("churned"))
+        kmCurve(lab)
+      },
+      oracle = Some("""
+        WITH RECURSIVE per AS (
+          SELECT o_custkey, min(o_orderdate) AS first_ts, max(o_orderdate) AS last_ts
+          FROM orders GROUP BY o_custkey),
+        lab AS (
+          SELECT date_diff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE)) // 7 AS t,
+                 date_diff('day', CAST(last_ts AS DATE),
+                   CAST((SELECT max(last_ts) FROM per) AS DATE)) > 90 AS churned
+          FROM per),
+        ser AS (
+          SELECT t, CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS m
+          FROM lab GROUP BY t),
+        ev AS (
+          SELECT CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i, t, d, n_at_risk
+          FROM (SELECT t, d,
+                  CAST(sum(m) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+                FROM ser)
+          WHERE d > 0),
+        rec AS (
+          SELECT i, t, d, n_at_risk,
+                 (1000 * (n_at_risk - d)) // n_at_risk AS s
+          FROM ev WHERE i = 1
+          UNION ALL
+          SELECT e.i, e.t, e.d, e.n_at_risk, (r.s * (e.n_at_risk - e.d)) // e.n_at_risk
+          FROM rec r JOIN ev e ON e.i = r.i + 1)
+        SELECT t, d AS d_events, n_at_risk, CAST(s AS BIGINT) AS surv_milli
+        FROM rec ORDER BY t""")),
+
+    // ----- weekly seasonality index + seasonal-naive backtest (q86) ---------
+    // The time-series operational pair: (a) a day-of-week seasonality index
+    // (per-dow mean revenue vs overall mean, in millis) and (b) a
+    // seasonal-naive forecast backtest — predict each day's revenue with the
+    // PREVIOUS observation of the same weekday and report the per-dow MAE —
+    // the baseline every real forecaster must beat. Day-of-week is computed
+    // as days-since-a-fixed-Monday mod 7 (identical on both engines —
+    // Spark's dayofweek() and DuckDB's dayofweek() disagree on numbering).
+    // ONE corpus-sized hash agg to the O(days) daily series; lag and means
+    // are windows/aggs over that series; everything integer cents.
+    QueryDef(
+      "q86_seasonal_backtest",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.orders(s, d)
+          .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+          .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("rev_c"))
+        seasonalBacktest(daily)
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS day,
+                 CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS rev_c
+          FROM orders GROUP BY date_trunc('day', o_orderdate)),
+        base AS (
+          SELECT day, rev_c,
+                 date_diff('day', DATE '1970-01-05', CAST(day AS DATE)) % 7 AS dow,
+                 lag(rev_c, 1) OVER (
+                   PARTITION BY date_diff('day', DATE '1970-01-05', CAST(day AS DATE)) % 7
+                   ORDER BY day) AS prev_c
+          FROM daily),
+        agg AS (
+          SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(rev_c) AS BIGINT) AS sum_c,
+                 CAST(sum(CASE WHEN prev_c IS NOT NULL THEN abs(rev_c - prev_c) END) AS BIGINT) AS abs_err_c,
+                 CAST(sum(CASE WHEN prev_c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fc
+          FROM base GROUP BY dow),
+        tot AS (SELECT CAST(sum(sum_c) AS BIGINT) AS total_c,
+                       CAST(sum(n_days) AS BIGINT) AS total_days FROM agg)
+        SELECT CAST(dow AS BIGINT) AS dow, n_days,
+               sum_c // n_days AS dow_mean_c,
+               (1000 * (sum_c // n_days)) // (total_c // total_days) AS index_milli,
+               abs_err_c // n_fc AS mae_c
+        FROM agg CROSS JOIN tot
+        ORDER BY dow""")),
+
+    // ----- skyline / Pareto frontier (q87) ----------------------------------
+    // The multi-criteria optimum set: parts where no other part is both
+    // cheaper (min observed unit price) and better-selling (total
+    // quantity). 2-D dominance needs no pairwise join: sort the O(parts)
+    // aggregate by (price asc, qty desc), and a point is on the frontier
+    // iff its qty strictly exceeds the running max over everything sorted
+    // before it — one window, one pass. Of coincident points the sort-first
+    // (smallest partkey) is kept; dominance is strict in at least one
+    // dimension. Scale: the window runs over the per-part aggregate, never
+    // facts; for frontier sets too big for one task, skyline is
+    // merge-idempotent (skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)))
+    // so partition-local frontiers prune first — the classic distributed
+    // skyline recipe.
+    QueryDef(
+      "q87_skyline_pareto",
+      (s, d) => {
+        import s.implicits._
+        val pts = Tables.lineitem(s, d)
+          .groupBy($"l_partkey")
+          .agg(min(floor($"l_extendedprice" * 100 / $"l_quantity").cast("long")).as("unit_c"),
+            sum($"l_quantity".cast("long")).as("qty"))
+        val w = Window.orderBy($"unit_c".asc, $"qty".desc, $"l_partkey")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        pts
+          .withColumn("best_qty_before", max($"qty").over(w))
+          .filter($"best_qty_before".isNull || $"qty" > $"best_qty_before")
+          .select($"l_partkey", $"unit_c", $"qty")
+          .orderBy($"unit_c", $"l_partkey")
+      },
+      oracle = Some("""
+        WITH pts AS (
+          SELECT l_partkey,
+                 CAST(min(floor(l_extendedprice * 100 / l_quantity)) AS BIGINT) AS unit_c,
+                 CAST(sum(l_quantity) AS BIGINT) AS qty
+          FROM lineitem GROUP BY l_partkey),
+        ranked AS (
+          SELECT *, max(qty) OVER (ORDER BY unit_c, qty DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_qty_before
+          FROM pts)
+        SELECT l_partkey, unit_c, qty
+        FROM ranked
+        WHERE best_qty_before IS NULL OR qty > best_qty_before
+        ORDER BY unit_c, l_partkey""")))
 
   /** Per-group OLS fit from sufficient statistics (q76), exposed as a
     * library call over any (seg, x, y) integer frame: one hash agg of the
@@ -1618,4 +1855,68 @@ object ExtraRelationalQueries {
         expr("bit_xor(h)").as("xor_sig"),
         sum(expr("h % 1048576")).as("sum_sig"))
       .orderBy(col("bucket"))
+
+  /** Kaplan-Meier survival curve (q85), exposed as a library call over any
+    * `(t: long, churned: boolean)` lifetime table: one row per event time
+    * with the at-risk count, event count, and the KM estimate in exact
+    * integer millis — S <- (S * (n_i - d_i)) div n_i in event-time order.
+    * The input is expected to be pre-aggregated (one row per subject); the
+    * curve itself runs on the O(distinct t) series: at-risk counts by a
+    * reverse-cumsum window, then the inherently sequential product as a
+    * single-task fold over <=O(series) rows — constant-size however large
+    * the subject table was.
+    *
+    * Example (no censoring, lifetimes 1,1,2 => S = 333 then 0):
+    * {{{
+    *   val lt = Seq((1L, true), (1L, true), (2L, true)).toDF("t", "churned")
+    *   ExtraRelationalQueries.kmCurve(lt).show()
+    * }}} */
+  def kmCurve(lifetimes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = lifetimes.sparkSession
+    import s.implicits._
+    val ser = lifetimes.groupBy(col("t"))
+      .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("m"))
+    val wrev = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val events = ser
+      .withColumn("n_at_risk", sum(col("m")).over(wrev))
+      .filter(col("d") > 0)
+      .select(col("t"), col("d"), col("n_at_risk")).as[(Long, Long, Long)]
+    events.coalesce(1).sortWithinPartitions(col("t"))
+      .mapPartitions { it =>
+        var sMilli = 1000L
+        it.map { case (t, dd, n) =>
+          sMilli = (sMilli * (n - dd)) / n
+          (t, dd, n, sMilli)
+        }
+      }
+      .toDF("t", "d_events", "n_at_risk", "surv_milli").orderBy(col("t"))
+  }
+
+  /** Day-of-week seasonality index + seasonal-naive backtest (q86), exposed
+    * as a library call over any `(day: timestamp, rev_c: long)` daily
+    * series: per-dow mean vs overall mean in millis, and the MAE of
+    * predicting each day with the previous observation of the same weekday.
+    * Day-of-week is days-since-1970-01-05 (a Monday) mod 7 — identical on
+    * any engine, unlike dayofweek() numbering. All O(days)-sized windows. */
+  def seasonalBacktest(daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = daily
+      .withColumn("dow", expr("pmod(datediff(day, DATE '1970-01-05'), 7)").cast("long"))
+      .withColumn("prev_c",
+        lag(col("rev_c"), 1).over(Window.partitionBy(col("dow")).orderBy(col("day"))))
+    val wall = Window.partitionBy(lit(1))
+    base.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("rev_c")).as("sum_c"),
+        sum(when(col("prev_c").isNotNull, abs(col("rev_c") - col("prev_c")))).as("abs_err_c"),
+        sum(when(col("prev_c").isNotNull, 1L).otherwise(0L)).as("n_fc"))
+      .withColumn("total_c", sum(col("sum_c")).over(wall))
+      .withColumn("total_days", sum(col("n_days")).over(wall))
+      .select(col("dow"), col("n_days"),
+        expr("sum_c div n_days").as("dow_mean_c"),
+        expr("(1000 * (sum_c div n_days)) div (total_c div total_days)").as("index_milli"),
+        expr("abs_err_c div n_fc").as("mae_c"))
+      .orderBy(col("dow"))
+  }
 }

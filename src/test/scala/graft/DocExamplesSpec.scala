@@ -108,4 +108,12 @@ class DocExamplesSpec extends SparkSpec {
     assert(CountMin.estimate(sk, 1L) >= 3L)
     assert(CountMin.estimate(sk, 2L) >= 1L)
   }
+
+  test("ExtraRelationalQueries.kmCurve scaladoc example") {
+    import graft.operators.ExtraRelationalQueries
+    val lt = Seq((1L, true), (1L, true), (2L, true)).toDF("t", "churned")
+    assert(ExtraRelationalQueries.kmCurve(lt)
+      .select($"t", $"surv_milli").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 333L), (2L, 0L)))
+  }
 }

@@ -170,4 +170,89 @@ class SketchSpec extends SparkSpec {
       assert(r.getBoolean(3), s"lvl ${r.getLong(0)}: guaranteed survivor missing")
     }
   }
+
+  test("kmCurve: with no censoring KM equals the empirical survival fraction") {
+    // 10 subjects, one churn event at each of t=1..10: S(t_i) = (10-i)/10,
+    // and the integer recurrence telescopes exactly to 100*(10-i) millis.
+    val lt = (1L to 10L).map(t => (t, true)).toDF("t", "churned")
+    val rows = operators.ExtraRelationalQueries.kmCurve(lt).collect()
+    assert(rows.length === 10)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i + 1L)
+      assert(r.getLong(2) === 10L - i, "at-risk must shrink by one per event")
+      assert(r.getLong(3) === 100L * (9 - i), s"S at t=${i + 1}")
+    }
+  }
+
+  test("kmCurve: censored subjects leave the risk set without dropping the curve") {
+    // churn at t=1 (3 at risk), censor at t=2, churn at t=3 (1 at risk):
+    // steps only at event times; the censored subject never counts as death.
+    val lt = Seq((1L, true), (2L, false), (3L, true)).toDF("t", "churned")
+    val rows = operators.ExtraRelationalQueries.kmCurve(lt).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 3L), "steps only where d>0")
+    assert(rows(0).getLong(2) === 3L && rows(0).getLong(3) === 666L)
+    assert(rows(1).getLong(2) === 1L && rows(1).getLong(3) === 0L)
+  }
+
+  test("q85 on fixtures: survival is monotone nonincreasing within [0, 1000]") {
+    val rows = SparkEntry.queries("q85_survival_km")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var prev = 1000L
+    rows.foreach { r =>
+      val s = r.getLong(3)
+      assert(s >= 0L && s <= prev, s"S must fall from $prev, got $s at t=${r.getLong(0)}")
+      assert(r.getLong(1) > 0L && r.getLong(2) >= r.getLong(1))
+      prev = s
+    }
+  }
+
+  test("seasonalBacktest: a perfectly periodic series backtests to zero MAE") {
+    // 4 weeks of rev_c = 1000*(dow+1): every seasonal-naive forecast is
+    // exact, dow means are the planted values, and the index is
+    // 250*(dow+1) millis (overall mean 4000).
+    val days = (0 until 28).map { i =>
+      val day = java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i).atStartOfDay())  // 2024-01-01 is a Monday => dow=(i%7)
+      (day, 1000L * (i % 7 + 1))
+    }.toDF("day", "rev_c")
+    val rows = operators.ExtraRelationalQueries.seasonalBacktest(days).collect()
+    assert(rows.length === 7)
+    rows.zipWithIndex.foreach { case (r, d) =>
+      assert(r.getLong(0) === d.toLong)
+      assert(r.getLong(1) === 4L)
+      assert(r.getLong(2) === 1000L * (d + 1), "dow mean")
+      assert(r.getLong(3) === 250L * (d + 1), "seasonality index")
+      assert(r.getLong(4) === 0L, "seasonal-naive MAE must be zero")
+    }
+  }
+
+  test("q87 skyline: kept points are non-dominated, dropped points are dominated") {
+    val pts = Tables.lineitem(spark, sf).groupBy($"l_partkey")
+      .agg(min(floor($"l_extendedprice" * 100 / $"l_quantity").cast("long")).as("unit_c"),
+        sum($"l_quantity".cast("long")).as("qty"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val kept = SparkEntry.queries("q87_skyline_pareto")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kept.nonEmpty)
+    def dominated(p: (Long, Long, Long)) = pts.exists(o => o._1 != p._1 &&
+      o._2 <= p._2 && o._3 >= p._3 && (o._2 < p._2 || o._3 > p._3))
+    kept.foreach(p => assert(!dominated(p), s"$p is on the frontier yet dominated"))
+    // dropped points are dominated OR are coincident duplicates of a kept point
+    pts.filterNot(kept).foreach { p =>
+      assert(dominated(p) || kept.exists(k => k._2 == p._2 && k._3 == p._3),
+        s"$p dropped but not dominated")
+    }
+  }
+
+  test("q84: RFM segments partition the customer base exactly") {
+    val rows = SparkEntry.queries("q84_rfm_segmentation")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val segTotal = rows.map(_.getLong(1)).sum
+    val nCust = Tables.orders(spark, sf).select($"o_custkey").distinct().count()
+    assert(segTotal === nCust, "every customer lands in exactly one segment")
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0L && r.getLong(3) > 0L, "segment money must be positive")
+      assert(r.getLong(4) >= 0L && r.getLong(5) >= 1000L, "avg frequency >= 1 order")
+    }
+  }
 }

@@ -74,6 +74,15 @@ object TextFns {
     org.apache.spark.sql.graft.Bridge.column(
       ShingleHashesExpr(org.apache.spark.sql.graft.Bridge.expression(tokens), n))
 
+  /** Content-defined chunk boundary positions (codegen'd
+    * [[CdcBoundariesExpr]]): 1-indexed positions where the trailing-8-char
+    * rolling hash is 0 mod 64 — t34's boundary rule in one fused loop per
+    * document (the declarative filter/aggregate form runs its lambda
+    * interpreted per character). */
+  def cdcBoundaries(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      CdcBoundariesExpr(org.apache.spark.sql.graft.Bridge.expression(c)))
+
   /** The original transform/aggregate formulation — kept as the
     * equivalence oracle for [[PolyHashExpr]] (VectorExprSpec). split("")
     * yields the char array in one O(n) pass; indexing with

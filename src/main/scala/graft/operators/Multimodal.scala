@@ -363,7 +363,96 @@ object Multimodal {
                  AS BIGINT) AS "offset",
                n_bytes
         FROM sh
-        ORDER BY media_type, grp, shard_id, "offset"""")))
+        ORDER BY media_type, grp, shard_id, "offset"""")),
+
+    // ----- perceptual-hash near-duplicate media (m08) -----------------------
+    // m04 catches bit-identical payloads; this catches re-encodes: assets
+    // whose 64-bit perceptual dHash differs in <= 3 bits. Candidate
+    // generation is d04's pigeonhole — two hashes within Hamming 3 must
+    // agree on >= 1 of the 4 16-bit chunks, so candidates come from an
+    // equi-join on (chunk_idx, chunk_value), never an all-pairs scan; each
+    // pair is emitted exactly once at its MINIMAL shared chunk
+    // (StreamDedup's trick — no global distinct shuffle). Only (asset_id,
+    // 4 x 16-bit chunks) ever leave the scan; payloads stay columnar.
+    // Fixture harness: the corpus is unioned with a deterministic
+    // simulated re-encode of every asset (uniform +30 brightness — alters
+    // every payload byte, so m04's checksum sees a DIFFERENT file, while
+    // every brightness gradient survives), standing in for the second
+    // crawl snapshot / re-encoded library a production run diffs. The
+    // oracle recomputes the identical hash in DuckDB over both copies and
+    // takes the tiny corpus' literal all-pairs Hamming filter — so all
+    // 500 hash pipelines, the pairing, and the Hamming arithmetic are
+    // value-checked end to end.
+    QueryDef(
+      "m08_media_near_dup",
+      (s, d) => perceptualNearDups(withReencodes(assets(s, d))),
+      oracle = Some("""
+        WITH src AS (
+          SELECT doc_id, length(text) AS n,
+                 list_transform(generate_series(1, length(text)),
+                   i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS cs
+          FROM documents WHERE length(text) > 0),
+        d AS (
+          SELECT doc_id, n, cs FROM src
+          UNION ALL
+          SELECT doc_id + 1000000, n,
+                 list_transform(cs, c -> least(c + 30, 255)) FROM src),
+        b AS (
+          SELECT doc_id,
+                 list_transform(generate_series(0, 64), j ->
+                   CASE WHEN ((j + 1) * n) // 65 - (j * n) // 65 = 0 THEN 0
+                        ELSE list_sum(cs[(j * n) // 65 + 1 : ((j + 1) * n) // 65])
+                             // (((j + 1) * n) // 65 - (j * n) // 65) END) AS br
+          FROM d),
+        h AS (
+          SELECT doc_id, list_transform(generate_series(0, 3), k ->
+                   list_sum(list_transform(generate_series(0, 15), i ->
+                     CASE WHEN br[16 * k + i + 1] > br[16 * k + i + 2]
+                          THEN 1 << i ELSE 0 END))) AS ch
+          FROM b)
+        SELECT a.doc_id AS asset_a, bb.doc_id AS asset_b,
+               CAST(bit_count(xor(a.ch[1], bb.ch[1])) + bit_count(xor(a.ch[2], bb.ch[2]))
+                  + bit_count(xor(a.ch[3], bb.ch[3])) + bit_count(xor(a.ch[4], bb.ch[4]))
+                 AS BIGINT) AS hamming
+        FROM h a JOIN h bb ON a.doc_id < bb.doc_id
+        WHERE bit_count(xor(a.ch[1], bb.ch[1])) + bit_count(xor(a.ch[2], bb.ch[2]))
+            + bit_count(xor(a.ch[3], bb.ch[3])) + bit_count(xor(a.ch[4], bb.ch[4])) <= 3
+        ORDER BY asset_a, asset_b""")))
+
+  /** 64-bit perceptual difference-hash (dHash family) of an asset, kept as
+    * 4 x 16-bit chunks for m08's pigeonhole bucketing. The payload splits
+    * into 65 equal-width blocks; "brightness" is the stub decoder's
+    * per-block mean byte (a real image pipeline uses downsampled pixel
+    * luma — swap the byte loop, keep the shape); bit i = brightness(i) >
+    * brightness(i+1). Gradient bits survive uniform brightness/volume
+    * changes that break m04's exact checksum. Empty payloads have no hash. */
+  def dHashChunks(a: MediaAsset): Option[(Long, String, Int, Int, Int, Int)] = {
+    val n = a.payload.length
+    if (n == 0) None
+    else {
+      val bright = new Array[Long](65)
+      var j = 0
+      while (j < 65) {
+        val lo = (j.toLong * n / 65).toInt
+        val hi = ((j + 1).toLong * n / 65).toInt
+        var sum = 0L
+        var i = lo
+        while (i < hi) { sum += (a.payload(i) & 0xff); i += 1 }
+        bright(j) = if (hi == lo) 0L else sum / (hi - lo)
+        j += 1
+      }
+      def chunk(k: Int): Int = {
+        var c = 0
+        var i = 0
+        while (i < 16) {
+          if (bright(16 * k + i) > bright(16 * k + i + 1)) c |= 1 << i
+          i += 1
+        }
+        c
+      }
+      Some((a.asset_id, a.media_type, chunk(0), chunk(1), chunk(2), chunk(3)))
+    }
+  }
 
   /** The m05 pipeline over an arbitrary asset set: per-media-type frame
     * counts, frames whose fingerprint appears in >= 2 distinct assets of
@@ -388,5 +477,47 @@ object Multimodal {
           $"frame_bytes", $"byte_sum", $"byte_min", $"byte_max").as("n_fingerprints"),
         max($"na").as("max_assets_per_fp"))
       .orderBy($"media_type")
+  }
+
+  /** m08's fixture harness: every asset plus a deterministic simulated
+    * re-encode (uniform +30 brightness, clamped at 255; id offset by 1M) —
+    * a transform that changes every payload byte yet preserves every
+    * dHash gradient bit. Production feeds two real snapshots instead. */
+  def withReencodes(a: Dataset[MediaAsset]): Dataset[MediaAsset] = {
+    val s = a.sparkSession
+    import s.implicits._
+    a.union(a.map(x => MediaAsset(x.asset_id + 1000000L,
+      x.payload.map(b => math.min((b & 0xff) + 30, 255).toByte),
+      x.media_type, x.n_bytes)))
+  }
+
+  /** The m08 pipeline over an arbitrary asset set: (asset_a, asset_b,
+    * hamming) for every pair of assets whose perceptual dHashes are within
+    * Hamming distance 3. Bucketed, exactly-once, no distinct — see the m08
+    * QueryDef notes. */
+  def perceptualNearDups(a: Dataset[MediaAsset]): DataFrame = {
+    val s = a.sparkSession
+    import s.implicits._
+    val ph = a.mapPartitions(_.flatMap(dHashChunks))
+      .toDF("asset_id", "media_type", "c0", "c1", "c2", "c3")
+    val bands = ph.select($"asset_id", $"c0", $"c1", $"c2", $"c3",
+      posexplode(array($"c0", $"c1", $"c2", $"c3")).as(Seq("bidx", "bval")))
+    val l = bands.columns.foldLeft(bands)((df, c) => df.withColumnRenamed(c, "a_" + c))
+    val r = bands.columns.foldLeft(bands)((df, c) => df.withColumnRenamed(c, "b_" + c))
+    l.join(r,
+        $"a_bidx" === $"b_bidx" && $"a_bval" === $"b_bval" &&
+          $"a_asset_id" < $"b_asset_id")
+      .withColumn("hamming", expr(
+        """CAST(bit_count(a_c0 ^ b_c0) + bit_count(a_c1 ^ b_c1)
+              + bit_count(a_c2 ^ b_c2) + bit_count(a_c3 ^ b_c3) AS BIGINT)"""))
+      .filter($"hamming" <= 3)
+      // exactly-once: keep only the pair's MINIMAL shared chunk index, so
+      // multi-chunk agreements never need a distinct
+      .filter(expr(
+        """a_bidx = 0 OR (a_bidx = 1 AND a_c0 <> b_c0)
+           OR (a_bidx = 2 AND a_c0 <> b_c0 AND a_c1 <> b_c1)
+           OR (a_bidx = 3 AND a_c0 <> b_c0 AND a_c1 <> b_c1 AND a_c2 <> b_c2)"""))
+      .select($"a_asset_id".as("asset_a"), $"b_asset_id".as("asset_b"), $"hamming")
+      .orderBy($"asset_a", $"asset_b")
   }
 }

@@ -1597,7 +1597,77 @@ object TextQueries {
                CAST(coalesce(max(top_cnt), 0) AS BIGINT) AS max_top_cnt
         FROM dl LEFT JOIN top USING (lang)
         GROUP BY dl.lang, n_docs
-        ORDER BY lang""")))
+        ORDER BY lang""")),
+
+    // ----- content-defined chunking + storage-dedup report (t34) ------------
+    // The rsync/LBFS/restic trick t16's fixed windows cannot do: chunk
+    // boundaries are set by CONTENT (positions where the rolling hash of the
+    // trailing 8 chars is 0 mod 64, ~64-char expected chunks), so inserting
+    // a sentence shifts only the chunks it touches — every other chunk keeps
+    // its fingerprint and dedups against the previous revision. The
+    // boundary predicate is stateless per position (no min/max clamp, which
+    // a production chunker adds), so both engines evaluate it with pure
+    // higher-order functions: filter(sequence) + an 8-element aggregate per
+    // position — O(8n) per doc, in-scan, whole-stage codegen, no UDF. The
+    // report groups chunks by md5: only (16-byte digest, length) pairs ever
+    // reach the shuffle (map-side combined), never chunk text — d01's
+    // discipline at sub-document granularity. Output: corpus chunking +
+    // reclaimable-storage stats.
+    QueryDef(
+      "t34_cdc_chunks",
+      (s, d) => {
+        import s.implicits._
+        cdcChunks(Tables.documents(s, d))
+          .select(md5($"chunk").as("fp"), length($"chunk").cast("long").as("len"))
+          .groupBy($"fp")
+          .agg(count(lit(1)).as("cnt"), min($"len").as("len"))
+          .agg(sum($"cnt").as("total_chunks"),
+            count(lit(1)).as("uniq_chunks"),
+            sum($"cnt" * $"len").as("total_bytes"),
+            sum($"len").as("uniq_bytes"),
+            sum(when($"cnt" > 1, 1L).otherwise(0L)).as("n_shared_fps"))
+          .select($"total_chunks", $"uniq_chunks", $"total_bytes", $"uniq_bytes",
+            expr("total_bytes div total_chunks").as("avg_chunk_len"),
+            expr("(1000 * (total_bytes - uniq_bytes)) div total_bytes").as("reclaim_milli"),
+            $"n_shared_fps")
+      },
+      oracle = Some("""
+        WITH nrm AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+          FROM documents),
+        bounds AS (
+          SELECT doc_id, s, length(s) AS n,
+                 list_filter(generate_series(8, length(s) - 1),
+                   i -> list_reduce(
+                          list_prepend(CAST(0 AS BIGINT),
+                            list_transform(generate_series(i - 7, i),
+                              j -> CAST(ascii(substring(s, j, 1)) AS BIGINT))),
+                          (acc, c) -> (acc * 31 + c) % 2147483647) % 64 = 0) AS bpos
+          FROM nrm),
+        withb AS (
+          SELECT doc_id, s,
+                 list_concat(list_concat([CAST(0 AS BIGINT)], bpos), [CAST(n AS BIGINT)]) AS b
+          FROM bounds),
+        chunks AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(b) - 1),
+                   k -> substring(s, CAST(list_extract(b, k) AS INTEGER) + 1,
+                                  CAST(list_extract(b, k + 1) - list_extract(b, k) AS INTEGER))))
+                 AS chunk
+          FROM withb),
+        fps AS (
+          SELECT md5(chunk) AS fp, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(min(length(chunk)) AS BIGINT) AS len
+          FROM chunks GROUP BY md5(chunk))
+        SELECT CAST(sum(cnt) AS BIGINT) AS total_chunks,
+               CAST(count(*) AS BIGINT) AS uniq_chunks,
+               CAST(sum(cnt * len) AS BIGINT) AS total_bytes,
+               CAST(sum(len) AS BIGINT) AS uniq_bytes,
+               CAST(sum(cnt * len) AS BIGINT) // CAST(sum(cnt) AS BIGINT) AS avg_chunk_len,
+               (1000 * (CAST(sum(cnt * len) AS BIGINT) - CAST(sum(len) AS BIGINT)))
+                 // CAST(sum(cnt * len) AS BIGINT) AS reclaim_milli,
+               CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fps
+        FROM fps""")))
 
   /** The t18 oracle: t13's unrolled merge-learning CTE chain (same pair
     * counts, same argmax order, same list_reduce merge fold) carried over a
@@ -1912,5 +1982,30 @@ object TextQueries {
       .select($"doc_id", $"chunk_idx", $"chunk_start",
         length($"c").cast("long").as("chunk_len"),
         md5($"c".cast("binary")).as("chunk_md5"))
+  }
+
+  /** Content-defined chunking (t34), exposed as a library call over any
+    * `(doc_id, text)` frame: one row per `(doc_id, chunk)` where chunk
+    * boundaries sit after every position whose trailing-8-char rolling
+    * polynomial hash is 0 mod 64 (~64-char expected chunks) over the
+    * normalized text. Because the boundary test depends only on local
+    * CONTENT, an edit shifts only the chunks it touches — the rest keep
+    * their bytes (and so their fingerprints) and dedup across revisions,
+    * which fixed-window chunking (`chunkDocs`) structurally cannot do.
+    * Pure higher-order functions (filter/transform/aggregate over char
+    * positions): O(8n) per doc in-scan, whole-stage codegen, no UDF, and
+    * an empty document yields one empty chunk. */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .withColumn("s", graft.functions.TextFns.normalize($"text"))
+      .withColumn("n", length($"s"))
+      .withColumn("bpos", graft.functions.TextFns.cdcBoundaries($"s"))
+      .withColumn("b", expr("concat(array(0), bpos, array(n))"))
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(b) - 1),
+             k -> substring(s, element_at(b, k) + 1,
+                            element_at(b, k + 1) - element_at(b, k)))""")).as("chunk"))
   }
 }

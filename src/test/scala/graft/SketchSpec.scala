@@ -244,6 +244,42 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("ksReport: identical samples give D=0, disjoint supports give D=1000") {
+    import operators.ExtraRelationalQueries.ksReport
+    val same = Seq((1L, 5L, 5L), (2L, 3L, 3L), (9L, 2L, 2L)).toDF("v", "c1", "c2")
+    val r0 = ksReport(same).head()
+    assert(r0.getLong(2) === 0L, "identical distributions must have zero KS distance")
+    // sample A entirely below sample B: at A's top value cdfA=1, cdfB=0
+    val disjoint = Seq((1L, 4L, 0L), (2L, 6L, 0L), (10L, 0L, 5L)).toDF("v", "c1", "c2")
+    val r1 = ksReport(disjoint).head()
+    assert(r1.getLong(2) === 1000L && r1.getLong(3) === 2L,
+      s"disjoint supports must reach D=1000 at A's last value, got $r1")
+  }
+
+  test("q89 sequencePatterns: planted histories match exactly the right patterns") {
+    import operators.EventQueries.sequencePatterns
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: view->click->purchase; user 2: error,error; user 3: signup->view->purchase
+    val ev = Seq(
+      (1L, ts(1), 10L, "view"), (1L, ts(2), 11L, "click"), (1L, ts(3), 12L, "purchase"),
+      (2L, ts(1), 20L, "error"), (2L, ts(2), 21L, "error"),
+      (3L, ts(1), 30L, "signup"), (3L, ts(2), 31L, "view"), (3L, ts(3), 32L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = sequencePatterns(ev, Seq(
+      ("funnel_vcp", "v.*c.*p"), ("signup_purchase", "s.*p"),
+      ("double_error", "ee"), ("starts_view", "^v")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      ("double_error", 1L, 333L), ("funnel_vcp", 1L, 333L),
+      ("signup_purchase", 1L, 333L), ("starts_view", 1L, 333L)))
+  }
+
+  test("q88 on fixtures: KS lies in [0,1000] and both snapshot counts are positive") {
+    val r = SparkEntry.queries("q88_ks_drift")(spark, sf).head()
+    assert(r.getLong(0) > 0L && r.getLong(1) > 0L)
+    assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000L)
+  }
+
   test("q84: RFM segments partition the customer base exactly") {
     val rows = SparkEntry.queries("q84_rfm_segmentation")(spark, sf).collect()
     assert(rows.nonEmpty)

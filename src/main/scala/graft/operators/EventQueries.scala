@@ -990,7 +990,58 @@ object EventQueries {
           UNION ALL SELECT 'starts_with_view', m3, n_users FROM m)
         SELECT pattern, n_match, (1000 * n_match) // n_users AS share_milli
         FROM u
-        ORDER BY pattern"""))
+        ORDER BY pattern""")),
+
+    // ----- EWMA baseline + anomaly scoring (q90) ----------------------------
+    // q64's trailing z-score needs a full window of history per point;
+    // the EWMA baseline is the streaming-friendly alternative every
+    // monitoring stack runs: e_t = (20*x_t + 80*e_{t-1}) div 100 — an
+    // exact integer recurrence (q85's discipline), seeded with the first
+    // observation. A point is anomalous when it deviates from the
+    // baseline (the PREVIOUS ewma — the forecast, never the value being
+    // tested) by > 50%. ONE corpus-sized hash agg to the O(hours) series;
+    // the inherently sequential fold runs as a single-task kernel over
+    // that series (constant-size at any event volume); the DuckDB oracle
+    // replays the identical recurrence as a recursive CTE.
+    QueryDef(
+      "q90_ewma_anomaly",
+      (s, d) => {
+        import s.implicits._
+        val hourly = Tables.events(s, d)
+          .groupBy(date_trunc("hour", $"ts").as("h"))
+          .agg(count(lit(1)).as("x"))
+          .as[(java.sql.Timestamp, Long)]
+        val folded = hourly.coalesce(1).sortWithinPartitions($"h")
+          .mapPartitions { it =>
+            var e = -1L
+            it.map { case (h, x) =>
+              val prev = e
+              e = if (prev < 0) x else (20 * x + 80 * prev) / 100
+              (h, x, if (prev < 0) x else prev, e)
+            }
+          }
+          .toDF("h", "x", "baseline", "ewma")
+        folded
+          .withColumn("dev_milli", expr("(1000 * abs(x - baseline)) div greatest(baseline, 1)"))
+          .withColumn("is_anomaly", $"dev_milli" > 500)
+          .orderBy($"h")
+      },
+      oracle = Some("""
+        WITH RECURSIVE hourly AS (
+          SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY date_trunc('hour', ts)),
+        se AS (
+          SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS i, h, x
+          FROM hourly),
+        rec AS (
+          SELECT i, h, x, x AS baseline, x AS ewma FROM se WHERE i = 1
+          UNION ALL
+          SELECT s.i, s.h, s.x, r.ewma, (20 * s.x + 80 * r.ewma) // 100
+          FROM rec r JOIN se s ON s.i = r.i + 1)
+        SELECT h, x, baseline, ewma,
+               (1000 * abs(x - baseline)) // greatest(baseline, 1) AS dev_milli,
+               ((1000 * abs(x - baseline)) // greatest(baseline, 1)) > 500 AS is_anomaly
+        FROM rec ORDER BY h"""))
   )
 
   /** Event-sequence pattern report (q89), exposed as a library call: each

@@ -417,7 +417,43 @@ object Multimodal {
         FROM h a JOIN h bb ON a.doc_id < bb.doc_id
         WHERE bit_count(xor(a.ch[1], bb.ch[1])) + bit_count(xor(a.ch[2], bb.ch[2]))
             + bit_count(xor(a.ch[3], bb.ch[3])) + bit_count(xor(a.ch[4], bb.ch[4])) <= 3
-        ORDER BY asset_a, asset_b""")))
+        ORDER BY asset_a, asset_b""")),
+
+    // ----- shot / segment boundary detection (m09) --------------------------
+    // The video-pipeline cut detector: a segment boundary wherever a
+    // frame's feature (here the stub decoder's mean byte — a real decoder
+    // uses luma histograms) jumps by >= 8 from the previous frame. Shape:
+    // the decoded frame stream shuffles ONCE to the asset key; deltas are
+    // a lag window bounded by per-asset frame counts; the report is one
+    // O(assets) aggregate (frame count, segment count, largest jump). The
+    // oracle recomputes frame means from payload bytes with m02's char
+    // arithmetic and replays the same lag — so every per-frame feature
+    // value is hash-checked, boundaries or not.
+    QueryDef(
+      "m09_shot_boundaries",
+      (s, d) => shotBoundaries(assets(s, d)),
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, length(text) AS n,
+                 list_transform(generate_series(1, length(text)),
+                   i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS cs
+          FROM documents WHERE length(text) > 0),
+        fr AS (
+          SELECT doc_id, i,
+                 list_sum(cs[1024 * i + 1 : least(1024 * (i + 1), n)])
+                   // (least(1024 * (i + 1), n) - 1024 * i) AS bmean
+          FROM (SELECT doc_id, n, cs,
+                       unnest(generate_series(0, CAST(ceil(n / 1024.0) AS BIGINT) - 1)) AS i
+                FROM d)),
+        l AS (
+          SELECT doc_id, bmean,
+                 lag(bmean) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+          FROM fr)
+        SELECT doc_id AS asset_id, CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(1 + sum(CASE WHEN prev IS NOT NULL AND abs(bmean - prev) >= 8
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+               CAST(coalesce(max(abs(bmean - prev)), 0) AS BIGINT) AS max_delta
+        FROM l GROUP BY doc_id ORDER BY asset_id""")))
 
   /** 64-bit perceptual difference-hash (dHash family) of an asset, kept as
     * 4 x 16-bit chunks for m08's pigeonhole bucketing. The payload splits
@@ -489,6 +525,25 @@ object Multimodal {
     a.union(a.map(x => MediaAsset(x.asset_id + 1000000L,
       x.payload.map(b => math.min((b & 0xff) + 30, 255).toByte),
       x.media_type, x.n_bytes)))
+  }
+
+  /** The m09 pipeline over an arbitrary asset set: per asset, the decoded
+    * frame count, the number of segments cut wherever the frame mean-byte
+    * feature jumps by >= 8 from the previous frame, and the largest jump.
+    * One shuffle to the asset key; windows bounded by per-asset frames. */
+  def shotBoundaries(a: Dataset[MediaAsset]): DataFrame = {
+    val s = a.sparkSession
+    import s.implicits._
+    val f = a.mapPartitions(_.flatMap(stubDecode)).toDF()
+      .withColumn("bmean", expr("byte_sum div frame_bytes"))
+      .withColumn("prev",
+        lag($"bmean", 1).over(Window.partitionBy($"asset_id").orderBy($"frame_no")))
+      .withColumn("delta", when($"prev".isNotNull, abs($"bmean" - $"prev")))
+    f.groupBy($"asset_id")
+      .agg(count(lit(1)).as("n_frames"),
+        (lit(1L) + sum(when($"delta" >= 8, 1L).otherwise(0L))).as("n_segments"),
+        coalesce(max($"delta"), lit(0L)).as("max_delta"))
+      .orderBy($"asset_id")
   }
 
   /** The m08 pipeline over an arbitrary asset set: (asset_a, asset_b,

@@ -121,6 +121,20 @@ class MultimodalSpec extends SparkSpec {
     assert(!java.util.Arrays.equals(base, brighter))
   }
 
+  test("m09: a planted two-scene payload yields exactly two segments") {
+    import spark.implicits._
+    // frames are 1024 bytes: two "scenes" of two frames each, mean bytes
+    // 50 then 200 -> one boundary at frame 2, max_delta 150
+    val scenes = (Array.fill(2048)(50.toByte) ++ Array.fill(2048)(200.toByte))
+    val flat = Array.fill(4096)(80.toByte)
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, scenes, "image/png", 4096L),
+      Multimodal.MediaAsset(2L, flat, "image/png", 4096L)).toDS()
+    val rows = Multimodal.shotBoundaries(assets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq((1L, 4L, 2L, 150L), (2L, 4L, 1L, 0L)))
+  }
+
   test("m08: dHash kernel matches a direct recomputation and skips empty payloads") {
     val a = Multimodal.MediaAsset(7L, Array.tabulate(130)(i => (i % 251).toByte), "image/png", 130L)
     val Some((id, _, c0, c1, c2, c3)) = Multimodal.dHashChunks(a)

@@ -280,6 +280,22 @@ class SketchSpec extends SparkSpec {
     assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000L)
   }
 
+  test("q90: the EWMA recurrence and anomaly flags recompute exactly from the output") {
+    val rows = SparkEntry.queries("q90_ewma_anomaly")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var e = -1L
+    rows.foreach { r =>
+      val (x, baseline, ewma) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (dev, anom) = (r.getLong(4), r.getBoolean(5))
+      val prev = e
+      assert(baseline === (if (prev < 0) x else prev), "baseline must be the prior ewma")
+      e = if (prev < 0) x else (20 * x + 80 * prev) / 100
+      assert(ewma === e, "integer EWMA recurrence must replay exactly")
+      assert(dev === 1000L * math.abs(x - baseline) / math.max(baseline, 1L))
+      assert(anom === (dev > 500L))
+    }
+  }
+
   test("q84: RFM segments partition the customer base exactly") {
     val rows = SparkEntry.queries("q84_rfm_segmentation")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -839,4 +839,49 @@ class StreamingSpec extends SparkSpec {
       assert(vals.contains("timeout_after_2"), s"got: ${vals.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming EWMA equals the batch recurrence for any split, redelivery is a no-op") {
+    import graft.streaming.StreamEwma
+    import graft.streaming.StreamEwma.{Point, Scored}
+    implicit val sq = spark.sqlContext
+    // two independent per-key hourly series from the fixtures
+    val series: Map[Long, Seq[(Long, Long)]] = Seq("view" -> 1L, "purchase" -> 2L)
+      .map { case (et, k) =>
+        k -> Tables.events(spark, sf).filter($"event_type" === et)
+          .groupBy(unix_timestamp(date_trunc("hour", $"ts")).as("h"))
+          .agg(count(lit(1)).as("x"))
+          .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      }.toMap
+    def expected(pts: Seq[(Long, Long)]): Seq[Scored] = {
+      var e = -1L
+      pts.map { case (t, x) =>
+        val prev = e
+        val baseline = if (prev < 0) x else prev
+        e = if (prev < 0) x else (20 * x + 80 * prev) / 100
+        val dev = 1000L * math.abs(x - baseline) / math.max(baseline, 1L)
+        Scored(t, x, baseline, e, dev, dev > 500L)
+      }
+    }
+    val ms = MemoryStream[Keyed[Point]]
+    val out = StreamEwma.ewmaStream(ms.toDS())
+    val q = out.writeStream.format("memory").queryName("ewma_out")
+      .outputMode("append").start()
+    try {
+      val all = series.toSeq.flatMap { case (k, pts) =>
+        pts.map { case (t, x) => Keyed(k, t, Point(t, x)) }
+      }.sortBy(kp => (kp.value.t, kp.key)) // interleave keys, in order per key
+      val chunks = all.grouped(math.max(1, all.size / 4 + 1)).toSeq
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+      // redelivery: replay an already-processed chunk — nothing new may emit
+      val before = spark.table("ewma_out").count()
+      ms.addData(chunks(1)); q.processAllAvailable()
+      assert(spark.table("ewma_out").count() === before, "replayed chunk must be a no-op")
+      val got = spark.table("ewma_out").as[Keyed[Scored]].collect()
+        .groupBy(_.key).view.mapValues(_.map(_.value).sortBy(_.t).toSeq).toMap
+      series.foreach { case (k, pts) =>
+        assert(got(k) === expected(pts), s"key $k: stream must equal the batch fold")
+        assert(got(k).nonEmpty)
+      }
+    } finally q.stop()
+  }
 }

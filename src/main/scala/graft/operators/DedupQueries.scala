@@ -926,7 +926,74 @@ object DedupQueries {
         WITH pairs AS (${PairSqlNoOrder})
         SELECT doc_a, doc_b, j_milli FROM pairs
         WHERE doc_a % 10 = 7 OR doc_b % 10 = 7
-        ORDER BY doc_a, doc_b""")))
+        ORDER BY doc_a, doc_b""")),
+
+    // ----- fuzzy string join via deletion-neighborhood blocking (d15) -------
+    // Entity-resolution's string seat: all word pairs within edit distance
+    // 1 across the corpus + part-name vocabularies (spelling variants,
+    // typos). Blocking is SymSpell's symmetric-delete trick: each word
+    // emits its n+1 single-deletion keys; ANY two words at Levenshtein
+    // distance <= 1 provably share a key (substitution at i: both delete
+    // i; insertion: the longer word's deletion IS the shorter word, which
+    // emits itself as key 0) — so the equi-join on keys is COMPLETE, never
+    // an all-pairs scan, and candidate fan-out is bounded by word length x
+    // key occupancy. The exact Levenshtein verify then removes false
+    // candidates. Everything runs on the VOCABULARY (distinct words with
+    // corpus counts), which is domain-bounded, not corpus-bounded — the
+    // corpus is scanned once for counts. The oracle is the INDEPENDENT
+    // brute-force formulation (all vocab pairs, levenshtein filter), so
+    // blocked and exhaustive algorithms must agree exactly (d02-vs-d03's
+    // discipline).
+    QueryDef(
+      "d15_fuzzy_wordjoin",
+      (s, d) => {
+        import s.implicits._
+        val docWords = Tables.documents(s, d)
+          .select(explode(TextFns.tokens($"text")).as("w"))
+        val partWords = Tables.part(s, d)
+          .select(explode(split(lower($"p_name"), " ")).as("w"))
+        val vocab = docWords.unionByName(partWords)
+          .filter(length($"w") >= 3 && $"w".rlike("^[a-z]+$"))
+          .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        fuzzyWordPairs(vocab)
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT unnest(string_split_regex(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+          FROM documents
+          UNION ALL
+          SELECT unnest(string_split(lower(p_name), ' ')) AS w FROM part),
+        vocab AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS cnt
+          FROM w
+          WHERE length(w) >= 3 AND regexp_matches(w, '^[a-z]+$')
+          GROUP BY w)
+        SELECT a.w AS word_a, b.w AS word_b, a.cnt AS cnt_a, b.cnt AS cnt_b
+        FROM vocab a JOIN vocab b ON a.w < b.w
+        WHERE levenshtein(a.w, b.w) <= 1
+        ORDER BY word_a, word_b""")))
+
+  /** Fuzzy word join (d15), exposed as a library call over any vocabulary
+    * `(w: string, cnt: long)`: all pairs within Levenshtein distance 1,
+    * with their corpus counts, found by SymSpell symmetric-delete blocking
+    * + exact verify — complete for distance <= 1 by the deletion-key
+    * argument in the d15 QueryDef scaladoc, and vocabulary-bounded at any
+    * corpus size. */
+  def fuzzyWordPairs(vocab: DataFrame): DataFrame = {
+    val keys = vocab.select(col("w"), col("cnt"), explode(expr(
+      """transform(sequence(0, length(w)),
+           i -> if(i = 0, w,
+                   concat(substring(w, 1, i - 1),
+                          substring(w, i + 1, length(w) - i))))""")).as("k"))
+    val a = keys.select(col("k"), col("w").as("word_a"), col("cnt").as("cnt_a"))
+    val b = keys.select(col("k"), col("w").as("word_b"), col("cnt").as("cnt_b"))
+    a.join(b, Seq("k"))
+      .filter(col("word_a") < col("word_b"))
+      .select(col("word_a"), col("word_b"), col("cnt_a"), col("cnt_b"))
+      .distinct() // vocab^2-bounded candidate pairs, never corpus-sized
+      .filter(levenshtein(col("word_a"), col("word_b")) <= 1)
+      .orderBy(col("word_a"), col("word_b"))
+  }
 
   /** Incremental near-dup mining: all near-dup pairs touching the docs
     * selected by `isNew` (a predicate over doc_id) — new-vs-history plus

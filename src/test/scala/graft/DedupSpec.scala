@@ -171,4 +171,34 @@ class DedupSpec extends SparkSpec {
     assert(inc === expected)
     assert(inc.nonEmpty)
   }
+
+  test("d15 fuzzy join: deletion blocking equals brute force on every edit type") {
+    import spark.implicits._
+    // one planted variant per edit kind, plus distance-2 words that must
+    // NOT pair: blocked result == brute-force all-pairs levenshtein <= 1
+    val words = Seq(
+      "spark" -> 100L, "spork" -> 2L,   // substitution
+      "sparky" -> 3L,                   // insertion (vs spark)
+      "spak" -> 1L,                     // deletion (vs spark)
+      "table" -> 50L, "cable" -> 40L,   // substitution pair
+      "zzzz" -> 9L)                     // isolated
+      .toDF("w", "cnt")
+    val blocked = DedupQueries.fuzzyWordPairs(words)
+      .select($"word_a", $"word_b").as[(String, String)].collect().toSet
+    val vocab = words.select($"w").as[String].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      a <- vocab; b <- vocab if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(blocked === brute)
+    assert(blocked === Set(("spak", "spark"), ("spark", "spork"),
+      ("spark", "sparky"), ("cable", "table")))
+  }
 }

@@ -1784,7 +1784,64 @@ object ExtraRelationalQueries {
         SELECT t1 AS n_1995, t2 AS n_1996, ks AS ks_milli,
                CAST(min(v) AS BIGINT) AS at_value
         FROM m WHERE diff = ks
-        GROUP BY t1, t2, ks""")))
+        GROUP BY t1, t2, ks""")),
+
+    // ----- isotonic regression / monotone calibration (q91) -----------------
+    // The score-calibration seat (Platt/isotonic, reward-model and ranker
+    // calibration): fit the best NONDECREASING curve of average order
+    // value against order frequency, by weighted least squares — the
+    // pool-adjacent-violators (PAVA) fit. Shape: ONE corpus agg to the
+    // O(distinct frequency) series of exact integer (weight, cents-sum)
+    // pairs; the inherently sequential PAVA stack fold runs as a
+    // single-task kernel over that series (violator comparisons are exact
+    // long cross-products, never float). The oracle is the INDEPENDENT
+    // minimax closed form iso_i = max_{j<=i} min_{k>=i} mean(y[j..k]) —
+    // interval sums are integers exact in double, so both formulations
+    // floor to identical millis. (At >2^53 total cents the cross-products
+    // and oracle doubles both need widening — documented, fixture-safe.)
+    QueryDef(
+      "q91_isotonic_calibration",
+      (s, d) => {
+        import s.implicits._
+        val ser = Tables.orders(s, d)
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("f"),
+            sum(floor($"o_totalprice" * 100).cast("long")).as("c"))
+          .groupBy($"f")
+          .agg(count(lit(1)).as("w"), sum($"c").as("sc"))
+        isotonicFit(ser)
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT o_custkey, CAST(count(*) AS BIGINT) AS f,
+                 CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS c
+          FROM orders GROUP BY o_custkey),
+        ser AS (
+          SELECT f, CAST(count(*) AS BIGINT) AS w, CAST(sum(c) AS BIGINT) AS sc
+          FROM per GROUP BY f),
+        idx AS (
+          SELECT f, w, sc,
+                 CAST(row_number() OVER (ORDER BY f) AS BIGINT) AS i,
+                 CAST(sum(w) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+                 CAST(sum(sc) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+          FROM ser),
+        -- all interval means (j..k), j and k 1-based series indexes
+        iv AS (
+          SELECT j.i AS j, k.i AS k,
+                 CAST(k.cs - (j.cs - j.sc) AS DOUBLE) /
+                 CAST(k.cw - (j.cw - j.w) AS DOUBLE) AS m
+          FROM idx j JOIN idx k ON j.i <= k.i),
+        -- minimax: iso_i = max over j<=i of (min over k>=i of mean(j..k))
+        mn AS (
+          SELECT a.i, iv.j, min(iv.m) AS mn
+          FROM idx a JOIN iv ON iv.j <= a.i AND iv.k >= a.i
+          GROUP BY a.i, iv.j),
+        iso AS (SELECT i, max(mn) AS iso_val FROM mn GROUP BY i)
+        SELECT idx.f, idx.w,
+               CAST(floor(1000 * CAST(idx.sc AS DOUBLE) / CAST(idx.w AS DOUBLE)) AS BIGINT) AS raw_milli,
+               CAST(floor(1000 * iso.iso_val) AS BIGINT) AS iso_milli
+        FROM idx JOIN iso USING (i)
+        ORDER BY f""")))
 
   /** Per-group OLS fit from sufficient statistics (q76), exposed as a
     * library call over any (seg, x, y) integer frame: one hash agg of the
@@ -1939,6 +1996,51 @@ object ExtraRelationalQueries {
         }
       }
       .toDF("t", "d_events", "n_at_risk", "surv_milli").orderBy(col("t"))
+  }
+
+  /** Weighted isotonic regression (q91), exposed as a library call over an
+    * aggregated series `(f: long, w: long, sc: long)` — x value, weight
+    * (count), and exact integer y-sum: returns one row per x with the raw
+    * mean and the pool-adjacent-violators (PAVA) nondecreasing fit, both
+    * floored to millis. Violator detection compares block means as exact
+    * long cross-products (S1*W2 > S2*W1), never floats; the final block
+    * mean is one double division per block (exact-integer operands). The
+    * fold is inherently sequential and runs as a single-task kernel over
+    * the O(distinct x) series — constant-size at any corpus scale. */
+  def isotonicFit(ser: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = ser.sparkSession
+    import s.implicits._
+    ser.select(col("f"), col("w"), col("sc")).as[(Long, Long, Long)]
+      .coalesce(1).sortWithinPartitions(col("f"))
+      .mapPartitions { it =>
+        val pts = it.toArray
+        // PAVA: stack of merged blocks (startIdx, weight, sum)
+        val st = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+        pts.zipWithIndex.foreach { case ((_, w, sc), i) =>
+          var blk = (i, w, sc)
+          while (st.nonEmpty && {
+            val (_, pw, ps) = st.last
+            // violator iff mean(prev) > mean(new): ps/pw > bs/bw
+            ps * blk._2 > blk._3 * pw
+          }) {
+            val (pi, pw, ps) = st.remove(st.length - 1)
+            blk = (pi, pw + blk._2, ps + blk._3)
+          }
+          st += blk
+        }
+        val iso = new Array[Long](pts.length)
+        st.foreach { case (start, w, sum) =>
+          val v = math.floor(1000.0 * sum.toDouble / w.toDouble).toLong
+          var i = start
+          val end = st.find(_._1 > start).map(_._1).getOrElse(pts.length)
+          while (i < end) { iso(i) = v; i += 1 }
+        }
+        pts.zipWithIndex.iterator.map { case ((f, w, sc), i) =>
+          (f, w, math.floor(1000.0 * sc.toDouble / w.toDouble).toLong, iso(i))
+        }
+      }
+      .toDF("f", "w", "raw_milli", "iso_milli")
+      .orderBy(col("f"))
   }
 
   /** Two-sample Kolmogorov-Smirnov statistic (q88), exposed as a library

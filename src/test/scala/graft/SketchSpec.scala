@@ -296,6 +296,34 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q91 isotonicFit: equals brute-force minimax, is monotone, keeps monotone data") {
+    import operators.ExtraRelationalQueries.isotonicFit
+    val rnd = new scala.util.Random(23)
+    val ser = (1L to 15L).map(f => (f, 1L + rnd.nextInt(5).toLong,
+      (rnd.nextInt(10000) + 1).toLong))
+    val got = isotonicFit(ser.toDF("f", "w", "sc")).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    // monotone nondecreasing
+    got.sliding(2).foreach { case Array((_, a), (_, b)) => assert(a <= b); case _ => }
+    // brute-force minimax: iso_i = max_{j<=i} min_{k>=i} mean(j..k)
+    val n = ser.length
+    def mean(j: Int, k: Int): Double = {
+      val slice = ser.slice(j, k + 1)
+      slice.map(_._3).sum.toDouble / slice.map(_._2).sum.toDouble
+    }
+    val minimax = (0 until n).map { i =>
+      (0 to i).map(j => (i until n).map(k => mean(j, k)).min).max
+    }
+    got.zipWithIndex.foreach { case ((_, iso), i) =>
+      assert(iso === math.floor(1000 * minimax(i)).toLong, s"at index $i")
+    }
+    // already-monotone data passes through untouched
+    val mono = (1L to 8L).map(f => (f, 2L, 1000L * f * 2L))
+    val flat = isotonicFit(mono.toDF("f", "w", "sc")).collect()
+    flat.foreach(r => assert(r.getLong(3) === r.getLong(2),
+      "monotone input must be its own isotonic fit"))
+  }
+
   test("q84: RFM segments partition the customer base exactly") {
     val rows = SparkEntry.queries("q84_rfm_segmentation")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -978,7 +978,14 @@ object DedupQueries {
     * with their corpus counts, found by SymSpell symmetric-delete blocking
     * + exact verify — complete for distance <= 1 by the deletion-key
     * argument in the d15 QueryDef scaladoc, and vocabulary-bounded at any
-    * corpus size. */
+    * corpus size.
+    *
+    * Example (substitution pairs; "zzzz" is isolated):
+    * {{{
+    *   val v = Seq(("red", 10L), ("rod", 3L), ("zzzz", 1L)).toDF("w", "cnt")
+    *   DedupQueries.fuzzyWordPairs(v).select("word_a", "word_b").as[(String, String)]
+    *     .collect()  // Array(("red", "rod"))
+    * }}} */
   def fuzzyWordPairs(vocab: DataFrame): DataFrame = {
     val keys = vocab.select(col("w"), col("cnt"), explode(expr(
       """transform(sequence(0, length(w)),

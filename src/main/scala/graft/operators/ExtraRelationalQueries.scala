@@ -2006,7 +2006,14 @@ object ExtraRelationalQueries {
     * long cross-products (S1*W2 > S2*W1), never floats; the final block
     * mean is one double division per block (exact-integer operands). The
     * fold is inherently sequential and runs as a single-task kernel over
-    * the O(distinct x) series — constant-size at any corpus scale. */
+    * the O(distinct x) series — constant-size at any corpus scale.
+    *
+    * Example (the violating middle point pools with its left neighbor):
+    * {{{
+    *   val ser = Seq((1L, 1L, 4000L), (2L, 1L, 2000L), (3L, 1L, 9000L)).toDF("f", "w", "sc")
+    *   ExtraRelationalQueries.isotonicFit(ser).select("iso_milli").as[Long].collect()
+    *   // Array(3000000, 3000000, 9000000)
+    * }}} */
   def isotonicFit(ser: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = ser.sparkSession
     import s.implicits._
@@ -2049,7 +2056,13 @@ object ExtraRelationalQueries {
     * row (n_a, n_b, ks_milli, at_value) where ks_milli = max over v of
     * |cdfA - cdfB| with each CDF quantized to exact integer millis before
     * the difference, and at_value is the smallest v attaining the max.
-    * All windows run over the O(support) table, never raw rows. */
+    * All windows run over the O(support) table, never raw rows.
+    *
+    * Example (A all below B: D = 1000 at A's top value):
+    * {{{
+    *   val sup = Seq((1L, 4L, 0L), (2L, 6L, 0L), (10L, 0L, 5L)).toDF("v", "c1", "c2")
+    *   ExtraRelationalQueries.ksReport(sup).show()  // ks_milli=1000, at_value=2
+    * }}} */
   def ksReport(sup: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val wall = Window.partitionBy(lit(1))
     sup

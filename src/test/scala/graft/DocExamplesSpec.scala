@@ -116,4 +116,25 @@ class DocExamplesSpec extends SparkSpec {
       .select($"t", $"surv_milli").as[(Long, Long)].collect().toSeq ===
       Seq((1L, 333L), (2L, 0L)))
   }
+
+  test("ExtraRelationalQueries.ksReport scaladoc example") {
+    import graft.operators.ExtraRelationalQueries
+    val sup = Seq((1L, 4L, 0L), (2L, 6L, 0L), (10L, 0L, 5L)).toDF("v", "c1", "c2")
+    val r = ExtraRelationalQueries.ksReport(sup).head()
+    assert(r.getLong(2) === 1000L && r.getLong(3) === 2L)
+  }
+
+  test("ExtraRelationalQueries.isotonicFit scaladoc example") {
+    import graft.operators.ExtraRelationalQueries
+    val ser = Seq((1L, 1L, 4000L), (2L, 1L, 2000L), (3L, 1L, 9000L)).toDF("f", "w", "sc")
+    assert(ExtraRelationalQueries.isotonicFit(ser)
+      .select("iso_milli").as[Long].collect().toSeq ===
+      Seq(3000000L, 3000000L, 9000000L))
+  }
+
+  test("DedupQueries.fuzzyWordPairs scaladoc example") {
+    val v = Seq(("red", 10L), ("rod", 3L), ("zzzz", 1L)).toDF("w", "cnt")
+    assert(DedupQueries.fuzzyWordPairs(v).select("word_a", "word_b")
+      .as[(String, String)].collect().toSeq === Seq(("red", "rod")))
+  }
 }

@@ -1841,7 +1841,78 @@ object ExtraRelationalQueries {
                CAST(floor(1000 * CAST(idx.sc AS DOUBLE) / CAST(idx.w AS DOUBLE)) AS BIGINT) AS raw_milli,
                CAST(floor(1000 * iso.iso_val) AS BIGINT) AS iso_milli
         FROM idx JOIN iso USING (i)
-        ORDER BY f""")))
+        ORDER BY f""")),
+
+    // ----- MAD robust outlier report (q92) ----------------------------------
+    // q73 winsorizes against fixed percentiles; this is the robust
+    // Z-SCORE: per group, the median and the median absolute deviation
+    // (MAD — breakdown point 50%, unlike stddev's 0), then each row's
+    // robust z = |x - median| / MAD in millis and the count beyond 3.5
+    // (the Iglewicz-Hoban cut; the 1.4826 normal-consistency factor is
+    // deliberately NOT folded in — the threshold is on raw MAD units,
+    // identical on both engines). Both medians come from the shared
+    // two-level range-partition selection (q45/q73) — constant-size
+    // windows at any scale; the MAD pass runs on the deviation HISTOGRAM,
+    // never a second raw sort. Everything is exact integer cents.
+    QueryDef(
+      "q92_mad_outliers",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val cents = floor($"l_extendedprice" * 100).cast("long")
+        val med = percentileDiscTwoLevel(li, $"l_returnflag", cents, Seq(0.5))
+          .select($"st", $"c".as("med_c"))
+        val dev = li.select($"l_returnflag".as("st"), cents.as("c"))
+          .join(broadcast(med), Seq("st"))
+          .withColumn("ad", abs($"c" - $"med_c"))
+        val mad = percentileDiscTwoLevel(dev, $"st", $"ad", Seq(0.5))
+          .select($"st", $"c".as("mad_c"))
+        dev.join(broadcast(mad), Seq("st"))
+          .withColumn("rz_milli", expr("(1000 * ad) div greatest(mad_c, 1)"))
+          .groupBy($"st")
+          .agg(count(lit(1)).as("n"),
+            first($"med_c").as("median_c"), first($"mad_c").as("mad_c"),
+            sum(when($"rz_milli" > 3500, 1L).otherwise(0L)).as("n_outliers"),
+            max($"rz_milli").as("max_rz_milli"))
+          .select($"st".as("l_returnflag"), $"n", $"median_c", $"mad_c",
+            $"n_outliers", $"max_rz_milli")
+          .orderBy($"l_returnflag")
+      },
+      oracle = Some("""
+        WITH hist AS (
+          SELECT l_returnflag AS st, CAST(floor(l_extendedprice * 100) AS BIGINT) AS c,
+                 CAST(count(*) AS BIGINT) AS hn
+          FROM lineitem GROUP BY 1, 2),
+        cd AS (
+          SELECT st, c,
+                 CAST(sum(hn) OVER (PARTITION BY st ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 / CAST(sum(hn) OVER (PARTITION BY st) AS BIGINT) AS d
+          FROM hist),
+        med AS (SELECT st, CAST(min(CASE WHEN d >= 0.5 THEN c END) AS BIGINT) AS med_c
+                FROM cd GROUP BY st),
+        dh AS (
+          SELECT h.st, abs(c - med_c) AS ad, CAST(sum(hn) AS BIGINT) AS hn
+          FROM hist h JOIN med USING (st)
+          GROUP BY h.st, abs(c - med_c)),
+        cd2 AS (
+          SELECT st, ad,
+                 CAST(sum(hn) OVER (PARTITION BY st ORDER BY ad
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 / CAST(sum(hn) OVER (PARTITION BY st) AS BIGINT) AS d
+          FROM dh),
+        mad AS (SELECT st, CAST(min(CASE WHEN d >= 0.5 THEN ad END) AS BIGINT) AS mad_c
+                FROM cd2 GROUP BY st),
+        rep AS (
+          SELECT d2.st, d2.hn, me.med_c, m.mad_c,
+                 (1000 * d2.ad) // greatest(m.mad_c, 1) AS rz
+          FROM dh d2 JOIN mad m USING (st) JOIN med me USING (st))
+        SELECT st AS l_returnflag, CAST(sum(hn) AS BIGINT) AS n,
+               med_c AS median_c, mad_c,
+               CAST(sum(CASE WHEN rz > 3500 THEN hn ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(max(rz) AS BIGINT) AS max_rz_milli
+        FROM rep GROUP BY st, med_c, mad_c
+        ORDER BY l_returnflag""")))
 
   /** Per-group OLS fit from sufficient statistics (q76), exposed as a
     * library call over any (seg, x, y) integer frame: one hash agg of the

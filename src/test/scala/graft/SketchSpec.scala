@@ -324,6 +324,30 @@ class SketchSpec extends SparkSpec {
       "monotone input must be its own isotonic fit"))
   }
 
+  test("q92: median, MAD and outlier counts match a brute-force recomputation") {
+    val rows = SparkEntry.queries("q92_mad_outliers")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val data = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", floor($"l_extendedprice" * 100).cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    def disc(xs: Array[Long]): Long = {
+      val s = xs.sorted
+      s(math.ceil(s.length * 0.5).toInt - 1) // min value with cum/n >= 0.5
+    }
+    rows.foreach { r =>
+      val vals = data(r.getString(0)).map(_._2)
+      val med = disc(vals)
+      val ads = vals.map(v => math.abs(v - med))
+      val mad = disc(ads)
+      val rzs = ads.map(ad => 1000L * ad / math.max(mad, 1L))
+      assert(r.getLong(1) === vals.length.toLong)
+      assert(r.getLong(2) === med, "median")
+      assert(r.getLong(3) === mad, "MAD")
+      assert(r.getLong(4) === rzs.count(_ > 3500L).toLong, "outliers")
+      assert(r.getLong(5) === rzs.max, "max robust z")
+    }
+  }
+
   test("q84: RFM segments partition the customer base exactly") {
     val rows = SparkEntry.queries("q84_rfm_segmentation")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -1912,7 +1912,103 @@ object ExtraRelationalQueries {
                CAST(sum(CASE WHEN rz > 3500 THEN hn ELSE 0 END) AS BIGINT) AS n_outliers,
                CAST(max(rz) AS BIGINT) AS max_rz_milli
         FROM rep GROUP BY st, med_c, mad_c
-        ORDER BY l_returnflag""")))
+        ORDER BY l_returnflag""")),
+
+    // ----- cohort lifetime value via keyed Kaplan-Meier (q93) ---------------
+    // q85's curve per acquisition cohort, reduced to the number LTV models
+    // consume: expected lifetime = the area under each cohort's survival
+    // step curve (sum of interval-length x S-before, exact week-millis).
+    // The keyed variant runs every per-cohort series fold IN PARALLEL
+    // (flatMapGroups — cohorts partition the work; each group's series is
+    // O(distinct weeks)); at-risk counts are cohort-partitioned windows.
+    // Zero-churn cohorts surface with S=1000 and zero area via the size
+    // join, not silent absence. The oracle replays the identical
+    // (S, area, d) recurrence as ONE cohort-keyed recursive CTE.
+    QueryDef(
+      "q93_cohort_ltv",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.orders(s, d)
+          .groupBy($"o_custkey")
+          .agg(min($"o_orderdate").as("first_ts"), max($"o_orderdate").as("last_ts"))
+        val wall = Window.partitionBy(lit(1))
+        val lab = per
+          .withColumn("end_ts", max($"last_ts").over(wall))
+          .select(date_trunc("quarter", $"first_ts").as("cohort"),
+            expr("CAST(datediff(last_ts, first_ts) div 7 AS BIGINT)").as("t"),
+            (datediff($"end_ts", $"last_ts") > 90).as("churned"))
+        val ser = lab.groupBy($"cohort", $"t")
+          .agg(sum(when($"churned", 1L).otherwise(0L)).as("d"), count(lit(1)).as("m"))
+        val wrev = Window.partitionBy($"cohort").orderBy($"t".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ev = ser.withColumn("n_at_risk", sum($"m").over(wrev))
+          .filter($"d" > 0)
+          .select($"cohort", $"t", $"d", $"n_at_risk")
+          .as[(java.sql.Timestamp, Long, Long, Long)]
+        val folded = ev.groupByKey(_._1).flatMapGroups { (cohort, it) =>
+          val rows = it.toArray.sortBy(_._2)
+          var sm = 1000L; var prevT = 0L; var area = 0L; var churned = 0L
+          rows.foreach { case (_, t, dd, n) =>
+            area += (t - prevT) * sm
+            sm = (sm * (n - dd)) / n
+            prevT = t; churned += dd
+          }
+          Iterator((cohort, churned, sm, area))
+        }.toDF("cohort", "n_churned", "final_surv_milli", "area")
+        lab.groupBy($"cohort").agg(count(lit(1)).as("n_customers"))
+          .join(folded, Seq("cohort"), "left")
+          .select($"cohort", $"n_customers",
+            coalesce($"n_churned", lit(0L)).as("n_churned"),
+            coalesce($"final_surv_milli", lit(1000L)).as("final_surv_milli"),
+            coalesce($"area", lit(0L)).as("exp_lifetime_week_milli"))
+          .orderBy($"cohort")
+      },
+      oracle = Some("""
+        WITH RECURSIVE per AS (
+          SELECT o_custkey, min(o_orderdate) AS first_ts, max(o_orderdate) AS last_ts
+          FROM orders GROUP BY o_custkey),
+        lab AS (
+          SELECT date_trunc('quarter', first_ts) AS cohort,
+                 date_diff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE)) // 7 AS t,
+                 date_diff('day', CAST(last_ts AS DATE),
+                   CAST((SELECT max(last_ts) FROM per) AS DATE)) > 90 AS churned
+          FROM per),
+        ser AS (
+          SELECT cohort, t, CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS m
+          FROM lab GROUP BY cohort, t),
+        ev AS (
+          SELECT cohort, CAST(row_number() OVER (PARTITION BY cohort ORDER BY t) AS BIGINT) AS i,
+                 t, d, n_at_risk
+          FROM (SELECT cohort, t, d,
+                  CAST(sum(m) OVER (PARTITION BY cohort ORDER BY t DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+                FROM ser)
+          WHERE d > 0),
+        rec AS (
+          SELECT cohort, i, t,
+                 CAST((1000 * (n_at_risk - d)) // n_at_risk AS BIGINT) AS s,
+                 CAST(t * 1000 AS BIGINT) AS area,
+                 d AS cum_d
+          FROM ev WHERE i = 1
+          UNION ALL
+          SELECT e.cohort, e.i, e.t,
+                 (r.s * (e.n_at_risk - e.d)) // e.n_at_risk,
+                 r.area + (e.t - r.t) * r.s,
+                 r.cum_d + e.d
+          FROM rec r JOIN ev e ON e.cohort = r.cohort AND e.i = r.i + 1),
+        fin AS (
+          SELECT r.cohort, r.cum_d, r.s, r.area
+          FROM rec r JOIN (SELECT cohort, max(i) AS mi FROM ev GROUP BY cohort) l
+            ON r.cohort = l.cohort AND r.i = l.mi),
+        sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+                  FROM lab GROUP BY cohort)
+        SELECT sizes.cohort, n_customers,
+               CAST(coalesce(cum_d, 0) AS BIGINT) AS n_churned,
+               CAST(coalesce(s, 1000) AS BIGINT) AS final_surv_milli,
+               CAST(coalesce(area, 0) AS BIGINT) AS exp_lifetime_week_milli
+        FROM sizes LEFT JOIN fin USING (cohort)
+        ORDER BY cohort""")))
 
   /** Per-group OLS fit from sufficient statistics (q76), exposed as a
     * library call over any (seg, x, y) integer frame: one hash agg of the

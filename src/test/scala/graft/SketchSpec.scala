@@ -348,6 +348,42 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q93: cohort LTV matches a brute-force keyed KM recomputation") {
+    val rows = SparkEntry.queries("q93_cohort_ltv")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val per = Tables.orders(spark, sf).groupBy($"o_custkey")
+      .agg(min($"o_orderdate").as("f"), max($"o_orderdate").as("l"))
+      .select(date_trunc("quarter", $"f").cast("string").as("cohort"),
+        expr("CAST(datediff(l, f) div 7 AS BIGINT)").as("t"),
+        expr("datediff(l, DATE '1970-01-01')").cast("long").as("lday"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val endDay = per.map(_._3).max
+    val labeled = per.map { case (c, t, lday) => (c, t, endDay - lday > 90) }
+    assert(rows.map(_.getLong(1)).sum === labeled.length.toLong, "cohorts partition customers")
+    // cohorts compared positionally: both sides sorted by cohort quarter
+    val expected = labeled.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, members) =>
+      val ser = members.groupBy(_._2).map { case (t, xs) =>
+        (t, xs.count(_._3).toLong, xs.length.toLong) }.toSeq.sortBy(_._1)
+      var sm = 1000L; var prevT = 0L; var area = 0L; var churned = 0L
+      ser.foreach { case (t, d, _) =>
+        if (d > 0) {
+          val atRisk = ser.filter(_._1 >= t).map(_._3).sum
+          area += (t - prevT) * sm
+          sm = (sm * (atRisk - d)) / atRisk
+          prevT = t; churned += d
+        }
+      }
+      (members.length.toLong, churned, sm, area)
+    }
+    assert(rows.length === expected.length)
+    rows.zip(expected).foreach { case (r, (n, churned, sm, area)) =>
+      assert(r.getLong(1) === n, "cohort size")
+      assert(r.getLong(2) === churned, "churned")
+      assert(r.getLong(3) === sm, "final S")
+      assert(r.getLong(4) === area, "area")
+    }
+  }
+
   test("q84: RFM segments partition the customer base exactly") {
     val rows = SparkEntry.queries("q84_rfm_segmentation")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -2008,7 +2008,58 @@ object ExtraRelationalQueries {
                CAST(coalesce(s, 1000) AS BIGINT) AS final_surv_milli,
                CAST(coalesce(area, 0) AS BIGINT) AS exp_lifetime_week_milli
         FROM sizes LEFT JOIN fin USING (cohort)
-        ORDER BY cohort""")))
+        ORDER BY cohort""")),
+
+    // ----- Benford first-digit audit (q94) ----------------------------------
+    // The forensic-accounting screen: natural amount distributions follow
+    // Benford's law (P(d) = log10(1 + 1/d)); fabricated or capped data
+    // does not. Per leading digit of the integer order value: observed vs
+    // expected share (expected log-millis carried as the same 9 literals
+    // on both engines — no libm at query time) and the chi-square
+    // contribution in exact integer micros, q75's floor-before-sum
+    // recipe. ONE hash agg to 9 rows; digits with zero observations
+    // surface explicitly through the expected-table left join. (Deviation
+    // squares need widening past ~10^9 rows per digit — q75's documented
+    // bound.)
+    QueryDef(
+      "q94_benford_audit",
+      (s, d) => {
+        import s.implicits._
+        val digits = Tables.orders(s, d)
+          .select(substring(floor($"o_totalprice").cast("long").cast("string"), 1, 1)
+            .cast("long").as("dg"))
+          .groupBy($"dg").agg(count(lit(1)).as("nd"))
+        val expTab = Seq((1L, 301L), (2L, 176L), (3L, 124L), (4L, 96L), (5L, 79L),
+          (6L, 66L), (7L, 57L), (8L, 51L), (9L, 45L)).toDF("dg", "exp_milli")
+        val wall = Window.partitionBy(lit(1))
+        expTab.join(digits, Seq("dg"), "left")
+          .withColumn("nd", coalesce($"nd", lit(0L)))
+          .withColumn("n", sum($"nd").over(wall))
+          .withColumn("ed", expr("(n * exp_milli) div 1000"))
+          .select($"dg", $"nd",
+            expr("(1000 * nd) div n").as("obs_milli"), $"exp_milli",
+            expr("(1000000 * (nd - ed) * (nd - ed)) div greatest(ed, 1)").as("chi2_micro"))
+          .orderBy($"dg")
+      },
+      oracle = Some("""
+        WITH digits AS (
+          SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS dg,
+                 CAST(count(*) AS BIGINT) AS nd
+          FROM orders GROUP BY 1),
+        expected(dg, exp_milli) AS (VALUES
+          (CAST(1 AS BIGINT), CAST(301 AS BIGINT)), (2, 176), (3, 124), (4, 96),
+          (5, 79), (6, 66), (7, 57), (8, 51), (9, 45)),
+        j AS (
+          SELECT e.dg, CAST(coalesce(d.nd, 0) AS BIGINT) AS nd, e.exp_milli
+          FROM expected e LEFT JOIN digits d ON e.dg = d.dg),
+        t AS (
+          SELECT *, CAST(sum(nd) OVER () AS BIGINT) AS n FROM j),
+        f AS (
+          SELECT *, (n * exp_milli) // 1000 AS ed FROM t)
+        SELECT dg, nd, (1000 * nd) // n AS obs_milli, exp_milli,
+               (1000000 * (nd - ed) * (nd - ed)) // greatest(ed, 1) AS chi2_micro
+        FROM f
+        ORDER BY dg""")))
 
   /** Per-group OLS fit from sufficient statistics (q76), exposed as a
     * library call over any (seg, x, y) integer frame: one hash agg of the

@@ -384,6 +384,22 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q94: digit counts conserve the table and chi2 recomputes exactly") {
+    val rows = SparkEntry.queries("q94_benford_audit")(spark, sf).collect()
+    assert(rows.length === 9)
+    val n = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === n, "digit histogram must conserve orders")
+    val counts = Tables.orders(spark, sf)
+      .select(floor($"o_totalprice").cast("long")).as[Long].collect()
+      .groupBy(_.toString.head.asDigit.toLong).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val (dg, nd, exp) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(nd === counts.getOrElse(dg, 0L), s"digit $dg count")
+      val ed = n * exp / 1000L
+      assert(r.getLong(4) === 1000000L * (nd - ed) * (nd - ed) / math.max(ed, 1L))
+    }
+  }
+
   test("q84: RFM segments partition the customer base exactly") {
     val rows = SparkEntry.queries("q84_rfm_segmentation")(spark, sf).collect()
     assert(rows.nonEmpty)

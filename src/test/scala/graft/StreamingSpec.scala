@@ -884,4 +884,49 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming token-bucket quota equals the batch replay; replays decide nothing twice") {
+    import graft.streaming.StreamQuota
+    import graft.streaming.StreamQuota.{Decision, Request}
+    implicit val sq = spark.sqlContext
+    val cap = 10L; val refill = 2L
+    // key 1: a burst that drains the bucket, then recovery; key 2: steady
+    val reqs = Map(
+      1L -> Seq(Request(1, 100, 4), Request(2, 100, 4), Request(3, 100, 4), // 3rd rejected
+        Request(4, 103, 8),  // refilled 6 -> 8 admitted? 2+6=8 >= 8 admit
+        Request(5, 103, 1)), // 0 tokens -> reject
+      2L -> Seq(Request(1, 100, 1), Request(2, 150, 10), Request(3, 151, 10)))
+    def replay(rs: Seq[Request]): Seq[Decision] = {
+      var tokens = cap; var lastT = Long.MinValue
+      rs.map { r =>
+        val refilled = if (lastT == Long.MinValue) cap
+          else math.min(cap, tokens + math.max(0L, r.t - lastT) * refill)
+        val admitted = refilled >= r.cost
+        tokens = if (admitted) refilled - r.cost else refilled
+        lastT = math.max(lastT, r.t)
+        Decision(r.seq, r.t, r.cost, tokens, admitted)
+      }
+    }
+    val ms = MemoryStream[Keyed[Request]]
+    val out = StreamQuota.quotaStream(ms.toDS(), cap, refill)
+    val q = out.writeStream.format("memory").queryName("quota_out")
+      .outputMode("append").start()
+    try {
+      val all = reqs.toSeq.flatMap { case (k, rs) => rs.map(r => Keyed(k, r.seq, r)) }
+        .sortBy(kr => (kr.value.seq, kr.key))
+      val chunks = all.grouped(3).toSeq
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+      val before = spark.table("quota_out").count()
+      ms.addData(chunks.head); q.processAllAvailable()
+      assert(spark.table("quota_out").count() === before, "replay must decide nothing")
+      val got = spark.table("quota_out").as[Keyed[Decision]].collect()
+        .groupBy(_.key).view.mapValues(_.map(_.value).sortBy(_.seq).toSeq).toMap
+      reqs.foreach { case (k, rs) =>
+        assert(got(k) === replay(rs), s"key $k must match the batch replay")
+      }
+      // the burst shape actually exercised both outcomes
+      assert(got(1L).map(_.admitted) === Seq(true, true, false, true, false))
+      assert(got(2L).map(_.admitted) === Seq(true, true, false))
+    } finally q.stop()
+  }
 }

@@ -124,8 +124,11 @@ object TextFns {
 
   /** Predicted language by max stopword hits with the deterministic
     * tie-break order above. */
-  def langId(c: Column): Column = {
-    val t = tokens(c)
+  def langId(c: Column): Column = langIdTokens(tokens(c))
+
+  /** [[langId]] over an already-tokenized array — lets chunk-level callers
+    * (t35 code-switch detection) score token windows without re-splitting. */
+  def langIdTokens(t: Column): Column = {
     val scores = StopwordSets.map { case (l, ws) => (l, stopwordHits(t, ws)) }
     // lang whose score is >= all later langs' scores, first wins
     scores.init.zipWithIndex.foldRight(lit(scores.last._1): Column) {

@@ -1667,7 +1667,70 @@ object TextQueries {
                (1000 * (CAST(sum(cnt * len) AS BIGINT) - CAST(sum(len) AS BIGINT)))
                  // CAST(sum(cnt * len) AS BIGINT) AS reclaim_milli,
                CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fps
-        FROM fps""")))
+        FROM fps""")),
+
+    // ----- code-switch / mixed-language detection (t35) ---------------------
+    // Document-level language ID (t01) calls a document one language; real
+    // multilingual corpora interleave languages WITHIN documents, and
+    // mixed docs poison monolingual training buckets. Here each doc is
+    // scored in 50-token windows (the same stopword vote as t01, applied
+    // per chunk via langIdTokens), the dominant chunk language is the
+    // explicit-tie-order mode, and a doc is "mixed" when a minority
+    // language holds more than 20% of its chunks. Everything is per-doc
+    // bounded (chunk explode + per-doc windows on one shuffle); the
+    // report is the per-label summary with the worst dominant share.
+    QueryDef(
+      "t35_code_switch",
+      (s, d) => codeSwitchReport(Tables.documents(s, d)),
+      oracle = Some {
+        val scoreExprs = TextFns.StopwordSets.map { case (l, ws) =>
+          val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_intersect(ct, $arr)) AS s_$l"
+        }.mkString(",\n                 ")
+        val langs = TextFns.StopwordSets.map(_._1)
+        val pick = langs.init.zipWithIndex.foldRight(s"'${langs.last}'") {
+          case ((l, i), els) =>
+            val later = langs.drop(i + 1).map(x => s"s_$x").mkString("greatest(", ", ", ")")
+            s"CASE WHEN s_$l >= $later THEN '$l' ELSE $els END"
+        }
+        s"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        ch AS (
+          SELECT doc_id, lang, t[i * 50 + 1 : (i + 1) * 50] AS ct
+          FROM (SELECT doc_id, lang, t,
+                       unnest(generate_series(0,
+                         greatest(CAST(ceil(len(t) / 50.0) AS BIGINT), 1) - 1)) AS i
+                FROM toks)),
+        scored AS (
+          SELECT doc_id, lang,
+                 $scoreExprs
+          FROM ch),
+        voted AS (
+          SELECT doc_id, lang, $pick AS pl FROM scored),
+        pdl AS (
+          SELECT doc_id, lang, pl, CAST(count(*) AS BIGINT) AS cnt
+          FROM voted GROUP BY doc_id, lang, pl),
+        pd AS (
+          SELECT doc_id, lang, cnt,
+                 CAST(row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, pl) AS BIGINT) AS rk,
+                 CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_chunks,
+                 CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_langs
+          FROM pdl),
+        dom AS (
+          SELECT doc_id, lang, n_chunks, n_langs,
+                 (1000 * cnt) // n_chunks AS dom_share_milli
+          FROM pd WHERE rk = 1)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN n_langs > 1 AND dom_share_milli < 800
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed_docs,
+               CAST(min(dom_share_milli) AS BIGINT) AS min_dom_share_milli
+        FROM dom GROUP BY lang
+        ORDER BY lang"""
+      }))
 
   /** The t18 oracle: t13's unrolled merge-learning CTE chain (same pair
     * counts, same argmax order, same list_reduce merge fold) carried over a
@@ -1982,6 +2045,42 @@ object TextQueries {
       .select($"doc_id", $"chunk_idx", $"chunk_start",
         length($"c").cast("long").as("chunk_len"),
         md5($"c".cast("binary")).as("chunk_md5"))
+  }
+
+  /** Code-switch report (t35), exposed as a library call over any
+    * `(doc_id, lang, text)` frame: per labeled language, document counts
+    * with chunk totals, the number of MIXED documents (a minority chunk
+    * language above 20%), and the worst dominant-language share. Chunk =
+    * 50-token window, voted by [[TextFns.langIdTokens]]; the per-doc mode
+    * uses the explicit (count desc, lang) tie order. */
+  def codeSwitchReport(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val W = 50
+    val chunks = docs
+      .select($"doc_id", $"lang", TextFns.tokens($"text").as("t"))
+      .withColumn("nc", expr(s"greatest(cast(ceil(size(t) / $W.0) as int), 1)"))
+      .select($"doc_id", $"lang", explode(expr(
+        s"transform(sequence(0, nc - 1), i -> slice(t, i * $W + 1, $W))")).as("ct"))
+      .select($"doc_id", $"lang", TextFns.langIdTokens($"ct").as("pl"))
+    val perDocLang = chunks.groupBy($"doc_id", $"lang", $"pl")
+      .agg(count(lit(1)).as("cnt"))
+    val wd = Window.partitionBy($"doc_id").orderBy($"cnt".desc, $"pl")
+    val perDoc = perDocLang
+      .withColumn("rk", row_number().over(wd))
+      .withColumn("n_chunks", sum($"cnt").over(Window.partitionBy($"doc_id")))
+      .withColumn("n_langs", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .filter($"rk" === 1)
+      .select($"doc_id", $"lang",
+        $"n_chunks", $"n_langs",
+        expr("(1000 * cnt) div n_chunks").as("dom_share_milli"))
+    perDoc.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chunks").as("n_chunks"),
+        sum(when($"n_langs" > 1 && $"dom_share_milli" < 800, 1L).otherwise(0L))
+          .as("n_mixed_docs"),
+        min($"dom_share_milli").as("min_dom_share_milli"))
+      .orderBy($"lang")
   }
 
   /** Content-defined chunking (t34), exposed as a library call over any

@@ -386,6 +386,21 @@ class TextSpec extends SparkSpec {
       s"CDC must beat fixed windows under a prefix shift ($cdcShared vs $fixedShared)")
   }
 
+  test("t35 codeSwitchReport: a planted half-and-half doc is mixed, pure docs are not") {
+    import spark.implicits._
+    // 60 en-stopword tokens then 60 es: three 50-token chunks vote
+    // (en, es, es) -> dominant share 666, minority 33% > 20% -> mixed
+    val en = Seq.fill(20)("the a of").mkString(" ")
+    val es = Seq.fill(20)("el la de").mkString(" ")
+    val docs = Seq(
+      (1L, "en", s"$en $es"),
+      (2L, "en", en),
+      (3L, "es", es)).toDF("doc_id", "lang", "text")
+    val rows = operators.TextQueries.codeSwitchReport(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSeq
+    assert(rows === Seq(("en", 2L, 1L, 666L), ("es", 1L, 0L, 1000L)))
+  }
+
   test("t34 cdcChunks: empty text yields exactly one empty chunk") {
     import spark.implicits._
     val one = Seq((9L, "")).toDF("doc_id", "text")

@@ -1029,7 +1029,112 @@ object SimilarityQueries {
                CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
                (1000 * CAST(coalesce(n_hit, 0) AS BIGINT)) // k AS recall_milli
         FROM base LEFT JOIN hit USING (query_id)
-        ORDER BY query_id""")))
+        ORDER BY query_id""")),
+
+    // ----- embedding drift monitor (s18) ------------------------------------
+    // The MLOps alarm for a re-embedded or re-crawled corpus: per label,
+    // (a) the cosine between the old and new snapshots' exact
+    // integer-milli centroids (s13's recipe per snapshot — the mean-shift
+    // signal), and (b) q88's KS statistic between the two snapshots'
+    // distributions of per-vector cosine to the SHARED baseline centroid
+    // (the shape-change signal a mean can't see — e.g. variance doubling
+    // with the centroid fixed). Snapshots are simulated as vec_id parity
+    // (production feeds two index generations). Scale: centroids are
+    // O(labels x dim) aggregates; scoring is one broadcast join with the
+    // codegen'd cosine; the KS windows run per label over the bounded
+    // O(2000) cosine-milli support — never raw vectors.
+    QueryDef(
+      "s18_embedding_drift",
+      (s, d) => {
+        import s.implicits._
+        val m = Tables.embeddings(s, d)
+          .select($"vec_id", $"label",
+            transform($"embedding",
+              x => floor(x.cast("double") * 1000).cast("float")).as("m"))
+          .withColumn("snap", pmod($"vec_id", lit(2)).cast("int"))
+        def centroids(snap: Int, out: String) = m.filter($"snap" === snap)
+          .select($"label", posexplode($"m").as(Seq("pos", "v")))
+          .groupBy($"label", $"pos")
+          .agg(sum($"v".cast("long")).as("sm"), count(lit(1)).as("cnt"))
+          .groupBy($"label")
+          .agg(array_sort(collect_list(
+            struct($"pos", expr("sm div cnt").cast("float").as("c")))).as("ps"))
+          .select($"label", expr("transform(ps, x -> x.c)").as(out))
+        val c0 = centroids(0, "cent0")
+        val shift = c0.join(centroids(1, "cent1"), Seq("label"))
+          .select($"label", VectorFns.cosineMilli($"cent0", $"cent1").as("centroid_cos_milli"))
+        val sup = m.join(broadcast(c0), Seq("label"))
+          .select($"label", $"snap", VectorFns.cosineMilli($"m", $"cent0").as("cm"))
+          .groupBy($"label", $"cm")
+          .agg(sum(when($"snap" === 0, 1L).otherwise(0L)).as("c1"),
+            sum(when($"snap" === 1, 1L).otherwise(0L)).as("c2"))
+        val wl = Window.partitionBy($"label")
+        val ks = sup
+          .withColumn("t1", sum($"c1").over(wl))
+          .withColumn("t2", sum($"c2").over(wl))
+          .withColumn("f1", expr(
+            "(1000 * sum(c1) over (partition by label order by cm rows unbounded preceding)) div greatest(t1, 1)"))
+          .withColumn("f2", expr(
+            "(1000 * sum(c2) over (partition by label order by cm rows unbounded preceding)) div greatest(t2, 1)"))
+          .groupBy($"label")
+          .agg(first($"t1").as("n_a"), first($"t2").as("n_b"),
+            max(abs($"f1" - $"f2")).as("ks_milli"))
+        shift.join(ks, Seq("label"))
+          .select($"label".cast("long").as("label"), $"n_a", $"n_b",
+            $"centroid_cos_milli", $"ks_milli")
+          .orderBy($"label")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT vec_id, label, vec_id % 2 AS snap,
+                 list_transform(embedding::DOUBLE[], x -> floor(x * 1000)) AS m
+          FROM embeddings),
+        ex AS (
+          SELECT label, snap, unnest(m) AS v,
+                 unnest(generate_series(1, len(m))) AS pos
+          FROM t),
+        sums AS (
+          SELECT label, snap, pos, CAST(sum(v) AS BIGINT) AS sm,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM ex GROUP BY label, snap, pos),
+        cents AS (
+          SELECT label, snap, list(CAST(sm // cnt AS DOUBLE) ORDER BY pos) AS ce
+          FROM sums GROUP BY label, snap),
+        shift AS (
+          SELECT a.label,
+                 CAST(floor(list_dot_product(a.ce, b.ce) * 1000.0 /
+                   (sqrt(list_dot_product(a.ce, a.ce)) *
+                    sqrt(list_dot_product(b.ce, b.ce)))) AS BIGINT) AS centroid_cos_milli
+          FROM cents a JOIN cents b
+            ON a.label = b.label AND a.snap = 0 AND b.snap = 1),
+        scored AS (
+          SELECT t.label, t.snap,
+                 CAST(floor(list_dot_product(t.m, c.ce) * 1000.0 /
+                   (sqrt(list_dot_product(t.m, t.m)) *
+                    sqrt(list_dot_product(c.ce, c.ce)))) AS BIGINT) AS cm
+          FROM t JOIN cents c ON t.label = c.label AND c.snap = 0),
+        sup AS (
+          SELECT label, cm,
+                 CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+          FROM scored GROUP BY label, cm),
+        cd AS (
+          SELECT label, cm,
+                 CAST(sum(c1) OVER (PARTITION BY label) AS BIGINT) AS t1,
+                 CAST(sum(c2) OVER (PARTITION BY label) AS BIGINT) AS t2,
+                 CAST(sum(c1) OVER (PARTITION BY label ORDER BY cm
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+                 CAST(sum(c2) OVER (PARTITION BY label ORDER BY cm
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+          FROM sup),
+        ks AS (
+          SELECT label, CAST(max(t1) AS BIGINT) AS n_a, CAST(max(t2) AS BIGINT) AS n_b,
+                 CAST(max(abs((1000 * cum1) // greatest(t1, 1)
+                            - (1000 * cum2) // greatest(t2, 1))) AS BIGINT) AS ks_milli
+          FROM cd GROUP BY label)
+        SELECT CAST(s.label AS BIGINT) AS label, n_a, n_b, centroid_cos_milli, ks_milli
+        FROM shift s JOIN ks USING (label)
+        ORDER BY label""")))
 
   /** The s10 pipeline over an arbitrary (doc_id, text) table: BM25 top-k
     * per query in exact integer-milli arithmetic (see the s10 comment).

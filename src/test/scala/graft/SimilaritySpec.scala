@@ -322,4 +322,23 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getLong(2) >= -1000L && r.getLong(2) <= 1000L)
     }
   }
+
+  test("s18: snapshot counts partition every label and drift metrics are bounded") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("s18_embedding_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val sizes = Tables.embeddings(spark, sf).groupBy($"label".cast("long"))
+      .count().as[(Long, Long)].collect().toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === sizes(r.getLong(0)),
+        "parity snapshots must partition the label")
+      assert(r.getLong(3) >= -1000L && r.getLong(3) <= 1000L, "centroid cosine bounds")
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000L, "KS bounds")
+      // no magnitude assertion: at dozens of 64-dim vectors per half,
+      // the snapshot-A centroid is mostly noise (mean norm ~ 1/sqrt(n))
+      // and A's cosines to its OWN centroid carry a self-bias B lacks —
+      // both effects vanish at production n but dominate a spec fixture;
+      // the oracle hash-match is the value gate
+    }
+  }
 }

@@ -98,6 +98,79 @@ object StreamDedup {
         TimeMode.None(), OutputMode.Append(), Encoders.product[EmbNearDupPair])
   }
 
+  // ----- perceptual twin: incremental media dHash dedup --------------------
+
+  /** One pigeonhole chunk row of an incoming asset's 64-bit perceptual
+    * dHash (m08's kernel): chunk `idx` of 4, plus all four chunks for the
+    * min-shared-chunk decision and the Hamming verify. */
+  final case class BandedHash(assetId: Long, idx: Int, chunk: Int, chunks: Seq[Int])
+
+  /** A verified perceptual near-dup pair, `asset_a < asset_b`. */
+  final case class MediaNearDupPair(asset_a: Long, asset_b: Long, hamming: Long)
+
+  private final case class StoredHash(assetId: Long, chunks: Seq[Int])
+
+  /** Streaming perceptual near-dup pairs over (streaming or batch) media
+    * assets — the third modality twin beside the lexical and semantic
+    * ones, sharing batch m08's dHash kernel and Hamming-3 pigeonhole.
+    * Exactly-once emission at the pair's MINIMAL shared chunk, decided
+    * locally from the stored 4-chunk fingerprints; state is O(assets x
+    * 16 bytes) per bucket — the smallest of the three twins. */
+  def mediaNearDupPairsStream(assets: Dataset[graft.operators.Multimodal.MediaAsset],
+      maxHamming: Long = 3L): Dataset[MediaNearDupPair] = {
+    val s = assets.sparkSession
+    import s.implicits._
+    assets.flatMap { a =>
+      graft.operators.Multimodal.dHashChunks(a).iterator.flatMap {
+        case (id, _, c0, c1, c2, c3) =>
+          val cs = Seq(c0, c1, c2, c3)
+          cs.zipWithIndex.map { case (c, i) => BandedHash(id, i, c, cs) }
+      }
+    }
+      .groupByKey(r => (r.idx, r.chunk))
+      .transformWithState(new HashBucketProcessor(maxHamming),
+        TimeMode.None(), OutputMode.Append(), Encoders.product[MediaNearDupPair])
+  }
+
+  private final class HashBucketProcessor(maxHamming: Long)
+      extends StatefulProcessor[(Int, Int), BandedHash, MediaNearDupPair] {
+    @transient private var seen: ListState[StoredHash] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState("seen", Encoders.product[StoredHash], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Int), rows: Iterator[BandedHash],
+        tv: TimerValues): Iterator[MediaNearDupPair] = {
+      val existing = scala.collection.mutable.ArrayBuffer.empty[StoredHash]
+      val it = seen.get()
+      while (it.hasNext) existing += it.next()
+      val out = Vector.newBuilder[MediaNearDupPair]
+      rows.toVector.sortBy(_.assetId).foreach { r =>
+        if (!existing.exists(_.assetId == r.assetId)) { // redelivery guard
+          existing.foreach { e =>
+            var minIdx = -1
+            var i = 0
+            while (i < r.chunks.length && minIdx < 0) {
+              if (e.chunks(i) == r.chunks(i)) minIdx = i
+              i += 1
+            }
+            if (minIdx == key._1) {
+              val ham = (0 until r.chunks.length).map(i =>
+                java.lang.Integer.bitCount(e.chunks(i) ^ r.chunks(i))).sum.toLong
+              if (ham <= maxHamming)
+                out += MediaNearDupPair(math.min(e.assetId, r.assetId),
+                  math.max(e.assetId, r.assetId), ham)
+            }
+          }
+          val stored = StoredHash(r.assetId, r.chunks)
+          existing += stored
+          seen.appendValue(stored)
+        }
+      }
+      out.result().iterator
+    }
+  }
+
   private final class VecBucketProcessor(minCosMilli: Long)
       extends StatefulProcessor[(Int, Long), BandedVec, EmbNearDupPair] {
     @transient private var seen: ListState[StoredVec] = _

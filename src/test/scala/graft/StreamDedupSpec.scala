@@ -167,4 +167,45 @@ class StreamDedupSpec extends SparkSpec {
       assert(got.toSet === want)
     }
   }
+
+  test("streaming perceptual media pairs equal batch m08 over the same assets") {
+    import graft.operators.Multimodal
+    withRocksDb {
+      implicit val sq = spark.sqlContext
+      val rnd = new scala.util.Random(77)
+      // two re-encode families (uniform shifts of shared bases) + noise
+      val bases = Seq.tabulate(3)(_ => Array.fill(3000)(rnd.nextInt(180).toByte))
+      val assets = (bases.zipWithIndex.flatMap { case (b, i) =>
+        Seq((i * 10L, b), (i * 10L + 1, b.map(x => ((x & 0xff) + 40).toByte)))
+      } ++ Seq.tabulate(6)(i => (100L + i, Array.fill(3000)(rnd.nextInt(180).toByte))))
+        .map { case (id, p) => Multimodal.MediaAsset(id, p, "image/png", p.length.toLong) }
+        .sortBy(_.asset_id)
+
+      val ms = MemoryStream[(Long, Array[Byte])]
+      val in = ms.toDS().map { case (id, p) =>
+        Multimodal.MediaAsset(id, p, "image/png", p.length.toLong) }
+      val q = StreamDedup.mediaNearDupPairsStream(in)
+        .writeStream.format("memory").queryName("smedia")
+        .outputMode("append").start()
+      try {
+        val chunks = assets.map(a => (a.asset_id, a.payload)).grouped(4).toSeq
+        chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+        // redelivery: replayed assets must emit nothing new
+        val before = spark.table("smedia").count()
+        ms.addData(chunks.head); q.processAllAvailable()
+        assert(spark.table("smedia").count() === before)
+      } finally q.stop()
+
+      val got = spark.table("smedia")
+        .as[StreamDedup.MediaNearDupPair].collect()
+        .map(p => (p.asset_a, p.asset_b, p.hamming))
+      assert(got.length === got.distinct.length, "pair emitted twice")
+
+      import spark.implicits._
+      val want = Multimodal.perceptualNearDups(assets.toDS())
+        .as[(Long, Long, Long)].collect().toSet
+      assert(want.nonEmpty, "planted re-encodes produced no pairs — spec is vacuous")
+      assert(got.toSet === want)
+    }
+  }
 }

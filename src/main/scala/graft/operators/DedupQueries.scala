@@ -971,7 +971,68 @@ object DedupQueries {
         SELECT a.w AS word_a, b.w AS word_b, a.cnt AS cnt_a, b.cnt AS cnt_b
         FROM vocab a JOIN vocab b ON a.w < b.w
         WHERE levenshtein(a.w, b.w) <= 1
-        ORDER BY word_a, word_b""")))
+        ORDER BY word_a, word_b""")),
+
+    // ----- dedup token-savings report (t36/d16) -----------------------------
+    // The number that justifies the dedup pipeline to whoever pays for
+    // training compute: per language, how many tokens the near-dup
+    // keep-canonical pass actually removes. Composes d08's transitive
+    // cluster labels with t03's token counts: one labels join, a
+    // cluster-partitioned min window (groups bounded by dup multiplicity)
+    // to mark the kept member, one per-lang aggregate. The oracle replays
+    // the full recursive-closure labeling plus the same token sums.
+    QueryDef(
+      "d16_dedup_savings",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val labels = clusterLabels(docs,
+          minhashNearDupPairs(s, docs).select($"doc_a", $"doc_b"))
+        val toks = docs.select($"doc_id", $"lang",
+          size(TextFns.tokens($"text")).cast("long").as("nt"))
+        val wc = org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
+        toks.join(labels, Seq("doc_id"))
+          .withColumn("keep", min($"doc_id").over(wc) === $"doc_id")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+            sum($"nt").as("total_tokens"),
+            sum(when($"keep", $"nt").otherwise(0L)).as("kept_tokens"))
+          .select($"lang", $"n_docs", $"n_kept", $"total_tokens", $"kept_tokens",
+            expr("(1000 * (total_tokens - kept_tokens)) div total_tokens").as("saved_milli"))
+          .orderBy($"lang")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE pairs AS (${PairSqlNoOrder}),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (
+          SELECT d.doc_id,
+                 least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id),
+        toks AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS nt
+          FROM documents),
+        marked AS (
+          SELECT t.lang, t.nt,
+                 (t.doc_id = min(t.doc_id) OVER (PARTITION BY l.cluster_id)) AS keep
+          FROM toks t JOIN labels l USING (doc_id))
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(nt) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT) AS kept_tokens,
+               (1000 * (CAST(sum(nt) AS BIGINT) - CAST(sum(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT)))
+                 // CAST(sum(nt) AS BIGINT) AS saved_milli
+        FROM marked GROUP BY lang
+        ORDER BY lang""")))
 
   /** Fuzzy word join (d15), exposed as a library call over any vocabulary
     * `(w: string, cnt: long)`: all pairs within Levenshtein distance 1,

@@ -2059,7 +2059,62 @@ object ExtraRelationalQueries {
         SELECT dg, nd, (1000 * nd) // n AS obs_milli, exp_milli,
                (1000000 * (nd - ed) * (nd - ed)) // greatest(ed, 1) AS chi2_micro
         FROM f
-        ORDER BY dg""")))
+        ORDER BY dg""")),
+
+    // ----- difference-in-differences estimator (q95) ------------------------
+    // The causal-inference workhorse q75's randomized A/B cannot replace
+    // when treatment wasn't randomized: DiD = (treated post - treated pre)
+    // - (control post - control pre), here BUILDING-segment customers
+    // (treated) vs the rest across 1995->1996 on mean order value. ONE
+    // conditional hash agg produces the four cells; means are exact
+    // integer MICRO-cents (truncating div) so the estimator is engine-
+    // exact; the parallel-trends caveat is the analyst's, not the
+    // engine's. (Micro-cent products overflow past ~10^12 total cents per
+    // cell — q94's documented widening bound.)
+    QueryDef(
+      "q95_diff_in_diff",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")),
+            $"o_custkey" === $"c_custkey")
+          .filter(year($"o_orderdate").isin(1995, 1996))
+          .select(($"c_mktsegment" === "BUILDING").as("treated"),
+            (year($"o_orderdate") === 1996).as("post"),
+            floor($"o_totalprice" * 100).cast("long").as("c"))
+        base.groupBy($"treated", $"post")
+          .agg(count(lit(1)).as("n"), sum($"c").as("sc"))
+          .agg(
+            sum(when($"treated" && $"post", expr("(1000000 * sc) div n"))).as("t_post"),
+            sum(when($"treated" && !$"post", expr("(1000000 * sc) div n"))).as("t_pre"),
+            sum(when(!$"treated" && $"post", expr("(1000000 * sc) div n"))).as("c_post"),
+            sum(when(!$"treated" && !$"post", expr("(1000000 * sc) div n"))).as("c_pre"),
+            sum($"n").as("n_orders"))
+          .select($"n_orders", $"t_pre", $"t_post", $"c_pre", $"c_post",
+            (($"t_post" - $"t_pre") - ($"c_post" - $"c_pre")).as("did_microc"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT (c_mktsegment = 'BUILDING') AS treated,
+                 (year(o_orderdate) = 1996) AS post,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE year(o_orderdate) IN (1995, 1996)),
+        cells AS (
+          SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS sc
+          FROM base GROUP BY treated, post),
+        m AS (
+          SELECT
+            CAST(sum(CASE WHEN treated AND post THEN (1000000 * sc) // n END) AS BIGINT) AS t_post,
+            CAST(sum(CASE WHEN treated AND NOT post THEN (1000000 * sc) // n END) AS BIGINT) AS t_pre,
+            CAST(sum(CASE WHEN NOT treated AND post THEN (1000000 * sc) // n END) AS BIGINT) AS c_post,
+            CAST(sum(CASE WHEN NOT treated AND NOT post THEN (1000000 * sc) // n END) AS BIGINT) AS c_pre,
+            CAST(sum(n) AS BIGINT) AS n_orders
+          FROM cells)
+        SELECT n_orders, t_pre, t_post, c_pre, c_post,
+               (t_post - t_pre) - (c_post - c_pre) AS did_microc
+        FROM m""")))
 
   /** Per-group OLS fit from sufficient statistics (q76), exposed as a
     * library call over any (seg, x, y) integer frame: one hash agg of the

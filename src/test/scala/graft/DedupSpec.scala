@@ -172,6 +172,23 @@ class DedupSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("d16 savings: token totals agree with t03 and kept never exceeds total") {
+    import org.apache.spark.sql.functions._
+    val savings = SparkEntry.queries("d16_dedup_savings")(spark, sf).collect()
+    assert(savings.nonEmpty)
+    val t03 = SparkEntry.queries("t03_token_counts")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    savings.foreach { r =>
+      assert(r.getLong(3) === t03(r.getString(0)),
+        s"${r.getString(0)}: d16 total tokens must equal t03's whitespace totals")
+      assert(r.getLong(4) <= r.getLong(3) && r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000L)
+    }
+    // the fixture plants near-dups, so SOME savings must exist overall
+    assert(savings.map(r => r.getLong(3) - r.getLong(4)).sum > 0L,
+      "near-dup fixture must yield nonzero token savings")
+  }
+
   test("d15 fuzzy join: deletion blocking equals brute force on every edit type") {
     import spark.implicits._
     // one planted variant per edit kind, plus distance-2 words that must

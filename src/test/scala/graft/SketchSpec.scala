@@ -400,6 +400,16 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q95: DiD identity holds and cells cover both periods") {
+    val r = SparkEntry.queries("q95_diff_in_diff")(spark, sf).head()
+    val n = Tables.orders(spark, sf)
+      .filter(year($"o_orderdate").isin(1995, 1996)).count()
+    assert(r.getLong(0) === n, "all in-window orders must land in a cell")
+    val (tPre, tPost, cPre, cPost) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(r.getLong(5) === (tPost - tPre) - (cPost - cPre), "DiD identity")
+    Seq(tPre, tPost, cPre, cPost).foreach(v => assert(v > 0L, "every cell observed"))
+  }
+
   test("q84: RFM segments partition the customer base exactly") {
     val rows = SparkEntry.queries("q84_rfm_segmentation")(spark, sf).collect()
     assert(rows.nonEmpty)

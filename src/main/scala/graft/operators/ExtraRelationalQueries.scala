@@ -2114,6 +2114,136 @@ object ExtraRelationalQueries {
           FROM cells)
         SELECT n_orders, t_pre, t_post, c_pre, c_post,
                (t_post - t_pre) - (c_post - c_pre) AS did_microc
+        FROM m""")),
+
+    // ----- exact pro-rata allocation, largest remainder (q96) ---------------
+    // The billing/finance primitive: a header-level amount (here a 5%
+    // order discount in cents) split across the order's lines in
+    // proportion to value, with NO cent created or destroyed — floor
+    // shares, then the remainder cents go to the lines with the largest
+    // fractional parts (explicit (remainder desc, linenumber) tie order;
+    // t30's largest-remainder discipline at line grain). All windows
+    // partition by order key — bounded by lines per order, never
+    // corpus-sized — and conservation (sum alloc = header amount) holds
+    // per order by construction, asserted in the spec.
+    QueryDef(
+      "q96_prorate_allocation",
+      (s, d) => {
+        import s.implicits._
+        val wo = Window.partitionBy($"l_orderkey")
+        Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_linenumber".cast("long").as("ln"),
+            floor($"l_extendedprice" * 100).cast("long").as("v"))
+          .withColumn("vtot", sum($"v").over(wo))
+          .withColumn("dd", expr("vtot div 20"))
+          .withColumn("base_c", expr("(dd * v) div vtot"))
+          .withColumn("rk", row_number().over(Window.partitionBy($"l_orderkey")
+            .orderBy(expr("(dd * v) % vtot").desc, $"ln")).cast("long"))
+          .withColumn("rem", expr("dd - sum(base_c) over (partition by l_orderkey)"))
+          .select($"l_orderkey", $"ln", $"v", $"dd",
+            expr("base_c + IF(rk <= rem, 1, 0)").as("alloc_c"))
+          .orderBy($"l_orderkey", $"ln")
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+                 CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+          FROM lineitem),
+        w AS (
+          SELECT *, CAST(sum(v) OVER (PARTITION BY l_orderkey) AS BIGINT) AS vtot
+          FROM li),
+        b AS (
+          SELECT *, vtot // 20 AS dd, ((vtot // 20) * v) // vtot AS base_c,
+                 ((vtot // 20) * v) % vtot AS fr
+          FROM w),
+        r AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY l_orderkey
+                   ORDER BY fr DESC, ln) AS BIGINT) AS rk,
+                 dd - CAST(sum(base_c) OVER (PARTITION BY l_orderkey) AS BIGINT) AS rem
+          FROM b)
+        SELECT l_orderkey, ln, v, dd,
+               base_c + (CASE WHEN rk <= rem THEN 1 ELSE 0 END) AS alloc_c
+        FROM r
+        ORDER BY l_orderkey, ln""")),
+
+    // ----- Mann-Whitney rank-sum test (q97) ---------------------------------
+    // The nonparametric two-sample test beside q88's KS: does the BUILDING
+    // segment's order-value distribution stochastically dominate the
+    // rest? Ranks come from the value HISTOGRAM (one hash agg + windows
+    // over the O(distinct values) support — raw rows are never sorted);
+    // ties take average ranks kept integer by the doubled-rank trick
+    // (2*avg = 2*rmin + c - 1). Outputs both doubled U statistics (their
+    // sum must be 2*n1*n2 — the classic identity, spec-asserted) and the
+    // tie-corrected normal z in millis via one identical double formula
+    // on exact integer inputs (q79's recipe).
+    QueryDef(
+      "q97_mann_whitney",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")),
+            $"o_custkey" === $"c_custkey")
+          .select(($"c_mktsegment" === "BUILDING").as("a"),
+            floor($"o_totalprice" * 100).cast("long").as("v"))
+        val hist = base.groupBy($"v")
+          .agg(sum(when($"a", 1L).otherwise(0L)).as("n1"),
+            sum(when(!$"a", 1L).otherwise(0L)).as("n2"))
+          .withColumn("c", $"n1" + $"n2")
+        val wv = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, -1)
+        val wall = Window.partitionBy(lit(1))
+        hist
+          .withColumn("before", coalesce(sum($"c").over(wv), lit(0L)))
+          .withColumn("ravg2", expr("2 * (before + 1) + c - 1"))
+          .withColumn("t1", sum($"n1").over(wall))
+          .withColumn("t2", sum($"n2").over(wall))
+          .withColumn("ties3", expr("c * c * c - c"))
+          .agg(first($"t1").as("n1"), first($"t2").as("n2"),
+            sum(expr("n1 * ravg2")).as("r1_x2"),
+            sum($"ties3").as("tie3"))
+          .select($"n1", $"n2",
+            expr("r1_x2 - n1 * (n1 + 1)").as("u1_x2"),
+            expr("2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1))").as("u2_x2"),
+            expr("""CAST(floor(1000 *
+                (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
+                sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+                  (CAST(n1 + n2 + 1 AS DOUBLE)
+                   - CAST(tie3 AS DOUBLE) /
+                     (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))) AS BIGINT)""")
+              .as("z_milli"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT (c_mktsegment = 'BUILDING') AS a,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        hist AS (
+          SELECT v, CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          FROM base GROUP BY v),
+        w AS (
+          SELECT *, n1 + n2 AS c,
+                 CAST(coalesce(sum(n1 + n2) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before,
+                 CAST(sum(n1) OVER () AS BIGINT) AS t1,
+                 CAST(sum(n2) OVER () AS BIGINT) AS t2
+          FROM hist),
+        m AS (
+          SELECT max(t1) AS n1, max(t2) AS n2,
+                 CAST(sum(n1 * (2 * (before + 1) + c - 1)) AS BIGINT) AS r1_x2,
+                 CAST(sum(c * c * c - c) AS BIGINT) AS tie3
+          FROM w)
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               r1_x2 - n1 * (n1 + 1) AS u1_x2,
+               2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2,
+               CAST(floor(1000 *
+                 (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
+                 sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+                   (CAST(n1 + n2 + 1 AS DOUBLE)
+                    - CAST(tie3 AS DOUBLE) /
+                      (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))) AS BIGINT)
+                 AS z_milli
         FROM m""")))
 
   /** Per-group OLS fit from sufficient statistics (q76), exposed as a

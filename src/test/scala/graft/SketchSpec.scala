@@ -410,6 +410,24 @@ class SketchSpec extends SparkSpec {
     Seq(tPre, tPost, cPre, cPost).foreach(v => assert(v > 0L, "every cell observed"))
   }
 
+  test("q96: allocation conserves every order's header amount to the cent") {
+    val rows = SparkEntry.queries("q96_prorate_allocation")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (ok, lines) =>
+      assert(lines.map(_._3).sum === lines.head._2,
+        s"order $ok: allocated cents must equal the header discount exactly")
+    }
+  }
+
+  test("q97: the doubled U statistics satisfy U1 + U2 = 2*n1*n2") {
+    val r = SparkEntry.queries("q97_mann_whitney")(spark, sf).head()
+    val (n1, n2) = (r.getLong(0), r.getLong(1))
+    assert(n1 > 0 && n2 > 0)
+    assert(r.getLong(2) + r.getLong(3) === 2 * n1 * n2, "Mann-Whitney identity")
+    assert(r.getLong(2) >= 0 && r.getLong(3) >= 0, "U statistics are nonnegative")
+  }
+
   test("q84: RFM segments partition the customer base exactly") {
     val rows = SparkEntry.queries("q84_rfm_segmentation")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -2244,7 +2244,61 @@ object ExtraRelationalQueries {
                     - CAST(tie3 AS DOUBLE) /
                       (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))))) AS BIGINT)
                  AS z_milli
-        FROM m""")))
+        FROM m""")),
+
+    // ----- Gini concentration coefficient (q98) -----------------------------
+    // q82 classifies the Pareto head; Gini measures the WHOLE inequality
+    // curve — per market segment, how concentrated customer revenue is
+    // (0 = equal, ->1 = one whale). The rank-weighted sum comes from the
+    // revenue HISTOGRAM: an equal-value run of c customers starting after
+    // `before` others contributes v*c*(2*before+c+1) to twice the
+    // Lorenz numerator — exact integers, no row-level sort (q97's
+    // histogram-rank discipline), windows over O(distinct revenues) per
+    // segment. G_milli = (1000*(2S - (n+1)T)) div (nT).
+    QueryDef(
+      "q98_gini_concentration",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")),
+            $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment", $"o_custkey")
+          .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("rev"))
+        val hist = per.groupBy($"c_mktsegment".as("seg"), $"rev".as("v"))
+          .agg(count(lit(1)).as("c"))
+        val wseg = Window.partitionBy($"seg").orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        hist
+          .withColumn("before", coalesce(sum($"c").over(wseg), lit(0L)))
+          .withColumn("s2", expr("v * c * (2 * before + c + 1)"))
+          .groupBy($"seg")
+          .agg(sum($"c").as("n"), sum(expr("v * c")).as("total_c"), sum($"s2").as("s2t"))
+          .select($"seg", $"n", $"total_c",
+            expr("(1000 * (s2t - (n + 1) * total_c)) div (n * total_c)").as("gini_milli"))
+          .orderBy($"seg")
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT c_mktsegment AS seg, o_custkey,
+                 CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS rev
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment, o_custkey),
+        hist AS (
+          SELECT seg, rev AS v, CAST(count(*) AS BIGINT) AS c
+          FROM per GROUP BY seg, rev),
+        w AS (
+          SELECT *, CAST(coalesce(sum(c) OVER (PARTITION BY seg ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+          FROM hist),
+        m AS (
+          SELECT seg, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(v * c) AS BIGINT) AS total_c,
+                 CAST(sum(v * c * (2 * before + c + 1)) AS BIGINT) AS s2t
+          FROM w GROUP BY seg)
+        SELECT seg, n, total_c,
+               (1000 * (s2t - (n + 1) * total_c)) // (n * total_c) AS gini_milli
+        FROM m
+        ORDER BY seg""")))
 
   /** Per-group OLS fit from sufficient statistics (q76), exposed as a
     * library call over any (seg, x, y) integer frame: one hash agg of the

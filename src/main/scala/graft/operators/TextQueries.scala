@@ -1730,7 +1730,48 @@ object TextQueries {
                CAST(min(dom_share_milli) AS BIGINT) AS min_dom_share_milli
         FROM dom GROUP BY lang
         ORDER BY lang"""
-      }))
+      }),
+
+    // ----- PII redaction (t37) ----------------------------------------------
+    // t10 DETECTS personal data; a privacy-compliant corpus needs it
+    // REMOVED. Emails, IPv4s and phone numbers are replaced with typed
+    // placeholders (same RE2-safe patterns as t10, in a fixed
+    // email -> ip -> phone order so overlapping matches resolve
+    // identically on both engines) and the report proves the surgery:
+    // per language, documents touched and the exact character delta.
+    // Pure per-row work in-scan; the redacted text itself is the library
+    // output (`redactPii`), the query emits the audit. At 100 TB the
+    // rewrite is the same single pass a quality filter already pays.
+    QueryDef(
+      "t37_pii_redaction",
+      (s, d) => {
+        import s.implicits._
+        val red = redactPii(Tables.documents(s, d))
+        red.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(($"text" =!= $"redacted").cast("long")).as("n_redacted"),
+            sum(length($"text").cast("long")).as("chars_before"),
+            sum(length($"redacted").cast("long")).as("chars_after"))
+          .select($"lang", $"n_docs", $"n_redacted", $"chars_before", $"chars_after",
+            ($"chars_after" - $"chars_before").as("char_delta"))
+          .orderBy($"lang")
+      },
+      oracle = Some(s"""
+        WITH red AS (
+          SELECT lang, text,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, '${TextFns.EmailPattern}', '[EMAIL]', 'g'),
+                     '${TextFns.Ipv4Pattern}', '[IP]', 'g'),
+                   '${TextFns.PhonePattern}', '[PHONE]', 'g') AS redacted
+          FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN text <> redacted THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+               CAST(sum(length(text)) AS BIGINT) AS chars_before,
+               CAST(sum(length(redacted)) AS BIGINT) AS chars_after,
+               CAST(sum(length(redacted)) - sum(length(text)) AS BIGINT) AS char_delta
+        FROM red GROUP BY lang
+        ORDER BY lang""")))
 
   /** The t18 oracle: t13's unrolled merge-learning CTE chain (same pair
     * counts, same argmax order, same list_reduce merge fold) carried over a
@@ -2045,6 +2086,19 @@ object TextQueries {
       .select($"doc_id", $"chunk_idx", $"chunk_start",
         length($"c").cast("long").as("chunk_len"),
         md5($"c".cast("binary")).as("chunk_md5"))
+  }
+
+  /** PII redaction (t37), exposed as a library call: the input frame plus
+    * a `redacted` column with emails, IPv4s and phone numbers replaced by
+    * typed placeholders, in that fixed order (t10's RE2-safe patterns). */
+  def redactPii(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.regexp_replace
+    docs.withColumn("redacted",
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(docs("text"), TextFns.EmailPattern, "[EMAIL]"),
+          TextFns.Ipv4Pattern, "[IP]"),
+        TextFns.PhonePattern, "[PHONE]"))
   }
 
   /** Code-switch report (t35), exposed as a library call over any

@@ -428,6 +428,26 @@ class SketchSpec extends SparkSpec {
     assert(r.getLong(2) >= 0 && r.getLong(3) >= 0, "U statistics are nonnegative")
   }
 
+  test("q98: Gini matches the sorted-values formula recomputed brute force") {
+    val rows = SparkEntry.queries("q98_gini_concentration")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val per = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf).select($"c_custkey", $"c_mktsegment")),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_custkey")
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("rev"))
+      .select($"c_mktsegment", $"rev").as[(String, Long)].collect().groupBy(_._1)
+    rows.foreach { r =>
+      val xs = per(r.getString(0)).map(_._2).sorted
+      val n = xs.length.toLong
+      val t = xs.sum
+      val s2 = xs.zipWithIndex.map { case (x, i) => 2L * (i + 1) * x }.sum
+      assert(r.getLong(1) === n && r.getLong(2) === t)
+      assert(r.getLong(3) === (1000L * (s2 - (n + 1) * t)) / (n * t), r.getString(0))
+      assert(r.getLong(3) >= 0L && r.getLong(3) < 1000L)
+    }
+  }
+
   test("q84: RFM segments partition the customer base exactly") {
     val rows = SparkEntry.queries("q84_rfm_segmentation")(spark, sf).collect()
     assert(rows.nonEmpty)

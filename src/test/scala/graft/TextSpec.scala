@@ -401,6 +401,21 @@ class TextSpec extends SparkSpec {
     assert(rows === Seq(("en", 2L, 1L, 666L), ("es", 1L, 0L, 1000L)))
   }
 
+  test("t37 redactPii: planted PII is replaced by placeholders, clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "contact bob@example.com or 10.1.2.3 or +1 (555) 123-4567 now"),
+      (2L, "en", "perfectly clean prose with no personal data at all"))
+      .toDF("doc_id", "lang", "text")
+    val red = operators.TextQueries.redactPii(docs)
+      .select($"doc_id", $"redacted").as[(Long, String)].collect().toMap
+    assert(red(1L).contains("[EMAIL]") && red(1L).contains("[IP]")
+      && red(1L).contains("[PHONE]"))
+    assert(!red(1L).contains("bob@") && !red(1L).contains("10.1.2.3")
+      && !red(1L).contains("555"))
+    assert(red(2L) === "perfectly clean prose with no personal data at all")
+  }
+
   test("t34 cdcChunks: empty text yields exactly one empty chunk") {
     import spark.implicits._
     val one = Seq((9L, "")).toDF("doc_id", "text")

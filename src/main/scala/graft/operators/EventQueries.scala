@@ -1042,6 +1042,114 @@ object EventQueries {
                (1000 * abs(x - baseline)) // greatest(baseline, 1) AS dev_milli,
                ((1000 * abs(x - baseline)) // greatest(baseline, 1)) > 500 AS is_anomaly
         FROM rec ORDER BY h"""))
+  ,
+
+    // ----- CUSUM changepoint detection (q99) --------------------------------
+    // q90's EWMA flags outlier POINTS; CUSUM detects sustained LEVEL
+    // SHIFTS — small per-point drifts that accumulate: g <- max(0, g + x
+    // - mean - slack), alarm while g exceeds 3x the reference mean. This
+    // is the retrospective (Page-Hinkley) form: the reference mean is the
+    // series' own exact integer mean, slack 5% of it — all integer, all
+    // deterministic. Same scale shape as q90: ONE corpus agg to the
+    // O(days) series, the sequential fold as a single-task kernel, the
+    // oracle replaying the identical recurrence as a recursive CTEs over
+    // the row-numbered series.
+    QueryDef(
+      "q99_cusum_changepoint",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.events(s, d)
+          .groupBy(date_trunc("day", $"ts").as("dy"))
+          .agg(count(lit(1)).as("x"))
+        val wall = Window.partitionBy(lit(1))
+        val ser = daily
+          .withColumn("mean", expr("sum(x) over (partition by 1) div count(x) over (partition by 1)"))
+          .select($"dy", $"x", $"mean", expr("mean div 20").as("slack"))
+          .as[(java.sql.Timestamp, Long, Long, Long)]
+        ser.coalesce(1).sortWithinPartitions($"dy")
+          .mapPartitions { it =>
+            var g = 0L
+            it.map { case (dy, x, mean, slack) =>
+              g = math.max(0L, g + x - mean - slack)
+              (dy, x, g, g > 3 * mean)
+            }
+          }
+          .toDF("dy", "x", "g", "alarm")
+          .orderBy($"dy")
+      },
+      oracle = Some("""
+        WITH RECURSIVE daily AS (
+          SELECT date_trunc('day', ts) AS dy, CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY date_trunc('day', ts)),
+        st AS (SELECT CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean FROM daily),
+        se AS (
+          SELECT CAST(row_number() OVER (ORDER BY dy) AS BIGINT) AS i, dy, x,
+                 mean, mean // 20 AS slack
+          FROM daily CROSS JOIN st),
+        rec AS (
+          SELECT i, dy, x, mean, slack,
+                 greatest(CAST(0 AS BIGINT), x - mean - slack) AS g
+          FROM se WHERE i = 1
+          UNION ALL
+          SELECT s2.i, s2.dy, s2.x, s2.mean, s2.slack,
+                 greatest(CAST(0 AS BIGINT), r.g + s2.x - s2.mean - s2.slack)
+          FROM rec r JOIN se s2 ON s2.i = r.i + 1)
+        SELECT dy, x, g, g > 3 * mean AS alarm
+        FROM rec ORDER BY dy""")),
+
+    // ----- conversion latency percentiles (q100) ----------------------------
+    // The product metric funnels (q35) stop short of: HOW LONG conversion
+    // takes. Per user, the hours between the first view and the first
+    // subsequent purchase; the latency distribution is then reduced on
+    // its O(distinct hours) histogram with exact percentile_disc cum
+    // windows (q45's definition) — raw conversions are never sorted.
+    // One user-key shuffle builds the firsts; output is the one-row
+    // latency profile.
+    QueryDef(
+      "q100_time_to_convert",
+      (s, d) => {
+        import s.implicits._
+        val firsts = Tables.events(s, d)
+          .filter($"event_type".isin("view", "purchase"))
+          .groupBy($"user_id")
+          .agg(min(when($"event_type" === "view", $"ts")).as("v"),
+            min(when($"event_type" === "purchase" , $"ts")).as("p"))
+          .filter($"v".isNotNull && $"p".isNotNull && $"p" > $"v")
+          .select(expr("(unix_micros(p) - unix_micros(v)) div 3600000000").as("hrs"))
+        val hist = firsts.groupBy($"hrs").agg(count(lit(1)).as("hn"))
+        val wcum = Window.orderBy($"hrs")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wall = Window.partitionBy(lit(1))
+        hist
+          .withColumn("cum", sum($"hn").over(wcum))
+          .withColumn("n", sum($"hn").over(wall))
+          .agg(first($"n").as("n_converted"),
+            min(when($"cum" * 2 >= $"n", $"hrs")).as("p50_hours"),
+            min(when($"cum" * 10 >= $"n" * 9, $"hrs")).as("p90_hours"),
+            max($"hrs").as("max_hours"))
+      },
+      oracle = Some("""
+        WITH firsts AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+          FROM events
+          WHERE event_type IN ('view', 'purchase')
+          GROUP BY user_id),
+        lat AS (
+          SELECT (epoch_us(p) - epoch_us(v)) // 3600000000 AS hrs
+          FROM firsts WHERE v IS NOT NULL AND p IS NOT NULL AND p > v),
+        hist AS (SELECT hrs, CAST(count(*) AS BIGINT) AS hn FROM lat GROUP BY hrs),
+        cd AS (
+          SELECT hrs,
+                 CAST(sum(hn) OVER (ORDER BY hrs ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                 CAST(sum(hn) OVER () AS BIGINT) AS n
+          FROM hist)
+        SELECT CAST(max(n) AS BIGINT) AS n_converted,
+               CAST(min(CASE WHEN cum * 2 >= n THEN hrs END) AS BIGINT) AS p50_hours,
+               CAST(min(CASE WHEN cum * 10 >= n * 9 THEN hrs END) AS BIGINT) AS p90_hours,
+               CAST(max(hrs) AS BIGINT) AS max_hours
+        FROM cd"""))
   )
 
   /** Event-sequence pattern report (q89), exposed as a library call: each

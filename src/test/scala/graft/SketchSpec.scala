@@ -448,6 +448,28 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q99: the CUSUM recurrence replays exactly from the output series") {
+    val rows = SparkEntry.queries("q99_cusum_changepoint")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val xs = rows.map(_.getLong(1))
+    val mean = xs.sum / xs.length
+    val slack = mean / 20
+    var g = 0L
+    rows.foreach { r =>
+      g = math.max(0L, g + r.getLong(1) - mean - slack)
+      assert(r.getLong(2) === g, s"g at ${r.get(0)}")
+      assert(r.getBoolean(3) === (g > 3 * mean))
+    }
+  }
+
+  test("q100: conversion latency percentiles are ordered and count converters") {
+    val r = SparkEntry.queries("q100_time_to_convert")(spark, sf).head()
+    assert(r.getLong(0) > 0L, "fixture must contain view->purchase conversions")
+    assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3),
+      "p50 <= p90 <= max")
+    assert(r.getLong(1) >= 0L)
+  }
+
   test("q84: RFM segments partition the customer base exactly") {
     val rows = SparkEntry.queries("q84_rfm_segmentation")(spark, sf).collect()
     assert(rows.nonEmpty)

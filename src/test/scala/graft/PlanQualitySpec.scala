@@ -306,4 +306,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("FullOuter"), p)
     assert(p.contains("partial_count"), s"no map-side combine: $p")
   }
+
+  for (q <- Seq("q84_rfm_segmentation", "q88_ks_drift", "q92_mad_outliers",
+      "q97_mann_whitney", "q98_gini_concentration", "s18_embedding_drift"))
+    test(s"$q: windows only over aggregated supports, never raw rows") {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => WindowNode}
+      val windows = plan.collect { case w: WindowNode => w }
+      assert(windows.nonEmpty)
+      windows.foreach { w =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"window over raw rows (no aggregate below it): $w")
+      }
+    }
+
+  for (q <- Seq("q85_survival_km", "q90_ewma_anomaly", "q99_cusum_changepoint"))
+    test(s"$q: the single-task recurrence fold consumes an aggregated series, not raw rows") {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Repartition}
+      val folds = plan.collect { case r: Repartition if r.numPartitions == 1 => r }
+      assert(folds.nonEmpty, s"no coalesce(1) fold stage found:\n$plan")
+      folds.foreach { r =>
+        assert(r.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"coalesce(1) directly over raw rows — the fold input must be the O(series) aggregate:\n$r")
+      }
+    }
+
+  test("q96: every per-order window reuses ONE hash exchange on the order key") {
+    val p = plan("q96_prorate_allocation")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"expected exactly 1 hash exchange shared by all order-key windows, got $hashEx:\n$p")
+  }
 }

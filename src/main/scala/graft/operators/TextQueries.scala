@@ -2145,9 +2145,15 @@ object TextQueries {
     * CONTENT, an edit shifts only the chunks it touches — the rest keep
     * their bytes (and so their fingerprints) and dedup across revisions,
     * which fixed-window chunking (`chunkDocs`) structurally cannot do.
-    * Pure higher-order functions (filter/transform/aggregate over char
-    * positions): O(8n) per doc in-scan, whole-stage codegen, no UDF, and
-    * an empty document yields one empty chunk. */
+    * One fused codegen'd pass per document ([[graft.functions.CdcBoundariesExpr]]),
+    * and an empty document yields one empty chunk.
+    *
+    * Example (chunks always reassemble the normalized text):
+    * {{{
+    *   val one = Seq((1L, "The quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    *   TextQueries.cdcChunks(one).agg(concat_ws("", collect_list($"chunk"))).as[String].head()
+    *   // "the quick brown fox jumps over the lazy dog"
+    * }}} */
   def cdcChunks(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

@@ -137,4 +137,13 @@ class DocExamplesSpec extends SparkSpec {
     assert(DedupQueries.fuzzyWordPairs(v).select("word_a", "word_b")
       .as[(String, String)].collect().toSeq === Seq(("red", "rod")))
   }
+
+  test("TextQueries.cdcChunks scaladoc example") {
+    import graft.operators.TextQueries
+    import org.apache.spark.sql.functions.{concat_ws, collect_list}
+    val one = Seq((1L, "The quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    assert(TextQueries.cdcChunks(one)
+      .agg(concat_ws("", collect_list($"chunk"))).as[String].head() ===
+      "the quick brown fox jumps over the lazy dog")
+  }
 }

@@ -97,6 +97,13 @@ class ScaleSpec extends SparkSpec {
       docCorpus(4000), docCorpus(40000))
   }
 
+  test("t34 content-defined chunking: 10x corpus => ~10x runtime and chunks") {
+    import graft.operators.TextQueries
+    assertTrend("t34",
+      df => TextQueries.cdcChunks(df).count(),
+      docCorpus(4000), docCorpus(40000))
+  }
+
   test("d13 prefix-filter exact join: 10x corpus => ~10x runtime and pairs") {
     // the EXACT path must show the same trend as the sketch path: prefix
     // buckets (rare-first) keep candidate generation linear in true

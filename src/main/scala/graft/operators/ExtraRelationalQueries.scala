@@ -2298,7 +2298,50 @@ object ExtraRelationalQueries {
         SELECT seg, n, total_c,
                (1000 * (s2t - (n + 1) * total_c)) // (n * total_c) AS gini_milli
         FROM m
-        ORDER BY seg""")))
+        ORDER BY seg""")),
+
+    // ----- customer segment migration matrix (q101) -------------------------
+    // The CRM year-over-year transition matrix: each customer's activity
+    // tier in 1995 vs 1996 (single/repeat/multi orders, or inactive),
+    // counted per (from, to) cell — the input to churn/upgrade funnels
+    // and Markov LTV models. Two O(customers) per-year aggregates from
+    // ONE conditional scan, a full-outer join on the customer key
+    // (absence = 'inactive' on that side), one matrix-sized count. Tier
+    // cuts are explicit integer thresholds — engine-exact.
+    QueryDef(
+      "q101_segment_migration",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.orders(s, d)
+          .filter(year($"o_orderdate").isin(1995, 1996))
+          .groupBy($"o_custkey")
+          .agg(sum(when(year($"o_orderdate") === 1995, 1L).otherwise(0L)).as("n95"),
+            sum(when(year($"o_orderdate") === 1996, 1L).otherwise(0L)).as("n96"))
+        def tier(c: org.apache.spark.sql.Column) =
+          when(c >= 3, "multi").when(c === 2, "repeat")
+            .when(c === 1, "single").otherwise("inactive")
+        per.select(tier($"n95").as("from_tier"), tier($"n96").as("to_tier"))
+          .groupBy($"from_tier", $"to_tier")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy($"from_tier", $"to_tier")
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT o_custkey,
+                 CAST(sum(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS n95,
+                 CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n96
+          FROM orders
+          WHERE year(o_orderdate) IN (1995, 1996)
+          GROUP BY o_custkey),
+        t AS (
+          SELECT CASE WHEN n95 >= 3 THEN 'multi' WHEN n95 = 2 THEN 'repeat'
+                      WHEN n95 = 1 THEN 'single' ELSE 'inactive' END AS from_tier,
+                 CASE WHEN n96 >= 3 THEN 'multi' WHEN n96 = 2 THEN 'repeat'
+                      WHEN n96 = 1 THEN 'single' ELSE 'inactive' END AS to_tier
+          FROM per)
+        SELECT from_tier, to_tier, CAST(count(*) AS BIGINT) AS n_customers
+        FROM t GROUP BY from_tier, to_tier
+        ORDER BY from_tier, to_tier""")))
 
   /** Per-group OLS fit from sufficient statistics (q76), exposed as a
     * library call over any (seg, x, y) integer frame: one hash agg of the

@@ -470,6 +470,18 @@ class SketchSpec extends SparkSpec {
     assert(r.getLong(1) >= 0L)
   }
 
+  test("q101: the migration matrix partitions the active customer base") {
+    val rows = SparkEntry.queries("q101_segment_migration")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val active = Tables.orders(spark, sf)
+      .filter(year($"o_orderdate").isin(1995, 1996))
+      .select($"o_custkey").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === active,
+      "every active customer lands in exactly one matrix cell")
+    // both-inactive is impossible by construction (only active customers enter)
+    assert(!rows.exists(r => r.getString(0) == "inactive" && r.getString(1) == "inactive"))
+  }
+
   test("q84: RFM segments partition the customer base exactly") {
     val rows = SparkEntry.queries("q84_rfm_segmentation")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -2584,7 +2584,15 @@ object ExtraRelationalQueries {
     * series: per-dow mean vs overall mean in millis, and the MAE of
     * predicting each day with the previous observation of the same weekday.
     * Day-of-week is days-since-1970-01-05 (a Monday) mod 7 — identical on
-    * any engine, unlike dayofweek() numbering. All O(days)-sized windows. */
+    * any engine, unlike dayofweek() numbering. All O(days)-sized windows.
+    *
+    * Example (two identical Mondays forecast each other exactly):
+    * {{{
+    *   val days = Seq(("2024-01-01", 500L), ("2024-01-08", 500L))
+    *     .toDF("d", "rev_c").select(to_timestamp($"d").as("day"), $"rev_c")
+    *   ExtraRelationalQueries.seasonalBacktest(days)
+    *     .select($"dow", $"mae_c").as[(Long, Long)].head()  // (0, 0)
+    * }}} */
   def seasonalBacktest(daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val base = daily
       .withColumn("dow", expr("pmod(datediff(day, DATE '1970-01-05'), 7)").cast("long"))

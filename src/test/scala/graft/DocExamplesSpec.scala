@@ -138,6 +138,15 @@ class DocExamplesSpec extends SparkSpec {
       .as[(String, String)].collect().toSeq === Seq(("red", "rod")))
   }
 
+  test("ExtraRelationalQueries.seasonalBacktest scaladoc example") {
+    import graft.operators.ExtraRelationalQueries
+    import org.apache.spark.sql.functions.to_timestamp
+    val days = Seq(("2024-01-01", 500L), ("2024-01-08", 500L))
+      .toDF("d", "rev_c").select(to_timestamp($"d").as("day"), $"rev_c")
+    assert(ExtraRelationalQueries.seasonalBacktest(days)
+      .select($"dow", $"mae_c").as[(Long, Long)].head() === ((0L, 0L)))
+  }
+
   test("TextQueries.cdcChunks scaladoc example") {
     import graft.operators.TextQueries
     import org.apache.spark.sql.functions.{concat_ws, collect_list}

@@ -885,6 +885,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUSUM flags a planted level shift and equals the batch fold") {
+    import graft.streaming.StreamCusum
+    import graft.streaming.StreamCusum.{Point, Scored}
+    implicit val sq = spark.sqlContext
+    val mean = 100L
+    // 10 on-baseline days then a sustained +20% shift: no single point is
+    // extreme, the accumulator walks over the 3x-mean alarm line
+    val xs = Seq.fill(10)(100L) ++ Seq.fill(25)(120L) // g climbs 15/day -> crosses 300 on shift day 21
+    val pts = xs.zipWithIndex.map { case (x, i) => Point(i.toLong, x) }
+    def replay(ps: Seq[Point]): Seq[Scored] = {
+      var g = 0L
+      ps.map { p =>
+        g = math.max(0L, g + p.x - mean - mean * 5 / 100)
+        Scored(p.t, p.x, g, g > 3 * mean)
+      }
+    }
+    val ms = MemoryStream[Keyed[Point]]
+    val q = StreamCusum.cusumStream(ms.toDS(), mean)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    try {
+      pts.map(p => Keyed(1L, p.t, p)).grouped(7).foreach { c =>
+        ms.addData(c.toSeq); q.processAllAvailable()
+      }
+      val got = spark.table("cusum_out").as[Keyed[Scored]].collect()
+        .map(_.value).sortBy(_.t).toSeq
+      val want = replay(pts)
+      assert(got === want, "stream must equal the batch fold")
+      assert(!got.take(10).exists(_.alarm), "no alarm on baseline")
+      assert(got.last.alarm, "the sustained shift must eventually alarm")
+    } finally q.stop()
+  }
+
   test("streaming token-bucket quota equals the batch replay; replays decide nothing twice") {
     import graft.streaming.StreamQuota
     import graft.streaming.StreamQuota.{Decision, Request}

@@ -1,5 +1,7 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// Surface dead locals/privates at compile time (round-5 verdict item 7).
+ThisBuild / scalacOptions ++= Seq("-Wunused:locals,privates")
 name := "rsplspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

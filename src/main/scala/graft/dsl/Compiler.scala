@@ -135,7 +135,7 @@ object Compiler {
     spark.range(1).repartition(1).flatMap { _ =>
       Iterator.iterate((init, Option.empty[B]))(s => {
         val (b, s2) = body(s._1); (s2, Some(b))
-      }).drop(1).take(n).zipWithIndex.map { case ((_, Some(b)), i) => (i.toLong, b) }
+      }).drop(1).take(n).zipWithIndex.collect { case ((_, Some(b)), i) => (i.toLong, b) }
     }
   }
 

@@ -697,7 +697,6 @@ object EventQueries {
       "q70_time_weighted_avg",
       (s, d) => {
         import s.implicits._
-        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
         Tables.events(s, d)
           .select($"user_id", $"ts", $"event_id",
             expr("cast(get_json_object(props, '$.k') as bigint)").as("k"))
@@ -907,7 +906,6 @@ object EventQueries {
       "q79_bot_detection",
       (s, d) => {
         import s.implicits._
-        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
         Tables.events(s, d)
           .select($"user_id", $"ts", $"event_id")
           .withColumn("gap_s", expr(
@@ -1061,7 +1059,6 @@ object EventQueries {
         val daily = Tables.events(s, d)
           .groupBy(date_trunc("day", $"ts").as("dy"))
           .agg(count(lit(1)).as("x"))
-        val wall = Window.partitionBy(lit(1))
         val ser = daily
           .withColumn("mean", expr("sum(x) over (partition by 1) div count(x) over (partition by 1)"))
           .select($"dy", $"x", $"mean", expr("mean div 20").as("slack"))

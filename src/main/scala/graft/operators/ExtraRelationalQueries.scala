@@ -83,6 +83,55 @@ object ExtraRelationalQueries {
       .agg(count(lit(1)).as("n_orphans"))
       .select(lit(rel).as("relationship"), col("n_orphans"))
 
+  /** Shared oracle for q60 and q102 (identical exact report, two plan
+    * shapes). MUST be above `val all` — object init is sequential. */
+  private val ProfileDriftOracleSql = """
+        WITH li AS (
+          SELECT (l_shipdate < DATE '1995-06-01') AS ina,
+                 CAST(floor(l_quantity * 100) AS BIGINT) AS qty_c,
+                 CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c,
+                 CAST(floor(l_discount * 1000) AS BIGINT) AS disc_m,
+                 l_returnflag
+          FROM lineitem),
+        stats AS (
+          SELECT
+            count(CASE WHEN ina THEN 1 END) AS n_a,
+            count(CASE WHEN NOT ina THEN 1 END) AS n_b,
+            count(DISTINCT CASE WHEN ina THEN qty_c END) AS qty_d_a,
+            count(DISTINCT CASE WHEN NOT ina THEN qty_c END) AS qty_d_b,
+            CAST(sum(CASE WHEN ina THEN qty_c ELSE 0 END) AS BIGINT) AS qty_s_a,
+            CAST(sum(CASE WHEN NOT ina THEN qty_c ELSE 0 END) AS BIGINT) AS qty_s_b,
+            count(DISTINCT CASE WHEN ina THEN price_c END) AS price_d_a,
+            count(DISTINCT CASE WHEN NOT ina THEN price_c END) AS price_d_b,
+            CAST(sum(CASE WHEN ina THEN price_c ELSE 0 END) AS BIGINT) AS price_s_a,
+            CAST(sum(CASE WHEN NOT ina THEN price_c ELSE 0 END) AS BIGINT) AS price_s_b,
+            count(DISTINCT CASE WHEN ina THEN disc_m END) AS disc_d_a,
+            count(DISTINCT CASE WHEN NOT ina THEN disc_m END) AS disc_d_b,
+            CAST(sum(CASE WHEN ina THEN disc_m ELSE 0 END) AS BIGINT) AS disc_s_a,
+            CAST(sum(CASE WHEN NOT ina THEN disc_m ELSE 0 END) AS BIGINT) AS disc_s_b,
+            count(DISTINCT CASE WHEN ina THEN l_returnflag END) AS flag_d_a,
+            count(DISTINCT CASE WHEN NOT ina THEN l_returnflag END) AS flag_d_b
+          FROM li),
+        rep(col, n_a, n_b, distinct_a, distinct_b, s_a, s_b, numeric) AS (
+          SELECT 'qty_c', n_a, n_b, qty_d_a, qty_d_b, qty_s_a, qty_s_b, TRUE FROM stats
+          UNION ALL
+          SELECT 'price_c', n_a, n_b, price_d_a, price_d_b, price_s_a, price_s_b, TRUE FROM stats
+          UNION ALL
+          SELECT 'disc_m', n_a, n_b, disc_d_a, disc_d_b, disc_s_a, disc_s_b, TRUE FROM stats
+          UNION ALL
+          SELECT 'l_returnflag', n_a, n_b, flag_d_a, flag_d_b, 0, 0, FALSE FROM stats)
+        SELECT col AS "column",
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(distinct_a AS BIGINT) AS distinct_a,
+               CAST(distinct_b AS BIGINT) AS distinct_b,
+               CAST(s_a // greatest(n_a, 1) AS BIGINT) AS avg_a,
+               CAST(s_b // greatest(n_b, 1) AS BIGINT) AS avg_b,
+               CAST(CASE WHEN numeric THEN floor(
+                 abs(s_b // greatest(n_b, 1) - s_a // greatest(n_a, 1)) * 1000.0 /
+                 greatest(abs(s_a // greatest(n_a, 1)), 1)) ELSE 0 END AS BIGINT) AS drift_milli
+        FROM rep
+        ORDER BY "column""""
+
   val all: Seq[QueryDef] = Seq(
 
     // ----- multiset set ops: EXCEPT ALL / INTERSECT ALL ---------------------
@@ -1326,52 +1375,63 @@ object ExtraRelationalQueries {
         one.select(explode(array(rows: _*)).as("r")).select($"r.*")
           .orderBy($"column")
       },
-      oracle = Some("""
-        WITH li AS (
-          SELECT (l_shipdate < DATE '1995-06-01') AS ina,
-                 CAST(floor(l_quantity * 100) AS BIGINT) AS qty_c,
-                 CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c,
-                 CAST(floor(l_discount * 1000) AS BIGINT) AS disc_m,
-                 l_returnflag
-          FROM lineitem),
-        stats AS (
-          SELECT
-            count(CASE WHEN ina THEN 1 END) AS n_a,
-            count(CASE WHEN NOT ina THEN 1 END) AS n_b,
-            count(DISTINCT CASE WHEN ina THEN qty_c END) AS qty_d_a,
-            count(DISTINCT CASE WHEN NOT ina THEN qty_c END) AS qty_d_b,
-            CAST(sum(CASE WHEN ina THEN qty_c ELSE 0 END) AS BIGINT) AS qty_s_a,
-            CAST(sum(CASE WHEN NOT ina THEN qty_c ELSE 0 END) AS BIGINT) AS qty_s_b,
-            count(DISTINCT CASE WHEN ina THEN price_c END) AS price_d_a,
-            count(DISTINCT CASE WHEN NOT ina THEN price_c END) AS price_d_b,
-            CAST(sum(CASE WHEN ina THEN price_c ELSE 0 END) AS BIGINT) AS price_s_a,
-            CAST(sum(CASE WHEN NOT ina THEN price_c ELSE 0 END) AS BIGINT) AS price_s_b,
-            count(DISTINCT CASE WHEN ina THEN disc_m END) AS disc_d_a,
-            count(DISTINCT CASE WHEN NOT ina THEN disc_m END) AS disc_d_b,
-            CAST(sum(CASE WHEN ina THEN disc_m ELSE 0 END) AS BIGINT) AS disc_s_a,
-            CAST(sum(CASE WHEN NOT ina THEN disc_m ELSE 0 END) AS BIGINT) AS disc_s_b,
-            count(DISTINCT CASE WHEN ina THEN l_returnflag END) AS flag_d_a,
-            count(DISTINCT CASE WHEN NOT ina THEN l_returnflag END) AS flag_d_b
-          FROM li),
-        rep(col, n_a, n_b, distinct_a, distinct_b, s_a, s_b, numeric) AS (
-          SELECT 'qty_c', n_a, n_b, qty_d_a, qty_d_b, qty_s_a, qty_s_b, TRUE FROM stats
-          UNION ALL
-          SELECT 'price_c', n_a, n_b, price_d_a, price_d_b, price_s_a, price_s_b, TRUE FROM stats
-          UNION ALL
-          SELECT 'disc_m', n_a, n_b, disc_d_a, disc_d_b, disc_s_a, disc_s_b, TRUE FROM stats
-          UNION ALL
-          SELECT 'l_returnflag', n_a, n_b, flag_d_a, flag_d_b, 0, 0, FALSE FROM stats)
-        SELECT col AS "column",
-               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-               CAST(distinct_a AS BIGINT) AS distinct_a,
-               CAST(distinct_b AS BIGINT) AS distinct_b,
-               CAST(s_a // greatest(n_a, 1) AS BIGINT) AS avg_a,
-               CAST(s_b // greatest(n_b, 1) AS BIGINT) AS avg_b,
-               CAST(CASE WHEN numeric THEN floor(
-                 abs(s_b // greatest(n_b, 1) - s_a // greatest(n_a, 1)) * 1000.0 /
-                 greatest(abs(s_a // greatest(n_a, 1)), 1)) ELSE 0 END AS BIGINT) AS drift_milli
-        FROM rep
-        ORDER BY "column"""")),
+      oracle = Some(ProfileDriftOracleSql)),
+
+    // ----- scalable profile/drift (q102): q60 without the Expand ------------
+    // q60's 8 exact countDistincts make Catalyst plan ONE Expand that
+    // multiplies every fact row 9x before the shuffle — fine at sf0.1,
+    // the first thing to fall over at 100 TB. This is the same EXACT
+    // report (same oracle) in the 100-TB shape: unpivot each row into 4
+    // (column, value) pairs via explode (a Generate, streamed — never an
+    // Expand), then a two-level aggregation. Level 1 groups by
+    // (column, value): the map-side partial combine collapses each
+    // partition to its distinct values, so the one fact-sized shuffle
+    // carries only O(sum of per-column cardinalities) rows. Level 2 is a
+    // tiny per-column reduce: distinct_a = count of values seen in window
+    // a, n_a = sum of per-value counts, and the window sum is
+    // sum(value * count) — all exact longs, so the report hash-matches
+    // q60 and the DuckDB oracle bit-for-bit. Swap the explode list to
+    // profile more columns; the plan shape is unchanged.
+    QueryDef(
+      "q102_profile_drift_scalable",
+      (s, d) => {
+        import s.implicits._
+        val split = lit("1995-06-01").cast("date")
+        val pairs = Tables.lineitem(s, d)
+          .select(($"l_shipdate" < split).as("ina"), explode(array(
+            struct(lit("qty_c").as("c"),
+              floor($"l_quantity" * 100).cast("long").as("v"),
+              lit(true).as("num")),
+            struct(lit("price_c").as("c"),
+              floor($"l_extendedprice" * 100).cast("long").as("v"),
+              lit(true).as("num")),
+            struct(lit("disc_m").as("c"),
+              floor($"l_discount" * 1000).cast("long").as("v"),
+              lit(true).as("num")),
+            struct(lit("l_returnflag").as("c"),
+              ascii($"l_returnflag").cast("long").as("v"),
+              lit(false).as("num")))).as("p"))
+          .select($"ina", $"p.c", $"p.v", $"p.num")
+        pairs
+          .groupBy($"c", $"v", $"num")
+          .agg(count(when($"ina", lit(1))).as("na"),
+            count(when(!$"ina", lit(1))).as("nb"))
+          .groupBy($"c", $"num")
+          .agg(sum($"na").as("n_a"), sum($"nb").as("n_b"),
+            count(when($"na" > 0, lit(1))).as("distinct_a"),
+            count(when($"nb" > 0, lit(1))).as("distinct_b"),
+            sum(when($"num", $"v" * $"na").otherwise(lit(0L))).as("s_a"),
+            sum(when($"num", $"v" * $"nb").otherwise(lit(0L))).as("s_b"))
+          .select($"c".as("column"), $"n_a", $"n_b", $"distinct_a", $"distinct_b",
+            expr("s_a div greatest(n_a, 1L)").as("avg_a"),
+            expr("s_b div greatest(n_b, 1L)").as("avg_b"),
+            when($"num", floor(
+              abs(expr("s_b div greatest(n_b, 1L)") - expr("s_a div greatest(n_a, 1L)")) *
+                lit(1000.0) / greatest(abs(expr("s_a div greatest(n_a, 1L)")), lit(1L)))
+              .cast("long")).otherwise(lit(0L)).as("drift_milli"))
+          .orderBy($"column")
+      },
+      oracle = Some(ProfileDriftOracleSql)),
 
     // ----- replica-reconciliation checksums (q67) ---------------------------
     // How you compare two 100 TB replicas/snapshots WITHOUT moving data:

@@ -298,6 +298,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side combine:\n$p")
   }
 
+  test("q102: the scalable profile never plans an Expand (q60's 9x row multiplier)") {
+    val p = plan("q102_profile_drift_scalable")
+    assert(!p.contains("Expand"),
+      s"the 100 TB profile must unpivot via Generate, not Expand:\n$p")
+    assert(p.contains("Generate explode"), s"expected explode-unpivot Generate:\n$p")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"profile report must scan once, got $scans scans:\n$p")
+    assert(p.contains("partial_count"),
+      s"level-1 (column,value) agg lost its map-side combine:\n$p")
+  }
+
   test("q50: the two snapshot aggregates feed the outer join with one shuffle each") {
     val p = plan("q50_snapshot_diff")
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))

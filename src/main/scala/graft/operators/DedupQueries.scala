@@ -383,7 +383,11 @@ object DedupQueries {
       // adopts neighbor minima, round 2 propagates them), so skip the count
       // there — measured ~0.1s/round saved on each of d08/d12/t26/s11 with
       // termination still guaranteed by the counted rounds + maxRounds cap.
-      changed = if (rounds < 2) 1L else next.filter($"cluster_id" =!= $"old").count()
+      // Never skip on the LAST permitted round, though: the forced 1L
+      // would flow into the post-loop convergence require and fail it
+      // spuriously for maxRounds <= 2 on an already-converged graph.
+      changed = if (rounds < 2 && rounds + 1 < maxRounds) 1L
+        else next.filter($"cluster_id" =!= $"old").count()
       stepped.unpersist()
       labels = next.select($"doc_id", $"cluster_id")
       rounds += 1

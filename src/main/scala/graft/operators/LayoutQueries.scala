@@ -178,6 +178,20 @@ object LayoutQueries {
       partitionCols: Seq[String], targetBytes: Long = 128L << 20): (Long, Long) = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(inDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // overwrite-mode write into (or around) the source would truncate it
+    // mid-rewrite: reject identical and nested in/out paths outright
+    // (URI-normalized, so `a/b/..` aliases of the source are caught too)
+    def qualified(dir: String): Path =
+      new Path(fs.makeQualified(new Path(dir)).toUri.normalize())
+    val (inQ, outQ) = (qualified(inDir), qualified(outDir))
+    def contains(a: Path, b: Path): Boolean = {
+      var p: Path = b
+      while (p != null) { if (p == a) return true; p = p.getParent }
+      false
+    }
+    require(!contains(inQ, outQ) && !contains(outQ, inQ),
+      s"compact target $outQ must not equal or nest with source $inQ " +
+        "(mode=overwrite would truncate the source mid-rewrite)")
     def dataFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
       val it = fs.listFiles(new Path(dir), true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]

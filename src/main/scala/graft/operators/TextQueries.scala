@@ -1953,13 +1953,29 @@ object TextQueries {
       .select($"g", $"doc_id".as("doc_a"), $"pos".as("pa"))
     val b = pos.select($"g", $"doc_id".as("doc_b"), $"pos".as("pb"))
     val w = Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pa")
-    a.join(b, Seq("g"))
+    val spans = a.join(b, Seq("g"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b", $"pa", $"pb", ($"pa" - $"pb").as("diag"))
       .withColumn("isl", $"pa" - row_number().over(w))
       .groupBy($"doc_a", $"doc_b", $"diag", $"isl")
-      .agg((count(lit(1)) + 7).as("span_tokens"))
+      .agg(min($"pa").as("start_a"), (count(lit(1)) + 7).as("span_tokens"))
       .filter($"span_tokens" >= minRun + 7)
+    // exact verify (d03/d13's discipline, at span granularity): hashes are
+    // join keys only — before a span becomes an output row, compare the
+    // actual token windows, so a 64-bit shingle collision can never
+    // fabricate a reported span. One slice-compare covers every shingle in
+    // the maximal span. Cost: O(spans) rows joined against per-doc token
+    // arrays — the span side is tiny, so this broadcasts and the corpus
+    // side is a scan, never an extra corpus shuffle. (The one residual
+    // collision effect: a false mid-run match could bridge two real spans
+    // whose bridged window then fails verify and is dropped — at ~2^-64
+    // per shingle pair that is the accepted budget.)
+    val toks = docs.select($"doc_id", TextFns.tokens($"text").as("t"))
+    spans
+      .join(toks.select($"doc_id".as("doc_a"), $"t".as("ta")), Seq("doc_a"))
+      .join(toks.select($"doc_id".as("doc_b"), $"t".as("tb")), Seq("doc_b"))
+      .filter(slice($"ta", $"start_a".cast("int"), $"span_tokens".cast("int")) ===
+        slice($"tb", ($"start_a" - $"diag").cast("int"), $"span_tokens".cast("int")))
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_spans"),
         max($"span_tokens").as("max_span_tokens"),

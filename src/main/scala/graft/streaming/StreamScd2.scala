@@ -10,7 +10,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * per-entity [valid_from, ...) version runs micro-batch by micro-batch.
   *
   * The fold state is the run list itself — (user, kb, valid_from,
-  * n_events) with runs maximal (adjacent runs differ in kb). Each batch
+  * first_id, n_events) with runs maximal (adjacent runs differ in kb);
+  * first_id (the run's min event_id) breaks valid_from ties, since
+  * valid_from truncates to seconds and two runs can share one. Each batch
   * reduces to ITS run list (q66's gaps-and-islands on just the batch),
   * appends to the state, and re-merges adjacent same-kb runs — an
   * associative list-monoid fold, so the folded history equals the batch
@@ -43,13 +45,19 @@ object StreamScd2 {
       .groupBy(col("user_id"), col("seg"))
       .agg(min(col("kb")).as("kb"),
         min(date_trunc("second", col("ts"))).as("valid_from"),
+        // deterministic tie-breaker: two runs of one user can share a
+        // second (valid_from is truncated), so downstream ordering keys
+        // on (valid_from, first_id), never valid_from alone
+        min(col("event_id")).as("first_id"),
         count(lit(1)).as("n_events"))
-      .select(col("user_id"), col("kb"), col("valid_from"), col("n_events"))
+      .select(col("user_id"), col("kb"), col("valid_from"), col("first_id"),
+        col("n_events"))
   }
 
   /** Re-merge adjacent same-kb runs after an append — the monoid op. */
   private def normalize(runs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("first_id"))
     runs
       .withColumn("chg",
         when(lag(col("kb"), 1).over(w).isNull ||
@@ -59,8 +67,10 @@ object StreamScd2 {
       .groupBy(col("user_id"), col("seg"))
       .agg(min(col("kb")).as("kb"),
         min(col("valid_from")).as("valid_from"),
+        min(col("first_id")).as("first_id"),
         sum(col("n_events")).as("n_events"))
-      .select(col("user_id"), col("kb"), col("valid_from"), col("n_events"))
+      .select(col("user_id"), col("kb"), col("valid_from"), col("first_id"),
+        col("n_events"))
   }
 
   final class Scd2State private[StreamScd2] (s: SparkSession) {
@@ -87,7 +97,8 @@ object StreamScd2 {
 
   /** q66's output columns from a normalized run table. */
   private def reportOf(runs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("first_id"))
     runs
       .withColumn("version", row_number().over(w).cast("long"))
       .withColumn("valid_to", lead(col("valid_from"), 1).over(w))

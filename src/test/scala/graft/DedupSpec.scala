@@ -139,6 +139,23 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("cluster labels: tiny round caps still converge on already-tight graphs") {
+    import spark.implicits._
+    // the rounds<2 count-skip must not leak its forced changed=1 into the
+    // post-loop convergence require when maxRounds <= 2: an edge-free
+    // graph is converged from the start (cap=1 must accept it), and a
+    // single edge settles in round 1 (cap=2 must accept it)
+    val docs = (0L until 4L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val isolated = DedupQueries.clusterLabels(docs, noPairs, maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(isolated === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    val onePair = Seq((0L, 1L)).toDF("doc_a", "doc_b")
+    val labels = DedupQueries.clusterLabels(docs, onePair, maxRounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("identical texts get identical minhash signatures and simhash") {
     import spark.implicits._
     import graft.functions.TextFns

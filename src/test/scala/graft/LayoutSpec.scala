@@ -117,6 +117,15 @@ class LayoutSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag") ||
       plan.contains("PartitionFilters: [(l_returnflag"),
       s"partition pruning lost after compaction:\n$plan")
+    // self- and nested-target compaction would truncate the source via the
+    // overwrite write: must be rejected before any IO, source left intact
+    for (bad <- Seq(inDir, s"$inDir/l_returnflag=R", s"$tmp/frag/..")) {
+      val e = intercept[IllegalArgumentException] {
+        LayoutQueries.compact(spark, inDir, bad, Seq("l_returnflag"))
+      }
+      assert(e.getMessage.contains("must not equal or nest"), s"$bad: ${e.getMessage}")
+    }
+    assert(sig(inDir).nonEmpty)
   }
 
   test("q52 result is layout-independent (matches the unclustered rectangle)") {

@@ -122,6 +122,25 @@ class SketchSpec extends SparkSpec {
     assert(est <= bound, s"estimate $est beyond the collision bound $bound (exact $exactJoin)")
   }
 
+  test("q71: the probabilistic eps-bound holds on the fixture (kept out of the oracle)") {
+    // q71's oracled columns are all deterministic; the Markov-type
+    // est <= exact + 4*nE*nO/Width claim (failure class ~(1/4)^Depth with
+    // the fixed seeds) is pinned HERE, where a seed/fixture change fails a
+    // test instead of silently invalidating a hardcoded oracle TRUE.
+    import graft.functions.CountMin
+    val cms = new CountMin().toColumn
+    import spark.implicits._
+    val skE = Tables.events(spark, sf).select($"user_id").as[Long].select(cms).head()
+    val skO = Tables.orders(spark, sf).select($"o_custkey").as[Long].select(cms).head()
+    val est = CountMin.innerProduct(skE, skO)
+    val exact = Tables.events(spark, sf)
+      .join(Tables.orders(spark, sf), $"user_id" === $"o_custkey").count()
+    val bound = exact +
+      4L * skE.take(CountMin.Width).sum * skO.take(CountMin.Width).sum / CountMin.Width
+    assert(est >= exact, s"CMS inner product $est undercounts exact $exact")
+    assert(est <= bound, s"CMS estimate $est beyond the eps bound $bound (exact $exact)")
+  }
+
   test("olsFit recovers a planted line exactly and bounds R² on noise") {
     import graft.operators.ExtraRelationalQueries.olsFit
     // y = 3x + 7 exactly: slope/intercept/R² all land on exact values

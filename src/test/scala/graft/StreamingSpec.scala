@@ -435,21 +435,32 @@ class StreamingSpec extends SparkSpec {
       ev(3, ts(2, 0), 10, 30), ev(4, ts(2, 30), 10, 60), // kb 1, kb 2
       ev(5, ts(3, 0), 10, 55),                           // kb 2 continues
       ev(6, ts(1, 5), 11, 90), ev(7, ts(4, 0), 11, 99))  // u11: kb 3, kb 3
+    // u12: THREE version runs inside ONE second (valid_from truncates to
+    // seconds, so ordering by valid_from alone is ambiguous — the
+    // first_id tie-breaker must keep the fold deterministic), split
+    // across a batch edge mid-second
+    def tms(ms: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 05:00:00.$ms%03d")
+    val sameSec = Seq(
+      ev(8, tms(100), 12, 3), ev(9, tms(200), 12, 30),   // kb 0, kb 1
+      ev(10, tms(300), 12, 60), ev(11, tms(400), 12, 55)) // kb 2, kb 2
     val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
     val (q, state) = StreamScd2.start(
       ms.toDF().toDF("event_id", "ts", "user_id", "props"))
     try {
-      // split INSIDE u10's kb=2 run and u11's kb=3 run
-      ms.addData(rows.take(4): _*); q.processAllAvailable()
-      ms.addData(rows.drop(4): _*); q.processAllAvailable()
+      // split INSIDE u10's kb=2 run, u11's kb=3 run, and u12's second
+      ms.addData(rows.take(4) ++ sameSec.take(2): _*); q.processAllAvailable()
+      ms.addData(rows.drop(4) ++ sameSec.drop(2): _*); q.processAllAvailable()
       val streamed = state.history.collect().toSeq
       val oneShot = StreamScd2.scd2Batch(
-        rows.toDF("event_id", "ts", "user_id", "props")).collect().toSeq
+        (rows ++ sameSec).toDF("event_id", "ts", "user_id", "props")).collect().toSeq
       assert(streamed === oneShot)
       // the straddling runs merged: u10 has versions kb 0(x2),1,2(x2); u11 one version
       val u10 = streamed.filter(_.getLong(0) == 10L)
       assert(u10.map(r => (r.getLong(2), r.getLong(6))) === Seq((0L, 2L), (1L, 1L), (2L, 2L)))
       assert(streamed.count(_.getLong(0) == 11L) === 1)
+      // u12's same-second runs come out in event order, never merged or swapped
+      val u12 = streamed.filter(_.getLong(0) == 12L)
+      assert(u12.map(r => (r.getLong(2), r.getLong(6))) === Seq((0L, 1L), (1L, 1L), (2L, 2L)))
       // retried batchId is a no-op
       val before = state.history.collect().toSeq
       state.merge(rows.take(4).toDF("event_id", "ts", "user_id", "props"), 0L)

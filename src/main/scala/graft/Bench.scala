@@ -69,7 +69,23 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The transitive-closure dedup family's DuckDB oracles exceed the 120 s
+    // timeout at sf0.1, so their headline ratios are unmeasurable there.
+    // tools/closure_bench.py times BOTH engines at sf0.01 and writes the
+    // minified single-line artifact below; embed it verbatim so the round's
+    // BENCH JSON carries numeric ratios for those queries too.
+    val closure = {
+      val f = new java.io.File("bench/closure_scaled.json")
+      if (f.isFile) {
+        val line = scala.io.Source.fromFile(f, "UTF-8")
+        try {
+          val s = line.getLines().mkString.trim
+          if (s.startsWith("{") && s.endsWith("}")) s""","closure_family":$s"""
+          else ""
+        } finally line.close()
+      } else ""
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$closure}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED (no timing recorded): ${failed.mkString(", ")}")

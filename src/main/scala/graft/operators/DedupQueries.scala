@@ -47,7 +47,15 @@ object DedupQueries {
   }
 
   /** 48-element minhash signature of a distinct-shingle array. One xxhash64
-    * per shingle, then cheap affine maps — all native expressions. */
+    * per shingle, then cheap affine maps — all native expressions.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val sh = Seq(Seq("a b c", "b c d"), Seq("b c d", "a b c")).toDF("sh")
+    * // set semantics: 48-row signatures, identical for identical shingle sets
+    * sh.select(minhashSig($"sh")).collect()  // two equal 48-element arrays
+    * }}}
+    */
   def minhashSig(sh: Column): Column = {
     val hs = transform(sh, x => pmod(xxhash64(x), lit(P)))
     array((0 until NumHashes).map { i =>
@@ -55,7 +63,13 @@ object DedupQueries {
     }: _*)
   }
 
-  /** Band hashes (16 bands of 3 signature rows each). */
+  /** Band hashes (16 bands of 3 signature rows each).
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * sh.select(bandHashes(minhashSig($"sh")))  // 16 band hashes per doc
+    * }}}
+    */
   def bandHashes(sig: Column): Column =
     array((0 until Bands).map { j =>
       xxhash64(lit(j), element_at(sig, j * 3 + 1), element_at(sig, j * 3 + 2),
@@ -64,7 +78,14 @@ object DedupQueries {
 
   /** 64-bit SimHash from token multiset: bit b is set iff the sum over
     * tokens of ±1 (by bit b of the token's hash) is positive. Per-bit
-    * literal masks (not column-valued shifts) keep it all native exprs. */
+    * literal masks (not column-valued shifts) keep it all native exprs.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * Seq(Seq("the", "quick", "fox"), Seq("fox", "quick", "the")).toDF("t")
+    *   .select(simhash($"t"))  // equal hashes: multiset semantics, order-free
+    * }}}
+    */
   def simhash(toksCol: Column): Column = {
     val hs = transform(toksCol, t => xxhash64(t))
     (0 until 64).map { b =>
@@ -82,7 +103,14 @@ object DedupQueries {
     * Catalyst inlines it, re-running regexp+split for every element access —
     * measured 12s vs 0.4s over 5000 docs at sf0.1. Same values either way
     * (partial trailing shingle via space-joined available tokens, then
-    * distinct), so the DuckDB PairSql oracle is unchanged. */
+    * distinct), so the DuckDB PairSql oracle is unchanged.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * shinglesOf(spark, Seq((1L, "a b c d")).toDF("doc_id", "text"))
+    *   .as[(Long, Seq[String])].head() == ((1L, Seq("a b c", "b c d")))
+    * }}}
+    */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     shinglesOf(s, Tables.documents(s, d))
 
@@ -127,7 +155,14 @@ object DedupQueries {
 
   /** JVM minhash-signature kernel over a distinct-shingle set — the hot-loop
     * twin of [[minhashSig]], shared by the batch band explode and the
-    * streaming dedup processor so both compute identical sketches. */
+    * streaming dedup processor so both compute identical sketches.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val sig = minhashSigOf(Seq("a b c", "b c d"))  // 48 rows
+    * sig.toSeq == minhashSigOf(Seq("b c d", "a b c")).toSeq  // order-free
+    * }}}
+    */
   def minhashSigOf(sh: Seq[String]): Array[Long] = {
     val hs = sh.iterator.map(x => ((fnv64(x) % P) + P) % P).toArray
     Array.tabulate(NumHashes) { i =>
@@ -141,7 +176,13 @@ object DedupQueries {
     }
   }
 
-  /** JVM band hash of band `b` of a [[minhashSigOf]] signature. */
+  /** JVM band hash of band `b` of a [[minhashSigOf]] signature.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * bandHashOf(0, sig)  // pure function of signature rows 0..2
+    * }}}
+    */
   def bandHashOf(b: Int, sig: Array[Long]): Long =
     fnv64(s"$b:${sig(b * 3)}:${sig(b * 3 + 1)}:${sig(b * 3 + 2)}")
 
@@ -150,7 +191,13 @@ object DedupQueries {
   def numBands: Int = Bands
 
   /** JVM twin of [[TextFns.jaccardMilli]] over distinct-shingle seqs:
-    * floor(1000·|∩|/|∪|), identical to the Column form on positive sizes. */
+    * floor(1000·|∩|/|∪|), identical to the Column form on positive sizes.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * jaccardMilliOf(Seq("a", "b", "c"), Seq("b", "c", "d")) == 500L  // 2/4
+    * }}}
+    */
   def jaccardMilliOf(a: Seq[String], b: Seq[String]): Long = {
     val sa = a.toSet
     val sb = b.toSet
@@ -185,7 +232,17 @@ object DedupQueries {
     * Sketches + band rows are materialized once (cache) — without it the
     * self-join recomputes the sketch on BOTH sides of every band row
     * (measured 886s vs ~5s at sf0.1). At cluster scale the same principle
-    * holds: persist the signature table before the band join. */
+    * holds: persist the signature table before the band join.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val base = (1 to 30).map("w" + _).mkString(" ")
+    * val docs = Seq((1L, base), (2L, base + " tail"),
+    *   (3L, "something else entirely")).toDF("doc_id", "text")
+    * minhashNearDupPairs(spark, docs).select($"doc_a", $"doc_b")
+    *   .as[(Long, Long)].collect().toSeq == Seq((1L, 2L))
+    * }}}
+    */
   def minhashNearDupPairs(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val groups = exactDupGroups(docs)
@@ -284,7 +341,15 @@ object DedupQueries {
     * merged universe) remains pigeonhole-complete; the string-set verify
     * then removes every false candidate. Net: only 8-byte keys cross
     * the df/ranking/candidate shuffles (ShuffleSpec-measured), never
-    * shingle strings. */
+    * shingle strings.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * // same contract as minhashNearDupPairs, but zero-miss (exact jaccard)
+    * prefixFilterNearDupPairs(spark, docs).select($"doc_a", $"doc_b")
+    *   .as[(Long, Long)].collect().toSeq == Seq((1L, 2L))
+    * }}}
+    */
   def prefixFilterNearDupPairs(s: SparkSession, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
@@ -1070,7 +1135,16 @@ object DedupQueries {
   /** Incremental near-dup mining: all near-dup pairs touching the docs
     * selected by `isNew` (a predicate over doc_id) — new-vs-history plus
     * new-vs-new, never history-vs-history. See the d11 QueryDef scaladoc
-    * for the scale contract. */
+    * for the scale contract.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * // docs 1/2 are a settled pair; doc 4 arrives as a new near-dup of both
+    * incrementalNearDupPairs(spark, docs, $"doc_id" === 4L)
+    *   .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSeq ==
+    *   Seq((1L, 4L), (2L, 4L))  // (1,2) is never re-mined
+    * }}}
+    */
   def incrementalNearDupPairs(s: SparkSession, docs: DataFrame, isNew: org.apache.spark.sql.Column): DataFrame = {
     import s.implicits._
     val sh = cached(shinglesOf(s, docs.select($"doc_id", $"text")))
@@ -1091,7 +1165,15 @@ object DedupQueries {
   }
 
   /** JVM per-table sign-LSH bucket kernel — shared by batch d06 and the
-    * streaming twin so both compute identical buckets. */
+    * streaming twin so both compute identical buckets.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val planes = VectorFns.hyperplanes(lshTableCount * lshPlanesPerTableCount, embDim)
+    * lshBucketsOf(v, lshTableCount, lshPlanesPerTableCount, planes)
+    *   // one bucket per table; identical vectors share every bucket
+    * }}}
+    */
   def lshBucketsOf(emb: Array[Float], tables: Int, planesPerTable: Int,
       planes: Array[Array[Double]]): Array[Long] = {
     val a = emb.map(_.toDouble)
@@ -1110,7 +1192,14 @@ object DedupQueries {
   }
 
   /** JVM exact cosine in milli — the same sequential double accumulation as
-    * the d05 anchor (bit-identical to DuckDB's list_dot_product). */
+    * the d05 anchor (bit-identical to DuckDB's list_dot_product).
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * cosMilliOf(Array(3f, 4f), Array(3f, 4f)) == 1000L
+    * cosMilliOf(Array(1f, 0f), Array(0f, 1f)) == 0L
+    * }}}
+    */
   def cosMilliOf(ea: Array[Float], eb: Array[Float]): Long = {
     val a = ea.map(_.toDouble); val b = eb.map(_.toDouble)
     var na = 0.0; var nb = 0.0; var dot = 0.0; var i = 0
@@ -1135,7 +1224,18 @@ object DedupQueries {
     * (K=6, L=12) are tuned for the 500-vector test table and its
     * deliberately weak 0.4-cosine band; ScaleSpec drives this same
     * pipeline at K=14 over 2k/20k-vector corpora and asserts the runtime
-    * and pair trends stay near-linear. */
+    * and pair trends stay near-linear.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val e1 = Array.tabulate(embDim)(i => if (i == 0) 1f else 0f)
+    * val emb = Seq((1L, e1), (2L, e1.clone()), (3L, e1.map(-_)))
+    *   .toDF("vec_id", "embedding")
+    * // identical vectors share every bucket; the antipodal one shares none
+    * embeddingLshPairs(spark, emb).select($"vec_a", $"vec_b")
+    *   .as[(Long, Long)].collect().toSeq == Seq((1L, 2L))
+    * }}}
+    */
   def embeddingLshPairs(s: SparkSession, embeddings: DataFrame,
       tables: Int = LshTables, planesPerTable: Int = LshPlanesPerTable,
       minCosMilli: Long = 400L): DataFrame = {

@@ -1160,7 +1160,16 @@ object EventQueries {
     * every `(label, regex)` in `pats` is evaluated as a conditional
     * aggregate in one pass over the sequences, and the report is one row
     * per pattern with its match count and per-user share in millis.
-    * Regexes must stay in the Java/RE2 common dialect (t10's contract). */
+    * Regexes must stay in the Java/RE2 common dialect (t10's contract).
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val ev = Seq((1L, ts("10:00"), 10L, "add"), (2L, ts("10:01"), 10L, "buy"),
+    *   (3L, ts("10:00"), 11L, "view")).toDF("event_id", "ts", "user_id", "event_type")
+    * sequencePatterns(ev, Seq("add_then_buy" -> "a.*b"))
+    *   .as[(String, Long, Long)].head() == (("add_then_buy", 1L, 500L))
+    * }}}
+    */
   def sequencePatterns(events: org.apache.spark.sql.DataFrame,
       pats: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
     val s = events.sparkSession
@@ -1215,7 +1224,16 @@ object EventQueries {
     * only needs periodic truncation: an eager localCheckpoint every 5
     * rounds (and on the last) bounds analyzer depth while keeping the job
     * count at iters/5, not iters — in-between rounds fuse into the next
-    * checkpoint's job (the d08 discipline, amortized). */
+    * checkpoint's job (the d08 discipline, amortized).
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val nodes = Seq(1L, 2L).toDF("k")
+    * val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    * pageRank(nodes, edges, iters = 1).orderBy($"k")
+    *   .as[(Long, Long)].collect().toSeq == Seq((1L, 150000L), (2L, 1000000L))
+    * }}}
+    */
   /** Per-node triangle counts over an undirected simple graph given as
     * canonical edges (u < v, distinct, no self-loops): (node, degree, n_tri)
     * for every node, zero-triangle nodes included.
@@ -1230,6 +1248,14 @@ object EventQueries {
     * set; each triangle materializes exactly once, at its orientation-least
     * node. Everything is equi-joins + hash aggregation: shuffles on node
     * ids, no driver state, AQE-rebalanceable at 100 TB.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * // one triangle 1-2-3 plus a pendant edge 3-4
+    * val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    * triangleCounts(edges).orderBy($"node").as[(Long, Long, Long)].collect().toSeq ==
+    *   Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 3L, 1L), (4L, 1L, 0L))
+    * }}}
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
@@ -1270,7 +1296,17 @@ object EventQueries {
     * round's shuffle is proportional to the frontier's out-edges, not the
     * graph. The per-round count() is the demand-driven convergence check
     * (same discipline as d08 / hics); localCheckpoint truncates the
-    * accumulating union lineage. */
+    * accumulating union lineage.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val nodes = Seq(1L, 2L, 3L, 9L).toDF("k")
+    * val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    * bfsLevels(nodes, edges, source = 1L).orderBy($"node")
+    *   .as[(Long, Long)].collect().toSeq ==
+    *   Seq((1L, 0L), (2L, 1L), (3L, 2L), (9L, -1L))  // -1 = unreachable
+    * }}}
+    */
   def bfsLevels(nodes: DataFrame, edges: DataFrame, source: Long): DataFrame = {
     val s = nodes.sparkSession
     import s.implicits._

@@ -75,7 +75,16 @@ object ExtraRelationalQueries {
 
 
   /** One FK-orphan check: rows of `child` whose `key` resolves to no
-    * `parent` row — a single left-anti join, violations only (q63). */
+    * `parent` row — a single left-anti join, violations only (q63).
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val child  = Seq(1L, 2L, 9L).toDF("fk")
+    * val parent = Seq(1L, 2L).toDF("pk")
+    * orphanReport("child->parent", child, "fk", parent, "pk")
+    *   .as[(String, Long)].head() == (("child->parent", 1L))
+    * }}}
+    */
   def orphanReport(rel: String, child: org.apache.spark.sql.DataFrame, key: String,
       parent: org.apache.spark.sql.DataFrame, pkey: String): org.apache.spark.sql.DataFrame =
     child.select(col(key).as("k"))
@@ -2509,7 +2518,17 @@ object ExtraRelationalQueries {
   /** Per-bucket commutative checksum table (q67), exposed as a library
     * call: (bucket, n_rows, xor_sig, sum_sig) from a deterministic
     * poly-hash of the '|'-joined field list. Two replicas diverge exactly
-    * in the buckets whose signature rows differ. */
+    * in the buckets whose signature rows differ.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val a = Seq((1L, "x", 7L), (2L, "y", 9L)).toDF("k", "s", "v")
+    * val shuffled = Seq((2L, "y", 9L), (1L, "x", 7L)).toDF("k", "s", "v")
+    * def sig(df: DataFrame) =
+    *   checksumReport(df, lit(1), $"k", $"s", $"v").collect().toSeq
+    * sig(a) == sig(shuffled)  // commutative: row order never matters
+    * }}}
+    */
   def checksumReport(df: org.apache.spark.sql.DataFrame, bucket: org.apache.spark.sql.Column,
       fields: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
     df.select(bucket.as("bucket"),

@@ -32,6 +32,13 @@ object LayoutQueries {
     * z-value) covers key domains up to 2M; raise `bits` (≤31) for larger
     * domains. Negative inputs are not supported (sign bits would interleave
     * into garbage) — callers pass surrogate keys.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * Seq((1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L)).toDF("a", "b")
+    *   .select(zValue2($"a", $"b")).as[Long].collect().toSeq ==
+    *   Seq(1L, 2L, 3L, 4L)  // a-bits at even, b-bits at odd positions
+    * }}}
     */
   def zValue2(a: Column, b: Column, bits: Int = 21): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
@@ -57,7 +64,15 @@ object LayoutQueries {
     * 41% -> ~15% scanned after normalization). Production layouts (Delta /
     * Iceberg OPTIMIZE ZORDER) normalize via per-column range-bucket ids for
     * skew-robustness; max-scaling is the right cost point for uniform
-    * surrogate keys. */
+    * surrogate keys.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * zOrderWrite((0L until 256L).map(i => (i % 16, i / 16)).toDF("x", "y"),
+    *   "x", "y", files = 4, dir)
+    * spark.read.parquet(dir).columns.sorted  // Array("x", "y"): __z dropped
+    * }}}
+    */
   def zOrderWrite(df: org.apache.spark.sql.DataFrame, c1: String, c2: String,
                   files: Int, path: String, maxRecordsPerFile: Int = 4096): Unit = {
     val m = df.agg(max(col(c1)).cast("long"), max(col(c2)).cast("long")).head
@@ -173,6 +188,13 @@ object LayoutQueries {
     * of more files per directory.
     *
     * Returns (inputFiles, outputFiles) so callers can assert the squeeze.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * df.repartition(16).write.parquet(in)  // fragment
+    * val (nIn, nOut) = compact(spark, in, out, Seq.empty)
+    * nOut < nIn  // same rows, far fewer files
+    * }}}
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       partitionCols: Seq[String], targetBytes: Long = 128L << 20): (Long, Long) = {

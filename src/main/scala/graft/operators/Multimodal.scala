@@ -46,7 +46,14 @@ object Multimodal {
 
   /** STUB decoder: deterministic, derived only from payload bytes. Replace
     * with a real codec; the per-partition batching (one iterator pass, no
-    * per-row setup cost) is the production shape. */
+    * per-row setup cost) is the production shape.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val a = MediaAsset(1L, Array.fill[Byte](2058)(2), "image/png", 2058L)
+    * stubDecode(a).map(_.frame_bytes).toSeq == Seq(1024L, 1024L, 10L)
+    * }}}
+    */
   def stubDecode(a: MediaAsset): Iterator[DecodedFrame] =
     a.payload.grouped(FrameSize).zipWithIndex.map { case (chunk, i) =>
       val unsigned = chunk.map(b => b & 0xff)
@@ -56,7 +63,13 @@ object Multimodal {
 
   /** documents.text reinterpreted as binary payloads — the multimodal
     * ingestion path (in production: spark.read.format("binaryFile") or
-    * payload columns in parquet). */
+    * payload columns in parquet).
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * assets(spark, sfDir).count() > 0  // one asset per document payload
+    * }}}
+    */
   def assets(s: SparkSession, d: String): Dataset[MediaAsset] = {
     import s.implicits._
     Tables.documents(s, d)
@@ -67,14 +80,26 @@ object Multimodal {
       .as[MediaAsset]
   }
 
-  /** Distributed decode: per-partition flatMap over the stub codec. */
+  /** Distributed decode: per-partition flatMap over the stub codec.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * decodeFrames(spark, sfDir).count() >= assets(spark, sfDir).count()
+    * }}}
+    */
   def decodeFrames(s: SparkSession, d: String): Dataset[DecodedFrame] = {
     import s.implicits._
     assets(s, d).mapPartitions(_.flatMap(stubDecode))
   }
 
   /** Frame sampling: every k-th frame (a real video pipeline's keyframe
-    * sample), as a plain filter on the decoded stream. */
+    * sample), as a plain filter on the decoded stream.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * sampleFrames(decodeFrames(spark, sfDir), 2)  // only even frame_no survive
+    * }}}
+    */
   def sampleFrames(frames: Dataset[DecodedFrame], k: Int): Dataset[DecodedFrame] =
     frames.filter(_.frame_no % k == 0)
 
@@ -461,7 +486,17 @@ object Multimodal {
     * per-block mean byte (a real image pipeline uses downsampled pixel
     * luma — swap the byte loop, keep the shape); bit i = brightness(i) >
     * brightness(i+1). Gradient bits survive uniform brightness/volume
-    * changes that break m04's exact checksum. Empty payloads have no hash. */
+    * changes that break m04's exact checksum. Empty payloads have no hash.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val ramp = Array.tabulate[Byte](650)(i => (i / 10).toByte)
+    * val a = MediaAsset(1L, ramp, "image/png", 650L)
+    * val brighter = a.copy(payload = ramp.map(b => ((b & 0xff) + 30).toByte))
+    * dHashChunks(a) == dHashChunks(brighter.copy(asset_id = 1L))
+    *   // gradient bits survive the +30 shift that breaks exact checksums
+    * }}}
+    */
   def dHashChunks(a: MediaAsset): Option[(Long, String, Int, Int, Int, Int)] = {
     val n = a.payload.length
     if (n == 0) None
@@ -493,7 +528,16 @@ object Multimodal {
   /** The m05 pipeline over an arbitrary asset set: per-media-type frame
     * counts, frames whose fingerprint appears in >= 2 distinct assets of
     * that type, distinct fingerprints, and the hottest fingerprint's
-    * asset count. */
+    * asset count.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val p = Array.fill[Byte](2048)(7)
+    * sharedFrames(Seq(MediaAsset(1L, p, "image/png", 2048L),
+    *   MediaAsset(2L, p.clone(), "image/png", 2048L)).toDS())
+    *   // all 4 decoded frames shared across the two assets
+    * }}}
+    */
   def sharedFrames(a: Dataset[MediaAsset]): DataFrame = {
     val s = a.sparkSession
     import s.implicits._
@@ -518,7 +562,14 @@ object Multimodal {
   /** m08's fixture harness: every asset plus a deterministic simulated
     * re-encode (uniform +30 brightness, clamped at 255; id offset by 1M) —
     * a transform that changes every payload byte yet preserves every
-    * dHash gradient bit. Production feeds two real snapshots instead. */
+    * dHash gradient bit. Production feeds two real snapshots instead.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * withReencodes(oneAsset).collect().map(_.asset_id).sorted
+    *   // Array(1L, 1000001L): original + deterministic re-encode
+    * }}}
+    */
   def withReencodes(a: Dataset[MediaAsset]): Dataset[MediaAsset] = {
     val s = a.sparkSession
     import s.implicits._
@@ -530,7 +581,15 @@ object Multimodal {
   /** The m09 pipeline over an arbitrary asset set: per asset, the decoded
     * frame count, the number of segments cut wherever the frame mean-byte
     * feature jumps by >= 8 from the previous frame, and the largest jump.
-    * One shuffle to the asset key; windows bounded by per-asset frames. */
+    * One shuffle to the asset key; windows bounded by per-asset frames.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val payload = Array.fill[Byte](1024)(0) ++ Array.fill[Byte](1024)(100)
+    * shotBoundaries(Seq(MediaAsset(1L, payload, "video/mp4", 2048L)).toDS())
+    *   // (1, 2 frames, 2 segments, max_delta 100)
+    * }}}
+    */
   def shotBoundaries(a: Dataset[MediaAsset]): DataFrame = {
     val s = a.sparkSession
     import s.implicits._
@@ -549,7 +608,14 @@ object Multimodal {
   /** The m08 pipeline over an arbitrary asset set: (asset_a, asset_b,
     * hamming) for every pair of assets whose perceptual dHashes are within
     * Hamming distance 3. Bucketed, exactly-once, no distinct — see the m08
-    * QueryDef notes. */
+    * QueryDef notes.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * perceptualNearDups(withReencodes(oneRampAsset))
+    *   // (1, 1000001, hamming 0): the re-encode is a perceptual dup
+    * }}}
+    */
   def perceptualNearDups(a: Dataset[MediaAsset]): DataFrame = {
     val s = a.sparkSession
     import s.implicits._

@@ -17,10 +17,24 @@ object RelationalQueries {
 
   /** Integer-cents sum: deterministic across engines + parallelism (see
     * [[graft.QueryDef]] scaladoc). Sum of exact integers held in doubles is
-    * associative; cast to long matches DuckDB's BIGINT cast. */
+    * associative; cast to long matches DuckDB's BIGINT cast.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * Seq(19.99, 0.07).toDF("p").agg(RelationalQueries.cents($"p"))
+    *   .as[Long].head() == 2005L  // floor(1998.999…) + floor(7.000…)
+    * }}}
+    */
   def cents(c: Column): Column = sum(floor(c * 100)).cast("long")
 
-  /** Row-level integer cents (projection form of the same convention). */
+  /** Row-level integer cents (projection form of the same convention).
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * Seq(19.99).toDF("p").select(RelationalQueries.centsRow($"p"))
+    *   .as[Long].head() == 1998L
+    * }}}
+    */
   def centsRow(c: Column): Column = floor(c * 100).cast("long")
 
   val all: Seq[QueryDef] = Seq(

@@ -145,7 +145,17 @@ object SimilarityQueries {
     * corpus size), one narrow assignment pass over the corpus (O(N*k)),
     * probe the queries' nprobe best cells, exact re-rank inside the
     * probed cells. Corpus/queries are any frames with (vec_id,
-    * embedding); the broadcast is O(k), never corpus-sized. */
+    * embedding); the broadcast is O(k), never corpus-sized.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * def v(hot: Int) = Array.tabulate(64)(i => if (i == hot) 1f else 0f)
+    * val corpus = Seq((1L, v(0)), (2L, v(1)), (3L, v(2))).toDF("vec_id", "embedding")
+    * val queries = Seq((100L, v(0))).toDF("vec_id", "embedding")
+    * ivfSearch(spark, corpus, queries, probes = 3, topK = 1)
+    *   // (100, 1, 1, ~1000): the exact match wins rank 1
+    * }}}
+    */
   def ivfSearch(s: SparkSession, corpus: DataFrame, queries: DataFrame,
       probes: Int = IvfProbes, topK: Int = 10): DataFrame = {
     import s.implicits._
@@ -1139,7 +1149,17 @@ object SimilarityQueries {
   /** The s10 pipeline over an arbitrary (doc_id, text) table: BM25 top-k
     * per query in exact integer-milli arithmetic (see the s10 comment).
     * Query terms absent from the corpus contribute nothing; a query with
-    * no matching term returns no rows. */
+    * no matching term returns no rows.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val docs = Seq((1L, "spark shuffles data across executors"),
+    *   (2L, "ducks swim across ponds")).toDF("doc_id", "text")
+    * bm25Search(docs, Seq(7L -> Seq("spark")), k = 5)
+    *   .select($"query_id", $"rank", $"doc_id")
+    *   .as[(Long, Long, Long)].collect().toSeq == Seq((7L, 1L, 1L))
+    * }}}
+    */
   def bm25Search(docs: DataFrame, queries: Seq[(Long, Seq[String])],
       k: Int): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
@@ -1238,7 +1258,17 @@ object SimilarityQueries {
     * token positions and how many qualifying position pairs exist.
     * Postings are pruned to queried terms by broadcast join BEFORE any
     * shuffle; position pairing is an equi-join on (qid, doc_id) bounded
-    * by per-doc term frequency. */
+    * by per-doc term frequency.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val docs = Seq((1L, "en", "the quick brown fox jumps"),
+    *   (2L, "en", "quick stream with a fox far away later")).toDF("doc_id", "lang", "text")
+    * proximitySearch(docs, Seq((1L, "quick", "fox")), window = 3)
+    *   .select($"qid", $"lang", $"n_docs", $"n_pairs")
+    *   .as[(Long, String, Long, Long)].collect().toSeq == Seq((1L, "en", 1L, 1L))
+    * }}}
+    */
   def proximitySearch(docs: DataFrame, queries: Seq[(Long, String, String)],
       window: Int): DataFrame = {
     require(window >= 0, s"need window >= 0, got $window")
@@ -1268,7 +1298,17 @@ object SimilarityQueries {
     * edges come from the same bucket geometry — folds the anti-join into
     * `cos_milli < minCosMilli` on the edges themselves: a kNN edge shares
     * a bucket by construction, so it is a d06 pair iff its exact cosine
-    * clears the bar. One bucket+cosine pass instead of two. */
+    * clears the bar. One bucket+cosine pass instead of two.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val e1 = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    * val emb = Seq((1L, e1), (2L, e1.clone()), (3L, e1.clone())).toDF("vec_id", "embedding")
+    * hardNegatives(spark, emb, n = 1, k = 5,
+    *   positives = Some(Seq((1L, 2L)).toDF("vec_a", "vec_b")))
+    *   // vec 1: positive 2 excluded, hard negative is vec 3
+    * }}}
+    */
   def hardNegatives(s: SparkSession, embeddings: DataFrame,
       tables: Int = DedupQueries.lshTableCount,
       planesPerTable: Int = DedupQueries.lshPlanesPerTableCount,
@@ -1318,7 +1358,17 @@ object SimilarityQueries {
   /** The s11 pipeline over an arbitrary (vec_id, embedding) table:
     * (vec_id, cluster_id) labels from connected components over the
     * mutual-kNN graph. Bucket geometry and k follow [[knnGraph]]'s
-    * defaults and tuning contract. */
+    * defaults and tuning contract.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val e1 = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    * val emb = Seq((1L, e1), (2L, e1.clone()), (3L, e1.map(-_)), (4L, e1.map(-_)))
+    *   .toDF("vec_id", "embedding")
+    * semanticClusters(spark, emb).as[(Long, Long)].collect().toSeq ==
+    *   Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+    * }}}
+    */
   def semanticClusters(s: SparkSession, embeddings: DataFrame,
       tables: Int = DedupQueries.lshTableCount,
       planesPerTable: Int = DedupQueries.lshPlanesPerTableCount,
@@ -1339,7 +1389,15 @@ object SimilarityQueries {
   /** The s09 pipeline over an arbitrary (vec_id, embedding) table. Bucket
     * geometry defaults to d06's fixture tuning; real corpora follow the
     * same K ~ 2*log2(n) - 10 contract as [[DedupQueries.embeddingLshPairs]]
-    * (ScaleSpec drives this at K=14 over 2k/20k synthetic vectors). */
+    * (ScaleSpec drives this at K=14 over 2k/20k synthetic vectors).
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * // same 4 vectors: kNN edges exist only within shared LSH buckets
+    * knnGraph(spark, emb).select($"vec_id", $"nbr_id").as[(Long, Long)]
+    *   .collect().toSet == Set((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L))
+    * }}}
+    */
   def knnGraph(s: SparkSession, embeddings: DataFrame,
       tables: Int = DedupQueries.lshTableCount,
       planesPerTable: Int = DedupQueries.lshPlanesPerTableCount,

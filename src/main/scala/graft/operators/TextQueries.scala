@@ -18,7 +18,16 @@ object TextQueries {
     * batch t05 and its streaming upsert twin (StreamAdmission): content
     * key for canonical-copy selection, predicted language, and the quality
     * signals. All deterministic per row, so batch/stream results agree
-    * regardless of how the corpus is split into micro-batches. */
+    * regardless of how the corpus is split into micro-batches.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val docs = Seq((1L, (1 to 25).map("tok" + _).mkString(" ")),
+    *   (2L, "spam " * 30)).toDF("doc_id", "text")
+    * admissionFeatures(docs).filter(admissionGate)
+    *   .select($"doc_id").as[Long].collect().toSeq == Seq(1L)
+    * }}}
+    */
   def admissionFeatures(docs: DataFrame): DataFrame = {
     val t = TextFns.tokens(col("text"))
     val nToks = size(t).cast("long")
@@ -104,7 +113,14 @@ object TextQueries {
     * gluing the current symbol onto the accumulator (no space) iff the
     * accumulator's LAST symbol equals s1 and the current symbol equals s2.
     * The boundary-aware endsWith(" "+s1) check makes overlapping runs merge
-    * greedily ([a,a,a] + (a,a) -> [aa, a]), matching classic BPE. */
+    * greedily ([a,a,a] + (a,a) -> [aa, a]), matching classic BPE.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * applyBpeMerge("a a a", "a", "a") == "aa a"  // greedy, boundary-aware
+    * applyBpeMerge("x y z", "y", "z") == "x yz"
+    * }}}
+    */
   def applyBpeMerge(sym: String, s1: String, s2: String): String = {
     val parts = sym.split(' ')
     val sb = new StringBuilder(parts(0))
@@ -132,7 +148,17 @@ object TextQueries {
       array_distinct(TextFns.shingleHashes(TextFns.tokens(col("text")))).as("gs"))
 
   /** The t14 pipeline over an arbitrary documents table (doc_id, lang,
-    * text): per-lang boilerplate-span decision table. */
+    * text): per-lang boilerplate-span decision table.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val tpl = (1 to 10).map("t" + _).mkString(" ")  // 3 8-token shingles
+    * val docs = Seq((1L, "en", tpl), (2L, "en", tpl),
+    *   (3L, "en", (1 to 10).map("u" + _).mkString(" "))).toDF("doc_id", "lang", "text")
+    * boilerplateSpans(docs).as[(String, Long, Long, Long, Long, Long)].head() ==
+    *   (("en", 3L, 2L, 9L, 6L, 666L))  // the two template copies share all shingles
+    * }}}
+    */
   def boilerplateSpans(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -1824,7 +1850,14 @@ object TextQueries {
   /** Deterministic bottom-k per-stratum sample (t17), exposed as a library
     * call: the k docs per language with the smallest salted doc hashes —
     * a uniform, mergeable, retry-stable fixed-budget sample. Output:
-    * (lang, sample_rank [1..k], doc_id, sample_hash). */
+    * (lang, sample_rank [1..k], doc_id, sample_hash).
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val docs = (1L to 5L).map(i => (i, s"doc $i", "en")).toDF("doc_id", "text", "lang")
+    * bottomKSample(docs, 2)  // 2 rows, ranks 1..2, stable across reruns
+    * }}}
+    */
   def bottomKSample(docs: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     val s = docs.sparkSession
@@ -1842,7 +1875,16 @@ object TextQueries {
     * over any (doc_id, lang, text) frame: per-doc dominant repeat period
     * of bigrams, flagged periodic when one gap dominates (>= 50% of >= 8
     * repeat pairs), aggregated per lang. Per-doc windows only — no
-    * cross-document joins. */
+    * cross-document joins.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val docs = Seq((1L, "en", Seq.fill(10)("a b").mkString(" ")))
+    *   .toDF("doc_id", "lang", "text")
+    * periodicityReport(docs).as[(String, Long, Long, Long, Long)].head() ==
+    *   (("en", 1L, 1L, 1L, 17L))  // every bigram repeats at gap 2: periodic
+    * }}}
+    */
   def periodicityReport(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -2087,7 +2129,16 @@ object TextQueries {
     * (doc_id, chunk_idx, chunk_start [1-based], chunk_len, chunk_md5).
     * `size` is the window width in characters, `stride` the start step
     * (overlap = size - stride); the last window may run short, and an
-    * empty document yields one empty chunk (locked in EdgeCaseSpec). */
+    * empty document yields one empty chunk (locked in EdgeCaseSpec).
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * chunkDocs(Seq((1L, "abcdef")).toDF("doc_id", "text"), 4, 2)
+    *   .select($"chunk_idx", $"chunk_start", $"chunk_len")
+    *   .as[(Long, Long, Long)].collect().toSeq ==
+    *   Seq((0L, 1L, 4L), (1L, 3L, 4L))
+    * }}}
+    */
   def chunkDocs(docs: DataFrame, size: Int, stride: Int): DataFrame = {
     require(0 < stride && stride <= size, s"need 0 < stride <= size, got $size/$stride")
     val s = docs.sparkSession
@@ -2106,7 +2157,14 @@ object TextQueries {
 
   /** PII redaction (t37), exposed as a library call: the input frame plus
     * a `redacted` column with emails, IPv4s and phone numbers replaced by
-    * typed placeholders, in that fixed order (t10's RE2-safe patterns). */
+    * typed placeholders, in that fixed order (t10's RE2-safe patterns).
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * redactPii(Seq((1L, "mail a@b.com from 10.1.2.3")).toDF("doc_id", "text"))
+    *   .select($"redacted").as[String].head() == "mail [EMAIL] from [IP]"
+    * }}}
+    */
   def redactPii(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.regexp_replace
     docs.withColumn("redacted",
@@ -2122,7 +2180,15 @@ object TextQueries {
     * with chunk totals, the number of MIXED documents (a minority chunk
     * language above 20%), and the worst dominant-language share. Chunk =
     * 50-token window, voted by [[TextFns.langIdTokens]]; the per-doc mode
-    * uses the explicit (count desc, lang) tie order. */
+    * uses the explicit (count desc, lang) tie order.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * codeSwitchReport(Seq((1L, "en", "one short single-language document"))
+    *   .toDF("doc_id", "lang", "text"))
+    *   .as[(String, Long, Long, Long, Long)].head() == (("en", 1L, 1L, 0L, 1000L))
+    * }}}
+    */
   def codeSwitchReport(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

@@ -3,6 +3,7 @@ package graft
 import graft.dsl.{Interpreter, SP}
 import graft.functions.{TextFns, VectorFns}
 import graft.operators.{DedupQueries, SkewJoin}
+import org.apache.spark.sql.functions.lit
 
 /** Docs-as-tests, the Spark analogue of the reference's
   * doc-test-per-public-API policy (reference CONTRIBUTING.md:28-31: every
@@ -14,6 +15,9 @@ import graft.operators.{DedupQueries, SkewJoin}
 class DocExamplesSpec extends SparkSpec {
 
   import spark.implicits._
+
+  private lazy val tmp =
+    java.nio.file.Files.createTempDirectory("graft_doc_examples").toString
 
   test("SP.fsm scaladoc example") {
     val counter = SP.fsm(0) { (n: Int, e: Char) =>
@@ -154,5 +158,463 @@ class DocExamplesSpec extends SparkSpec {
     assert(TextQueries.cdcChunks(one)
       .agg(concat_ws("", collect_list($"chunk"))).as[String].head() ===
       "the quick brown fox jumps over the lazy dog")
+  }
+
+  // ----- round-5 completion of the doc-test-per-public-API policy ----------
+
+  test("RelationalQueries.cents scaladoc example") {
+    import graft.operators.RelationalQueries
+    // floor-of-double quantization, the cross-engine determinism contract:
+    // 19.99 * 100 is 1998.999… in IEEE double on EVERY engine, so both
+    // sides floor to the same 1998
+    assert(Seq(19.99, 0.07).toDF("p")
+      .agg(RelationalQueries.cents($"p")).as[Long].head() === 2005L)
+  }
+
+  test("RelationalQueries.centsRow scaladoc example") {
+    import graft.operators.RelationalQueries
+    assert(Seq(19.99).toDF("p")
+      .select(RelationalQueries.centsRow($"p")).as[Long].head() === 1998L)
+  }
+
+  test("ExtraRelationalQueries.orphanReport scaladoc example") {
+    import graft.operators.ExtraRelationalQueries
+    val child  = Seq(1L, 2L, 9L).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    assert(ExtraRelationalQueries.orphanReport("child->parent", child, "fk", parent, "pk")
+      .as[(String, Long)].head() === (("child->parent", 1L)))
+  }
+
+  test("ExtraRelationalQueries.checksumReport scaladoc example") {
+    import graft.operators.ExtraRelationalQueries
+    val a = Seq((1L, "x", 7L), (2L, "y", 9L)).toDF("k", "s", "v")
+    val shuffled = Seq((2L, "y", 9L), (1L, "x", 7L)).toDF("k", "s", "v")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      ExtraRelationalQueries.checksumReport(df, lit(1), $"k", $"s", $"v").collect().toSeq
+    assert(sig(a) === sig(shuffled)) // commutative: row order never matters
+    val edited = Seq((1L, "x", 7L), (2L, "y", 8L)).toDF("k", "s", "v")
+    assert(sig(a) !== sig(edited))   // any value edit flips the bucket signature
+  }
+
+  test("DedupQueries.jaccardMilliOf scaladoc example") {
+    assert(DedupQueries.jaccardMilliOf(Seq("a", "b", "c"), Seq("b", "c", "d")) === 500L)
+  }
+
+  test("DedupQueries.cosMilliOf scaladoc example") {
+    assert(DedupQueries.cosMilliOf(Array(3f, 4f), Array(3f, 4f)) === 1000L)
+    assert(DedupQueries.cosMilliOf(Array(1f, 0f), Array(0f, 1f)) === 0L)
+  }
+
+  test("DedupQueries.minhashSigOf / bandHashOf scaladoc examples") {
+    val sig = DedupQueries.minhashSigOf(Seq("a b c", "b c d"))
+    assert(sig.length === 48)
+    // set semantics: shingle order never changes the signature
+    assert(sig.toSeq === DedupQueries.minhashSigOf(Seq("b c d", "a b c")).toSeq)
+    // band hashes are pure functions of 3 signature rows
+    assert(DedupQueries.bandHashOf(0, sig) === DedupQueries.bandHashOf(0, sig.clone()))
+  }
+
+  test("DedupQueries.minhashSig / bandHashes scaladoc examples") {
+    val sh = Seq(Seq("a b c", "b c d"), Seq("b c d", "a b c")).toDF("sh")
+    val sigs = sh.select(DedupQueries.minhashSig($"sh").as("sig")).collect()
+    assert(sigs(0).getSeq[Long](0).length === 48)
+    assert(sigs(0).getSeq[Long](0) === sigs(1).getSeq[Long](0))
+    val bands = sh.select(DedupQueries.bandHashes(DedupQueries.minhashSig($"sh"))).collect()
+    assert(bands(0).getSeq[Long](0).length === 16)
+    assert(bands(0).getSeq[Long](0) === bands(1).getSeq[Long](0))
+  }
+
+  test("DedupQueries.simhash scaladoc example") {
+    val df = Seq(Seq("the", "quick", "fox"), Seq("fox", "quick", "the")).toDF("t")
+    val hs = df.select(DedupQueries.simhash($"t")).as[Long].collect()
+    assert(hs(0) === hs(1)) // multiset-of-tokens semantics: order-free
+  }
+
+  test("DedupQueries.shinglesOf scaladoc example") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    assert(DedupQueries.shinglesOf(spark, docs).as[(Long, Seq[String])].head() ===
+      ((1L, Seq("a b c", "b c d"))))
+  }
+
+  test("DedupQueries.lshBucketsOf scaladoc example") {
+    val planes = VectorFns.hyperplanes(
+      DedupQueries.lshTableCount * DedupQueries.lshPlanesPerTableCount,
+      DedupQueries.embDim)
+    val v = Array.tabulate(DedupQueries.embDim)(i => if (i == 0) 1f else 0f)
+    val b = DedupQueries.lshBucketsOf(
+      v, DedupQueries.lshTableCount, DedupQueries.lshPlanesPerTableCount, planes)
+    assert(b.length === DedupQueries.lshTableCount)
+    // identical vectors always land in identical buckets
+    assert(b.toSeq === DedupQueries.lshBucketsOf(v.clone(),
+      DedupQueries.lshTableCount, DedupQueries.lshPlanesPerTableCount, planes).toSeq)
+  }
+
+  test("TextQueries.applyBpeMerge scaladoc example") {
+    import graft.operators.TextQueries
+    // greedy left-to-right, boundary-aware: overlapping runs merge like BPE
+    assert(TextQueries.applyBpeMerge("a a a", "a", "a") === "aa a")
+    assert(TextQueries.applyBpeMerge("x y z", "y", "z") === "x yz")
+  }
+
+  test("TextQueries.admissionFeatures / admissionGate scaladoc examples") {
+    import graft.operators.TextQueries
+    val docs = Seq(
+      (1L, (1 to 25).map("tok" + _).mkString(" ")), // long + diverse: admitted
+      (2L, "spam " * 30)).toDF("doc_id", "text")    // repetitive: rejected
+    assert(TextQueries.admissionFeatures(docs).filter(TextQueries.admissionGate)
+      .select($"doc_id").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("TextQueries.redactPii scaladoc example") {
+    import graft.operators.TextQueries
+    val r = TextQueries.redactPii(
+      Seq((1L, "mail a@b.com from 10.1.2.3")).toDF("doc_id", "text"))
+      .select($"redacted").as[String].head()
+    assert(r === "mail [EMAIL] from [IP]")
+  }
+
+  test("TextQueries.chunkDocs scaladoc example") {
+    import graft.operators.TextQueries
+    assert(TextQueries.chunkDocs(Seq((1L, "abcdef")).toDF("doc_id", "text"), 4, 2)
+      .select($"chunk_idx", $"chunk_start", $"chunk_len")
+      .as[(Long, Long, Long)].collect().toSeq ===
+      Seq((0L, 1L, 4L), (1L, 3L, 4L)))
+  }
+
+  test("TextQueries.bottomKSample scaladoc example") {
+    import graft.operators.TextQueries
+    val docs = (1L to 5L).map(i => (i, s"doc $i", "en")).toDF("doc_id", "text", "lang")
+    val s1 = TextQueries.bottomKSample(docs, 2)
+      .select($"lang", $"sample_rank", $"doc_id").collect().toSeq
+    assert(s1.size === 2 && s1.map(_.getLong(1)) === Seq(1L, 2L))
+    // retry-stable: the sample is a pure function of doc ids
+    assert(s1 === TextQueries.bottomKSample(docs, 2)
+      .select($"lang", $"sample_rank", $"doc_id").collect().toSeq)
+  }
+
+  test("LayoutQueries.zValue2 scaladoc example") {
+    import graft.operators.LayoutQueries
+    val z = Seq((1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L))
+      .toDF("a", "b")
+      .select(LayoutQueries.zValue2($"a", $"b")).as[Long].collect().toSeq
+    assert(z === Seq(1L, 2L, 3L, 4L)) // a-bits at even, b-bits at odd positions
+  }
+
+  test("EventQueries.sequencePatterns scaladoc example") {
+    import graft.operators.EventQueries
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(0), 10L, "add"), (2L, ts(1), 10L, "buy"),
+      (3L, ts(0), 11L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    assert(EventQueries.sequencePatterns(ev, Seq("add_then_buy" -> "a.*b"))
+      .as[(String, Long, Long)].head() === (("add_then_buy", 1L, 500L)))
+  }
+
+  test("EventQueries.triangleCounts scaladoc example") {
+    import graft.operators.EventQueries
+    // one triangle 1-2-3 plus a pendant edge 3-4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    assert(EventQueries.triangleCounts(edges)
+      .orderBy($"node").as[(Long, Long, Long)].collect().toSeq ===
+      Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 3L, 1L), (4L, 1L, 0L)))
+  }
+
+  test("EventQueries.bfsLevels scaladoc example") {
+    import graft.operators.EventQueries
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("k")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(EventQueries.bfsLevels(nodes, edges, source = 1L)
+      .orderBy($"node").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 0L), (2L, 1L), (3L, 2L), (9L, -1L))) // -1 = unreachable
+  }
+
+  test("EventQueries.pageRank scaladoc example") {
+    import graft.operators.EventQueries
+    val nodes = Seq(1L, 2L).toDF("k")
+    val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    // micro-unit ranks, teleport 0.15: after one round the source keeps
+    // only the teleport mass, the sink gets teleport + 0.85 of the source
+    assert(EventQueries.pageRank(nodes, edges, iters = 1)
+      .orderBy($"k").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 150000L), (2L, 1000000L)))
+  }
+
+  test("DedupQueries.minhashNearDupPairs scaladoc example") {
+    val base = (1 to 30).map("w" + _).mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " tail"), (3L, "something else entirely"))
+      .toDF("doc_id", "text")
+    val pairs = DedupQueries.minhashNearDupPairs(spark, docs)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L))) // near-dup found, unrelated doc not paired
+  }
+
+  test("DedupQueries.prefixFilterNearDupPairs scaladoc example") {
+    val base = (1 to 30).map("w" + _).mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " tail"), (3L, "something else entirely"))
+      .toDF("doc_id", "text")
+    // exact-jaccard pairs (zero-miss prefix filtering), same contract as LSH
+    assert(DedupQueries.prefixFilterNearDupPairs(spark, docs)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSeq === Seq((1L, 2L)))
+  }
+
+  test("DedupQueries.incrementalNearDupPairs scaladoc example") {
+    val base = (1 to 30).map("w" + _).mkString(" ")
+    // docs 1 and 2 are an OLD near-dup pair; doc 4 arrives as a new near-dup
+    val docs = Seq(
+      (1L, base), (2L, base + " tail"), (3L, "something else entirely"),
+      (4L, base + " coda"))
+      .toDF("doc_id", "text")
+    val pairs = DedupQueries.incrementalNearDupPairs(spark, docs, $"doc_id" === 4L)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSeq
+    // new-vs-history only: the settled (1,2) pair is never re-mined
+    assert(pairs === Seq((1L, 4L), (2L, 4L)))
+  }
+
+  test("DedupQueries.embeddingLshPairs scaladoc example") {
+    val e1 = Array.tabulate(DedupQueries.embDim)(i => if (i == 0) 1f else 0f)
+    val emb = Seq((1L, e1), (2L, e1.clone()), (3L, e1.map(-_)))
+      .toDF("vec_id", "embedding")
+    val pairs = DedupQueries.embeddingLshPairs(spark, emb)
+      .select($"vec_a", $"vec_b", $"cos_milli").collect().toSeq
+    // identical vectors share every bucket; the antipodal one shares none
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))) === Seq((1L, 2L)))
+    assert(pairs.head.getLong(2) >= 999L)
+  }
+
+  test("SimilarityQueries.ivfSearch scaladoc example") {
+    import graft.operators.SimilarityQueries
+    val dim = DedupQueries.embDim
+    def v(hot: Int) = Array.tabulate(dim)(i => if (i == hot) 1f else 0f)
+    val corpus = Seq((1L, v(0)), (2L, v(1)), (3L, v(2))).toDF("vec_id", "embedding")
+    val queries = Seq((100L, v(0))).toDF("vec_id", "embedding")
+    val top = SimilarityQueries.ivfSearch(spark, corpus, queries, probes = 3, topK = 1)
+      .as[(Long, Long, Long, Long)].head()
+    assert(top._1 === 100L && top._2 === 1L && top._3 === 1L) // exact match wins rank 1
+  }
+
+  test("SimilarityQueries.bm25Search scaladoc example") {
+    import graft.operators.SimilarityQueries
+    val docs = Seq(
+      (1L, "spark shuffles data across executors"),
+      (2L, "ducks swim across ponds")).toDF("doc_id", "text")
+    val hits = SimilarityQueries.bm25Search(docs, Seq(7L -> Seq("spark")), k = 5)
+      .select($"query_id", $"rank", $"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(hits === Seq((7L, 1L, 1L))) // only the doc containing the term scores
+  }
+
+  test("SimilarityQueries.proximitySearch scaladoc example") {
+    import graft.operators.SimilarityQueries
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps"),
+      (2L, "en", "quick stream with a fox far away later")).toDF("doc_id", "lang", "text")
+    val r = SimilarityQueries.proximitySearch(docs, Seq((1L, "quick", "fox")), window = 3)
+      .select($"qid", $"lang", $"n_docs", $"n_pairs").as[(Long, String, Long, Long)]
+      .collect().toSeq
+    assert(r === Seq((1L, "en", 1L, 1L))) // only doc 1 has the terms within 3 positions
+  }
+
+  test("SimilarityQueries.knnGraph scaladoc example") {
+    import graft.operators.SimilarityQueries
+    val e1 = Array.tabulate(DedupQueries.embDim)(i => if (i == 0) 1f else 0f)
+    val emb = Seq((1L, e1), (2L, e1.clone()), (3L, e1.map(-_)), (4L, e1.map(-_)))
+      .toDF("vec_id", "embedding")
+    val edges = SimilarityQueries.knnGraph(spark, emb)
+      .select($"vec_id", $"nbr_id").as[(Long, Long)].collect().toSet
+    // neighbors only within shared LSH buckets: the antipodal pair is unreachable
+    assert(edges === Set((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)))
+  }
+
+  test("SimilarityQueries.semanticClusters scaladoc example") {
+    import graft.operators.SimilarityQueries
+    val e1 = Array.tabulate(DedupQueries.embDim)(i => if (i == 0) 1f else 0f)
+    val emb = Seq((1L, e1), (2L, e1.clone()), (3L, e1.map(-_)), (4L, e1.map(-_)))
+      .toDF("vec_id", "embedding")
+    assert(SimilarityQueries.semanticClusters(spark, emb)
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("SimilarityQueries.hardNegatives scaladoc example") {
+    import graft.operators.SimilarityQueries
+    val e1 = Array.tabulate(DedupQueries.embDim)(i => if (i == 0) 1f else 0f)
+    val emb = Seq((1L, e1), (2L, e1.clone()), (3L, e1.clone())).toDF("vec_id", "embedding")
+    val pos = Seq((1L, 2L)).toDF("vec_a", "vec_b")
+    val negs = SimilarityQueries.hardNegatives(spark, emb, n = 1, k = 5,
+        positives = Some(pos))
+      .select($"vec_id", $"nbr_id").as[(Long, Long)].collect().toSet
+    // vec 1's positive (2) is excluded; its hard negative is vec 3
+    assert(negs.contains((1L, 3L)) && !negs.contains((1L, 2L)))
+  }
+
+  test("TextQueries.boilerplateSpans scaladoc example") {
+    import graft.operators.TextQueries
+    val tpl = (1 to 10).map("t" + _).mkString(" ") // 10-token template: 3 8-shingles
+    val docs = Seq((1L, "en", tpl), (2L, "en", tpl),
+      (3L, "en", (1 to 10).map("u" + _).mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    assert(TextQueries.boilerplateSpans(docs)
+      .as[(String, Long, Long, Long, Long, Long)].head() ===
+      (("en", 3L, 2L, 9L, 6L, 666L))) // the two template copies share all shingles
+  }
+
+  test("TextQueries.periodicityReport scaladoc example") {
+    import graft.operators.TextQueries
+    val docs = Seq((1L, "en", Seq.fill(10)("a b").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    assert(TextQueries.periodicityReport(docs)
+      .as[(String, Long, Long, Long, Long)].head() ===
+      (("en", 1L, 1L, 1L, 17L))) // every bigram repeats at gap 2: periodic
+  }
+
+  test("TextQueries.codeSwitchReport scaladoc example") {
+    import graft.operators.TextQueries
+    val docs = Seq((1L, "en", "one short single-language document"))
+      .toDF("doc_id", "lang", "text")
+    assert(TextQueries.codeSwitchReport(docs)
+      .as[(String, Long, Long, Long, Long)].head() ===
+      (("en", 1L, 1L, 0L, 1000L))) // one chunk, one language, dominant share 100%
+  }
+
+  test("Multimodal.stubDecode scaladoc example") {
+    import graft.operators.Multimodal
+    val a = Multimodal.MediaAsset(1L, Array.fill[Byte](2058)(2), "image/png", 2058L)
+    val fs = Multimodal.stubDecode(a).toSeq
+    assert(fs.map(_.frame_bytes) === Seq(1024L, 1024L, 10L))
+    assert(fs.head.byte_sum === 2048L) // 1024 bytes of value 2
+  }
+
+  test("Multimodal.assets / decodeFrames / sampleFrames scaladoc examples") {
+    import graft.operators.Multimodal
+    val a = Multimodal.assets(spark, sf)
+    assert(a.count() > 0)
+    val f = Multimodal.decodeFrames(spark, sf)
+    assert(f.count() >= a.count()) // every asset yields >= 1 frame
+    assert(Multimodal.sampleFrames(f, 2).filter(_.frame_no % 2 != 0).count() === 0L)
+  }
+
+  test("Multimodal.dHashChunks scaladoc example") {
+    import graft.operators.Multimodal
+    val ramp = Array.tabulate[Byte](650)(i => (i / 10).toByte)
+    val a = Multimodal.MediaAsset(1L, ramp, "image/png", 650L)
+    assert(Multimodal.dHashChunks(Multimodal.MediaAsset(9L, Array.emptyByteArray,
+      "image/png", 0L)).isEmpty) // empty payloads have no hash
+    val Some((_, _, c0, c1, c2, c3)) = Multimodal.dHashChunks(a)
+    // gradient bits survive a uniform brightness shift that breaks checksums
+    val brighter = a.copy(payload = ramp.map(b => ((b & 0xff) + 30).toByte))
+    assert(Multimodal.dHashChunks(brighter).get._3 === c0)
+  }
+
+  test("Multimodal.sharedFrames scaladoc example") {
+    import graft.operators.Multimodal
+    val payload = Array.fill[Byte](2048)(7)
+    val ds = Seq(
+      Multimodal.MediaAsset(1L, payload, "image/png", 2048L),
+      Multimodal.MediaAsset(2L, payload.clone(), "image/png", 2048L)).toDS()
+    val r = Multimodal.sharedFrames(ds).head()
+    assert(r.getLong(1) === 4L && r.getLong(2) === 4L) // all 4 frames shared
+  }
+
+  test("Multimodal.withReencodes scaladoc example") {
+    import graft.operators.Multimodal
+    val ds = Seq(Multimodal.MediaAsset(1L, Array.fill[Byte](10)(1), "image/png", 10L)).toDS()
+    val ids = Multimodal.withReencodes(ds).collect().map(_.asset_id).sorted.toSeq
+    assert(ids === Seq(1L, 1000001L)) // original + deterministic re-encode
+  }
+
+  test("Multimodal.shotBoundaries scaladoc example") {
+    import graft.operators.Multimodal
+    val payload = Array.fill[Byte](1024)(0) ++ Array.fill[Byte](1024)(100)
+    val ds = Seq(Multimodal.MediaAsset(1L, payload, "video/mp4", 2048L)).toDS()
+    assert(Multimodal.shotBoundaries(ds).as[(Long, Long, Long, Long)].head() ===
+      ((1L, 2L, 2L, 100L))) // the mean-byte jump of 100 cuts a second segment
+  }
+
+  test("Multimodal.perceptualNearDups scaladoc example") {
+    import graft.operators.Multimodal
+    val ramp = Array.tabulate[Byte](650)(i => (i / 10).toByte)
+    val ds = Multimodal.withReencodes(
+      Seq(Multimodal.MediaAsset(1L, ramp, "image/png", 650L)).toDS())
+    // the +30-brightness re-encode preserves every dHash gradient bit
+    assert(Multimodal.perceptualNearDups(ds)
+      .select($"asset_a", $"asset_b", $"hamming").as[(Long, Long, Long)]
+      .collect().toSeq === Seq((1L, 1000001L, 0L)))
+  }
+
+  test("LayoutQueries.zOrderWrite scaladoc example") {
+    import graft.operators.LayoutQueries
+    val dir = s"$tmp/zorder_doc"
+    val df = (0L until 256L).map(i => (i % 16, i / 16)).toDF("x", "y")
+    LayoutQueries.zOrderWrite(df, "x", "y", files = 4, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 256L && back.columns.toSeq.sorted === Seq("x", "y"))
+  }
+
+  test("LayoutQueries.compact scaladoc example") {
+    import graft.operators.LayoutQueries
+    val in = s"$tmp/compact_doc_in"
+    val out = s"$tmp/compact_doc_out"
+    (0L until 1000L).toDF("id").repartition(16).write.mode("overwrite").parquet(in)
+    val (nIn, nOut) = LayoutQueries.compact(spark, in, out, Seq.empty)
+    assert(nOut < nIn && spark.read.parquet(out).count() === 1000L)
+  }
+
+  // ----- the policy gate ---------------------------------------------------
+
+  /** Public operator methods exempt from the doc-example requirement, each
+    * with its reason. Everything here is either a constant/accessor (no
+    * behavior to exemplify), a Scala-package-private member that Java
+    * reflection still reports public, or an oracle-SQL generator exercised
+    * by every oracle that embeds it. */
+  private val excluded: Map[String, Set[String]] = Map(
+    "DedupQueries" -> Set(
+      "numBands", "embDim", "lshTableCount", "lshPlanesPerTableCount", // constant accessors
+      "minSharedTable", // private[operators]; Java-reflection artifact
+      "d06OracleSql"),  // oracle-SQL constant consumed by the s12 oracle
+    "SimilarityQueries" -> Set(
+      "IvfK", "KmK", "PqK", "PqM", "PqSubDim", // private[graft] codebook constants
+      "planeLit",                              // oracle-SQL literal builder (d14/s02 oracles)
+      "ivfCentroids", "kmeansCodebook", "pqCodebook"), // internal codebook builders behind
+                                               // ivfSearch/s04/s08, gated by their oracles
+    "TextQueries" -> Set(
+      "admissionGate",  // documented with admissionFeatures' example
+      "polyHashSqlOf"), // oracle-SQL generator, embedded in a dozen oracles
+    "Multimodal" -> Set("FrameSize", "ShardBytes", "ShardGroups")) // constants
+
+  test("every public operator method has a runnable doc example or a documented exclusion") {
+    // The reference's CONTRIBUTING policy (doc-test per public item),
+    // enforced structurally: enumerate the operator objects' public
+    // methods via reflection; each must appear in a "<Object>.<method>"
+    // doc-example test above or in the documented exclusion table.
+    val objs: Seq[(String, AnyRef)] = Seq(
+      "RelationalQueries" -> graft.operators.RelationalQueries,
+      "ExtraRelationalQueries" -> graft.operators.ExtraRelationalQueries,
+      "EventQueries" -> graft.operators.EventQueries,
+      "DedupQueries" -> graft.operators.DedupQueries,
+      "SimilarityQueries" -> graft.operators.SimilarityQueries,
+      "TextQueries" -> graft.operators.TextQueries,
+      "Multimodal" -> graft.operators.Multimodal,
+      "LayoutQueries" -> graft.operators.LayoutQueries,
+      "SqlSurfaceQueries" -> graft.operators.SqlSurfaceQueries,
+      "DslQueries" -> graft.operators.DslQueries)
+    // a method is covered when some doc-example test names it after its object
+    val names = testNames
+    def hasExample(obj: String, m: String): Boolean =
+      names.exists(t => t.contains(s"$obj.$m ") || t.contains(s"$obj.$m/") ||
+        t.contains(s" $m ") && t.startsWith(obj + "."))
+    for ((oName, o) <- objs) {
+      val pub = o.getClass.getDeclaredMethods.toSeq
+        .filter(m => java.lang.reflect.Modifier.isPublic(m.getModifiers))
+        .map(_.getName).filterNot(_.contains("$")).toSet - "all"
+      val ex = excluded.getOrElse(oName, Set.empty)
+      val missing = pub.filterNot(m => ex.contains(m) || hasExample(oName, m))
+      assert(missing.isEmpty,
+        s"$oName public methods without a doc example or documented exclusion: " +
+          missing.toSeq.sorted.mkString(", "))
+      val staleEx = ex -- pub
+      assert(staleEx.isEmpty, s"$oName exclusion list names vanished methods: $staleEx")
+    }
   }
 }

@@ -232,4 +232,56 @@ class SourcesSpec extends SparkSpec {
     assert(m("rows_in").asInstanceOf[Long] >= kept)
     assert(m("chars_in").asInstanceOf[Long] > 0L)
   }
+
+  test("stream-source seam: kafka branch builds the full reader contract, broker-free") {
+    import graft.streaming.{KafkaStreamSource, StreamSource}
+    // production config: the R12 bounded-channel cap must surface as
+    // maxOffsetsPerTrigger, topics as one subscribe list — the exact option
+    // names the kafka connector reads. Construction (format + options +
+    // DataStreamReader) must never touch a broker; only .load() would.
+    val src = KafkaStreamSource(
+      bootstrapServers = "broker1:9092,broker2:9092",
+      topics = Seq("events", "orders"),
+      startingOffsets = "latest",
+      failOnDataLoss = false,
+      capPerTrigger = Some(50000L),
+      extra = Map("kafka.security.protocol" -> "SASL_SSL"))
+    assert(src.format === "kafka")
+    assert(src.options === Map(
+      "kafka.bootstrap.servers" -> "broker1:9092,broker2:9092",
+      "subscribe" -> "events,orders",
+      "startingOffsets" -> "latest",
+      "failOnDataLoss" -> "false",
+      "maxOffsetsPerTrigger" -> "50000",
+      "kafka.security.protocol" -> "SASL_SSL"))
+    // reader construction is side-effect-free (no connector, no broker here)
+    assert(StreamSource.reader(spark, src) != null)
+    assertThrows[IllegalArgumentException](
+      KafkaStreamSource("b:9092", topics = Seq.empty))
+  }
+
+  test("stream-source seam: file branch streams end-to-end with the per-trigger cap") {
+    import graft.streaming.{FileStreamSource, StreamSource}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_seam_files").toString
+    // three single-file "micro-batch arrivals"
+    (1 to 3).foreach(i =>
+      Seq((i.toLong, s"payload$i")).toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(dir))
+    val src = FileStreamSource(dir,
+      schema = Some(spark.read.parquet(dir).schema), capPerTrigger = Some(1L))
+    assert(src.options("maxFilesPerTrigger") === "1") // R12 cap, file dialect
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var batches = 0
+    val q = StreamSource.load(spark, src).writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.synchronized { seen ++= b.select($"id").as[Long].collect(); batches += 1 }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(batches >= 3, s"cap=1 must admit one file per micro-batch, got $batches")
+  }
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.DedupQueries
+
+/** The 100x tier of ScaleSpec for the five heaviest operators (d03, d06,
+  * d08, s09, s11): two decades of growth on the same deterministic
+  * generators, asserting a ≲linear runtime fit and EXACT output linearity
+  * (the corpora embed matches at a fixed per-id rate, so true counts are a
+  * pure function of n — any deviation is a recall or flood bug, not
+  * noise). A quadratic regression at 100x overshoots the runtime bound by
+  * ~two orders of magnitude and usually floods the output count first.
+  *
+  * Bucket geometry is tuned for the LARGE size per the documented
+  * K ~ 2*log2(n) - 10 contract and held fixed across both sizes, so the
+  * (deterministic) recall is identical at both ends and output ratios are
+  * exact. Runtime bounds allow 2.5x headroom per decade over linear plus a
+  * fixed-overhead floor — generous for a shared local[4] JVM, far below
+  * any quadratic blowup. */
+class Scale100Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docCorpus(n: Int): DataFrame =
+    spark.range(n).as[Long].map(ScaleCorpus.doc _).toDF("doc_id", "text")
+
+  private def vecCorpus(n: Int): DataFrame =
+    spark.range(n).as[Long].map(ScaleCorpus.vecTight _).toDF("vec_id", "embedding")
+
+  private def timed(f: => Long): (Double, Long) = {
+    spark.catalog.clearCache()
+    val t0 = System.nanoTime()
+    val rows = f
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  /** ≲linear fit over two decades: runtime ratio <= 250x (2.5x headroom
+    * per decade compounded, with a fixed-cost floor on the small run) and
+    * the output count exactly as predicted at both sizes. */
+  private def assert100x(name: String, run: DataFrame => Long,
+      small: DataFrame, big: DataFrame,
+      expectSmall: Long, expectBig: Long): Unit = {
+    run(small) // warmup: codegen + JIT, untimed
+    spark.catalog.clearCache()
+    val (tS, outS) = timed(run(small))
+    val (tL, outL) = timed(run(big))
+    info(f"$name: 1x -> ${tS}%.2f s / $outS, 100x -> ${tL}%.2f s / $outL")
+    assert(outS === expectSmall, s"$name small-size output drifted: $outS")
+    assert(outL === expectBig, s"$name 100x output not linear: $outL (want $expectBig)")
+    assert(tL <= 250.0 * math.max(tS, 0.5),
+      f"$name runtime beyond a linear fit: ${tS}%.2f s -> ${tL}%.2f s for 100x data")
+  }
+
+  test("d03 minhash dedup: 100x corpus => linear pairs and ≲linear runtime") {
+    // every 10th doc is a near-dup of its predecessor: exactly n/10 pairs
+    assert100x("d03",
+      df => DedupQueries.minhashNearDupPairs(spark, df).count(),
+      docCorpus(4000), docCorpus(400000), 400L, 40000L)
+  }
+
+  test("d06 embedding-LSH dedup: 100x corpus => linear pairs and ≲linear runtime") {
+    // clusters of 4 consecutive ids: C(4,2) = 6 pairs per cluster = 1.5n.
+    // The tier runs K=40 deep buckets over the tight generator: true pairs
+    // (cos ~0.9999) collide in some table with near-certainty while the
+    // ~2e10 random cross-pairs expect < 1 collision total at 8/2^40 — and
+    // the exact-cosine verify (>= 850 milli) removes even those, so the
+    // pair count is EXACTLY 1.5n at both sizes, deterministically.
+    def run(df: DataFrame): Long = DedupQueries.embeddingLshPairs(spark, df,
+      tables = 8, planesPerTable = 40, minCosMilli = 850L).count()
+    assert100x("d06", run, vecCorpus(2000), vecCorpus(200000), 3000L, 300000L)
+  }
+
+  test("d08 cluster labels: 100x graph => exact components and ≲linear runtime") {
+    // chains of 8 consecutive ids at constant diameter: component count is
+    // exactly n/8 and pointer-jumping rounds stay fixed while n grows 100x
+    def graph(n: Int): DataFrame = spark.range(n).toDF("doc_id")
+    def run(docs: DataFrame): Long = {
+      val ids = docs.select($"doc_id")
+      val edges = ids.filter($"doc_id" % 8 =!= 7)
+        .select($"doc_id".as("doc_a"), ($"doc_id" + 1).as("doc_b"))
+      DedupQueries.clusterLabels(docs, edges)
+        .select($"cluster_id").distinct().count()
+    }
+    assert100x("d08", run, graph(40000), graph(4000000), 5000L, 500000L)
+  }
+
+  test("s09 kNN graph: 100x corpus => linear edges and ≲linear runtime") {
+    // within a 4-cluster every vector has exactly 3 same-cluster neighbors
+    // (k=5 cap never binds; at K=40 the ~2e10 random cross-pairs expect
+    // < 1 bucket collision in total): exactly 3n directed edges
+    def run(df: DataFrame): Long = graft.operators.SimilarityQueries
+      .knnGraph(spark, df, tables = 8, planesPerTable = 40).count()
+    assert100x("s09", run, vecCorpus(2000), vecCorpus(200000), 6000L, 600000L)
+  }
+
+  test("s11 semantic clusters: 100x corpus => exact labels and ≲linear runtime") {
+    // mutual-kNN over the same geometry: one label per vector, and the
+    // distinct-label count is exactly the n/4 construction clusters
+    def run(df: DataFrame): Long = {
+      val labels = graft.operators.SimilarityQueries
+        .semanticClusters(spark, df, tables = 8, planesPerTable = 40)
+      val n = labels.count()
+      val k = labels.select($"cluster_id").distinct().count()
+      n * 1000000L + k // pack both invariants into one asserted number
+    }
+    assert100x("s11", run, vecCorpus(2000), vecCorpus(200000),
+      2000L * 1000000L + 500L, 200000L * 1000000L + 50000L)
+  }
+}

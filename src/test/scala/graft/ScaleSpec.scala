@@ -46,6 +46,20 @@ private object ScaleCorpus extends Serializable {
     }
     (i, emb)
   }
+
+  /** The 100x tier's variant: same 4-id clusters, noise shrunk to 0.01 so
+    * within-cluster cosine is ~0.9999 and sign-LSH recall at the tier's
+    * deep K stays lossless — the tier asserts EXACT output linearity, so
+    * the generator must make true matches certain, not merely likely. */
+  def vecTight(i: Long): (Long, Array[Float]) = {
+    val cluster = i / 4
+    val emb = Array.tabulate(64) { j =>
+      val base = mix(cluster * 131 + j).toDouble / Long.MaxValue
+      val noise = (mix(i * 257 + j).toDouble / Long.MaxValue) * 0.01
+      (base + noise).toFloat
+    }
+    (i, emb)
+  }
 }
 
 class ScaleSpec extends SparkSpec {

@@ -1,0 +1,206 @@
+package graft.streaming
+
+import graft.operators.{DedupQueries, TextQueries}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The end-to-end streaming ingestion pipeline: the three training-data
+  * stages the repo proves individually — admission (t05 /
+  * [[StreamAdmission]]), near-dup dedup (d03 / [[StreamDedup]]) and
+  * context packing (t08) — composed into ONE continuous foreachBatch job
+  * with one checkpoint, such that after any prefix of the stream the
+  * packed output equals [[ingestBatch]] over the same prefix
+  * (StreamingSpec asserts this across a mid-stream checkpointed restart).
+  *
+  * Composition semantics (identical on both paths):
+  *  1. ADMISSION — documents group by content_key (md5 of normalized
+  *     text); each group's canonical copy is its min-doc_id row, and a
+  *     group is admitted iff the canonical features pass the t05 gate.
+  *     Gate inputs (tokens, distinct ratio, language) are functions of the
+  *     NORMALIZED text, so a group's admission status never changes as
+  *     more copies arrive — only its representative id can shrink.
+  *  2. NEAR-DUP — MinHash near-dup pairs (exact-jaccard verified >= 0.8)
+  *     among admitted canonical texts, recorded as UNORDERED content-key
+  *     pairs: text-level facts that stay valid when a group's rep id
+  *     changes. Incremental mining (new groups vs all history + new vs
+  *     new, [[DedupQueries.incrementalNearDupPairs]]) discovers each pair
+  *     exactly once, at the batch its second group first appears.
+  *  3. SURVIVORS + PACKING — per pair, the group whose CURRENT rep id is
+  *     larger is dropped (d07's keep-canonical rule); survivors pack into
+  *     512-token context windows per (lang, shard) exactly like t08.
+  *     Survivor selection and packing are pure O(groups + pairs) functions
+  *     recomputed from the folded state, so the stream result is the batch
+  *     result of the state by construction — the fold (min-struct
+  *     admission merge + monotone pair-set union) is associative and
+  *     order-insensitive across any micro-batch split.
+  *
+  * State is driver-held (content-keyed canon table + pair set), the
+  * local-mode stand-in for a keyed transactional table (Delta/Iceberg
+  * MERGE) — the same discipline as [[StreamCdc]] / [[StreamScd2]], with
+  * the identical batchId-retry no-op and rehydration seam used by their
+  * restart tests. State size is O(distinct content keys + true pairs),
+  * never O(stream length).
+  */
+object StreamIngest {
+
+  private val PackBudget = 512L
+  private val PackShards = 8L
+
+  private def features(docs: DataFrame): DataFrame =
+    TextQueries.admissionFeatures(docs)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+
+  /** Min-struct fold of (state ∪ batch-features) to one canonical row per
+    * content key — StreamAdmission's merge, carrying the raw text along
+    * for the near-dup stage. */
+  private def foldCanon(prev: Option[DataFrame], batch: DataFrame): DataFrame = {
+    val feats = features(batch)
+    prev.map(_.unionByName(feats)).getOrElse(feats)
+      .groupBy(col("content_key"))
+      .agg(min(struct(col("doc_id"), col("predicted_lang"), col("n_tokens"),
+        col("distinct_ratio_milli"), col("text"))).as("c"))
+      .select(col("content_key"), col("c.doc_id").as("doc_id"),
+        col("c.predicted_lang").as("predicted_lang"),
+        col("c.n_tokens").as("n_tokens"),
+        col("c.distinct_ratio_milli").as("distinct_ratio_milli"),
+        col("c.text").as("text"))
+  }
+
+  /** t08's packing shape over survivor groups: per (lang, shard) the
+    * canonical docs concatenate in doc_id order into 512-token chunks. */
+  private def packChunks(survivors: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+    val b = lit(PackBudget)
+    survivors
+      .select(col("doc_id"), col("predicted_lang").as("lang"),
+        pmod(xxhash64(concat(lit("shard:"), col("doc_id"))), lit(PackShards)).as("shard"),
+        col("n_tokens").as("n"))
+      .withColumn("fin", sum(col("n")).over(w))
+      .withColumn("start", col("fin") - col("n"))
+      .withColumn("c0", floor(col("start") / b).cast("long"))
+      .withColumn("c1", floor((col("fin") - 1) / b).cast("long"))
+      .select(col("lang"), col("shard"), col("start"), col("fin"),
+        explode(sequence(col("c0"), col("c1"))).as("chunk"))
+      .groupBy(col("lang"), col("shard"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least((col("chunk") + 1) * b, col("fin")) -
+          greatest(col("chunk") * b, col("start"))).as("n_tokens"))
+      .orderBy(col("lang"), col("shard"), col("chunk"))
+  }
+
+  /** Survivor groups + packed report from a canon table and a ck-pair set
+    * — the pure function both paths share. */
+  private def packedOf(canon: DataFrame, ckPairs: DataFrame): DataFrame = {
+    val admitted = canon.filter(TextQueries.admissionGate)
+    // per pair, drop the side whose CURRENT rep id is larger
+    val reps = admitted.select(col("content_key"), col("doc_id"))
+    val dropped = ckPairs
+      .join(reps.select(col("content_key").as("ck_a"), col("doc_id").as("id_a")), Seq("ck_a"))
+      .join(reps.select(col("content_key").as("ck_b"), col("doc_id").as("id_b")), Seq("ck_b"))
+      .select(when(col("id_a") > col("id_b"), col("ck_a")).otherwise(col("ck_b"))
+        .as("content_key"))
+      .distinct()
+    packChunks(admitted.join(dropped, Seq("content_key"), "left_anti"))
+  }
+
+  /** Mine near-dup rep pairs where at least one side's content key is in
+    * `newKeys`, as unordered ck pairs. */
+  private def minePairs(admitted: DataFrame, newKeys: DataFrame): DataFrame = {
+    val tagged = admitted
+      .join(newKeys.withColumn("is_new", lit(true)), Seq("content_key"), "left")
+    val docs = tagged.select(col("doc_id"), col("text"), col("is_new"))
+    // isNew is evaluated against the banded rows, which carry doc_id only:
+    // translate the flag through an id set (demo-scale; production keeps
+    // the flag as a column through the band explode)
+    val newIds = tagged.filter(col("is_new"))
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    if (newIds.isEmpty) return admitted.sparkSession.emptyDataFrame
+      .select(lit("").as("ck_a"), lit("").as("ck_b")).limit(0)
+    val idPairs = DedupQueries.incrementalNearDupPairs(
+      admitted.sparkSession, docs.select(col("doc_id"), col("text")),
+      col("doc_id").isin(newIds.toSeq: _*))
+    val ck = admitted.select(col("doc_id"), col("content_key"))
+    idPairs
+      .join(ck.select(col("doc_id").as("doc_a"), col("content_key").as("k1")), Seq("doc_a"))
+      .join(ck.select(col("doc_id").as("doc_b"), col("content_key").as("k2")), Seq("doc_b"))
+      .select(least(col("k1"), col("k2")).as("ck_a"),
+        greatest(col("k1"), col("k2")).as("ck_b"))
+      .distinct()
+  }
+
+  /** One-shot batch reference over a static (doc_id, text) frame. */
+  def ingestBatch(docs: DataFrame): DataFrame = {
+    val canon = foldCanon(None, docs)
+    val admitted = canon.filter(TextQueries.admissionGate)
+    val pairs = minePairs(admitted, admitted.select(col("content_key")))
+    packedOf(canon, pairs)
+  }
+
+  final class IngestState(s: SparkSession) {
+
+    @volatile private var canon: Option[DataFrame] = None
+    @volatile private var pairs: Option[DataFrame] = None
+    @volatile private var lastBatchId: Long = -1L
+
+    private[graft] def merge(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return // redelivered micro-batch: no-op
+      val prevKeys = canon.map(_.select(col("content_key")))
+      val nextCanon = foldCanon(canon, batch).localCheckpoint()
+      val admitted = nextCanon.filter(TextQueries.admissionGate)
+      val newKeys = prevKeys match {
+        case Some(pk) => admitted.select(col("content_key")).join(pk, Seq("content_key"), "left_anti")
+        case None => admitted.select(col("content_key"))
+      }
+      val mined = minePairs(admitted, newKeys)
+      val nextPairs = pairs.map(_.unionByName(mined).distinct()).getOrElse(mined)
+        .localCheckpoint()
+      canon.foreach(_.unpersist()); pairs.foreach(_.unpersist())
+      canon = Some(nextCanon)
+      pairs = Some(nextPairs)
+      lastBatchId = batchId
+    }
+
+    /** The packed corpus as of the last completed micro-batch. */
+    def packed: DataFrame = canon match {
+      case Some(c) => packedOf(c, pairs.get)
+      case None => s.emptyDataFrame
+    }
+
+    /** Persisted-state seam for restart rehydration (the StreamCdc
+      * discipline: production persists canon+pairs transactionally per
+      * batch and reloads them here). */
+    def stateTables: Option[(DataFrame, DataFrame)] =
+      canon.map(c => (c, pairs.get))
+
+    /** The last folded micro-batch id — persisted next to the state
+      * tables so a restart can resume the retry discipline. */
+    def lastCommittedBatch: Long = lastBatchId
+
+    private[graft] def rehydrate(savedCanon: DataFrame, savedPairs: DataFrame,
+        savedBatchId: Long): Unit = synchronized {
+      require(canon.isEmpty, "rehydrate must run on a fresh state")
+      canon = Some(savedCanon.localCheckpoint())
+      pairs = Some(savedPairs.localCheckpoint())
+      lastBatchId = savedBatchId
+    }
+  }
+
+  /** Start the composed ingestion over a streaming (doc_id, text) frame.
+    * `prior` resumes from a rehydrated state after a restart (the query
+    * checkpoint skips committed offsets; the state seam supplies their
+    * folded result — split-brain on either side fails the equivalence
+    * gate in StreamingSpec). */
+  def start(docs: DataFrame, checkpoint: String,
+      prior: Option[IngestState] = None): (StreamingQuery, IngestState) = {
+    require(docs.isStreaming, "StreamIngest.start needs a streaming DataFrame")
+    val state = prior.getOrElse(new IngestState(docs.sparkSession))
+    val q = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], id: Long) => state.merge(batch, id) }
+      .start()
+    (q, state)
+  }
+}

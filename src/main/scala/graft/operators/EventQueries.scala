@@ -1318,12 +1318,21 @@ object EventQueries {
     var more = frontier.limit(1).count() > 0
     while (more) {
       depth += 1
+      // frontier-emptiness rides the checkpoint job as an Observation
+      // side-metric (the clusterLabels discipline): one job per round for
+      // the frontier, none for the emptiness probe
+      val obs = new org.apache.spark.sql.Observation()
       val next = frontier.join(edges, frontier("node") === edges("src"))
         .select($"dst".as("node")).distinct()
         .join(levels, Seq("node"), "left_anti")
         .select($"node", lit(depth).as("lvl"))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
-      if (next.limit(1).count() == 0) more = false
+      val grew = obs.get.getOrElse("n", null) match {
+        case n: java.lang.Long => n.longValue() > 0L
+        case _ => false
+      }
+      if (!grew) more = false
       else {
         levels = levels.unionByName(next).localCheckpoint()
         frontier = next

@@ -266,6 +266,10 @@ object DedupQueries {
     cached(docs
       .select($"doc_id", $"text", md5(TextFns.normalize($"text")).as("k"))
       .groupBy($"k")
+      // first(text) is order-nondeterministic across raw variants that share
+      // a normalized form (case/whitespace), but every consumer re-normalizes
+      // before shingling (TextFns.tokens), so any representative yields
+      // bit-identical downstream sketches — the choice cannot reach output.
       .agg(min($"doc_id").as("rep"), sort_array(collect_list($"doc_id")).as("ids"),
         first($"text").as("text")))
   }

@@ -545,6 +545,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bind decision survives a restart when persisted (R9 durable)") {
+    implicit val sq = spark.sqlContext
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("bind-decision").toString
+    val chooser: Any => org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+      first =>
+        if (first.asInstanceOf[Long] % 2 == 0) df => df.selectExpr("seq", "value * 2.0 AS out")
+        else df => df.selectExpr("seq", "value / 2.0 AS out")
+    }
+    // first run: first seq is 0 (even) => doubling chosen AND persisted
+    val buf1 = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val ms1 = MemoryStream[(Long, Double)]
+    val q1 = graft.streaming.StreamBind.bindToBuffer(
+      ms1.toDF().toDF("seq", "value"), "seq", Some(dir))(chooser)(buf1)
+    try {
+      ms1.addData((0L, 10.0), (1L, 20.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(buf1.asScala.map(r => (r.getLong(0), r.getDouble(1))).toVector.sorted ===
+      Vector((0L, 20.0), (1L, 40.0)))
+    // "restart": a fresh bound stream over the SAME decision dir whose first
+    // visible row is ODD — without the persisted decision it would halve
+    val buf2 = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val ms2 = MemoryStream[(Long, Double)]
+    val q2 = graft.streaming.StreamBind.bindToBuffer(
+      ms2.toDF().toDF("seq", "value"), "seq", Some(dir))(chooser)(buf2)
+    try {
+      ms2.addData((3L, 30.0))
+      q2.processAllAvailable()
+      val got = buf2.asScala.map(r => (r.getLong(0), r.getDouble(1))).toVector
+      assert(got === Vector((3L, 60.0)), s"restart re-decided the topology: $got")
+    } finally q2.stop()
+    // the undurable default still re-decides from the data (reference semantics)
+    val buf3 = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val ms3 = MemoryStream[(Long, Double)]
+    val q3 = graft.streaming.StreamBind.bindToBuffer(
+      ms3.toDF().toDF("seq", "value"), "seq")(chooser)(buf3)
+    try {
+      ms3.addData((3L, 30.0))
+      q3.processAllAvailable()
+      val got = buf3.asScala.map(r => (r.getLong(0), r.getDouble(1))).toVector
+      assert(got === Vector((3L, 15.0)), s"default mode must re-decide: $got")
+    } finally q3.stop()
+  }
+
   test("general feedback via sink write-back into the source (P4 general cycle)") {
     // Structured Streaming forbids cycles in one query graph; the pattern
     // for general feedback (SURVEY §2.1 P4: write-back to a topic unioned

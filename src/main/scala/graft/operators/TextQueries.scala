@@ -92,6 +92,10 @@ object TextQueries {
 
   private def splitBucket: Column = pmod(saltedDocHash("split:"), lit(100L))
   private def packShard: Column = pmod(saltedDocHash("shard:"), lit(PackShards.toLong))
+  /** t08's shard column shared with [[graft.streaming.StreamIngest]] so the
+    * composed ingestion pipeline packs with the SAME oracle-replicable
+    * poly-hash sharding as the standalone packer (reads `doc_id`). */
+  private[graft] def packShardCol: Column = packShard
   private def splitBucketSql: String = s"(${saltedDocHashSql("split:")}) % 100"
   private def packShardSql: String = s"(${saltedDocHashSql("shard:")}) % $PackShards"
 
@@ -503,6 +507,85 @@ object TextQueries {
         FROM ex
         GROUP BY lang, shard, chunk
         ORDER BY lang, shard, chunk""")),
+
+    // ----- composed ingestion: admission -> near-dup dedup -> packing -------
+    // The capstone the stages exist for, as ONE oracle-gated batch plan (the
+    // same function StreamingSpec proves ≡ the continuous StreamIngest job
+    // across a checkpointed restart): canonicalize by content key and gate
+    // (t05), mine exact-jaccard-verified near-dup pairs among the admitted
+    // canonicals (d03's contract), drop the larger-rep side per pair (d07's
+    // keep-canonical rule), pack survivors into 512-token context windows
+    // per (predicted_lang, poly-hash shard) (t08). The oracle replays every
+    // stage in DuckDB as composed CTEs of the t05/d03/t08 oracle shapes.
+    QueryDef(
+      "t38_ingest_packed",
+      (s, d) => graft.streaming.StreamIngest.ingestBatch(Tables.documents(s, d)),
+      oracle = Some {
+        val scoreExprs = TextFns.StopwordSets.map { case (l, ws) =>
+          val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_intersect(t, $arr)) AS s_$l"
+        }.mkString(",\n                 ")
+        val langs = TextFns.StopwordSets.map(_._1)
+        val pick = langs.init.zipWithIndex.foldRight(s"'${langs.last}'") {
+          case ((l, i), els) =>
+            val later = langs.drop(i + 1).map(x => s"s_$x").mkString("greatest(", ", ", ")")
+            s"CASE WHEN s_$l >= $later THEN '$l' ELSE $els END"
+        }
+        s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_key,
+                 string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        feats AS (
+          SELECT doc_id, content_key, t,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 CAST(floor(len(list_distinct(t)) * 1000.0 / len(t)) AS BIGINT) AS distinct_ratio_milli,
+                 $scoreExprs
+          FROM toks),
+        canon AS (SELECT content_key, min(doc_id) AS rep FROM feats GROUP BY content_key),
+        adm AS (
+          SELECT f.content_key, f.doc_id, f.n_tokens, f.t, $pick AS predicted_lang
+          FROM feats f JOIN canon c ON f.content_key = c.content_key AND f.doc_id = c.rep
+          WHERE f.n_tokens >= 20 AND f.distinct_ratio_milli >= 200),
+        sh AS (
+          SELECT doc_id, content_key,
+                 list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+          FROM adm),
+        pairs AS (
+          SELECT a.content_key AS ck_a, b.content_key AS ck_b,
+                 a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE floor(len(list_intersect(a.s, b.s)) * 1000.0 /
+                  len(list_distinct(list_concat(a.s, b.s)))) >= 800),
+        dropped AS (
+          SELECT DISTINCT CASE WHEN id_a > id_b THEN ck_a ELSE ck_b END AS content_key
+          FROM pairs),
+        surv AS (
+          SELECT a.doc_id, a.predicted_lang AS lang, a.n_tokens AS n
+          FROM adm a LEFT JOIN dropped d ON a.content_key = d.content_key
+          WHERE d.content_key IS NULL),
+        sharded AS (
+          SELECT doc_id, lang, CAST($packShardSql AS BIGINT) AS shard, n
+          FROM surv),
+        spans AS (
+          SELECT lang, shard,
+                 CAST(sum(n) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS BIGINT) AS fin,
+                 CAST(sum(n) OVER (PARTITION BY lang, shard ORDER BY doc_id) - n AS BIGINT) AS start
+          FROM sharded),
+        ex AS (
+          SELECT lang, shard, start, fin,
+                 unnest(generate_series(CAST(floor(start::DOUBLE / $PackBudget) AS BIGINT),
+                                        CAST(floor((fin - 1)::DOUBLE / $PackBudget) AS BIGINT))) AS chunk
+          FROM spans)
+        SELECT lang, shard, chunk, count(*) AS n_docs,
+               CAST(sum(least((chunk + 1) * $PackBudget, fin)
+                        - greatest(chunk * $PackBudget, start)) AS BIGINT) AS n_tokens
+        FROM ex
+        GROUP BY lang, shard, chunk
+        ORDER BY lang, shard, chunk"""
+      }),
 
     // ----- repetition filters (Gopher/C4-style quality rules) ---------------
     // The repetition family of corpus-quality signals: dominant-token

@@ -46,7 +46,6 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object StreamIngest {
 
   private val PackBudget = 512L
-  private val PackShards = 8L
 
   private def features(docs: DataFrame): DataFrame =
     TextQueries.admissionFeatures(docs)
@@ -75,7 +74,7 @@ object StreamIngest {
     val b = lit(PackBudget)
     survivors
       .select(col("doc_id"), col("predicted_lang").as("lang"),
-        pmod(xxhash64(concat(lit("shard:"), col("doc_id"))), lit(PackShards)).as("shard"),
+        TextQueries.packShardCol.as("shard"),
         col("n_tokens").as("n"))
       .withColumn("fin", sum(col("n")).over(w))
       .withColumn("start", col("fin") - col("n"))
@@ -130,11 +129,26 @@ object StreamIngest {
       .distinct()
   }
 
-  /** One-shot batch reference over a static (doc_id, text) frame. */
+  /** One-shot batch reference over a static (doc_id, text) frame.
+    *
+    * Pair mining goes through [[DedupQueries.minhashNearDupPairs]] directly
+    * (everything is "new" in one batch, where incremental mining and full
+    * mining coincide — the same slice-restriction equality DedupSpec proves
+    * for d11), which keeps the batch path free of [[minePairs]]' driver-side
+    * id-list seam. Oracle-gated as `t38_ingest_packed`. */
   def ingestBatch(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     val canon = foldCanon(None, docs)
     val admitted = canon.filter(TextQueries.admissionGate)
-    val pairs = minePairs(admitted, admitted.select(col("content_key")))
+    val idPairs = DedupQueries.minhashNearDupPairs(
+      s, admitted.select(col("doc_id"), col("text")))
+    val ck = admitted.select(col("doc_id"), col("content_key"))
+    val pairs = idPairs
+      .join(ck.select(col("doc_id").as("doc_a"), col("content_key").as("k1")), Seq("doc_a"))
+      .join(ck.select(col("doc_id").as("doc_b"), col("content_key").as("k2")), Seq("doc_b"))
+      .select(least(col("k1"), col("k2")).as("ck_a"),
+        greatest(col("k1"), col("k2")).as("ck_b"))
+      .distinct()
     packedOf(canon, pairs)
   }
 

@@ -580,7 +580,10 @@ class DocExamplesSpec extends SparkSpec {
                                                // ivfSearch/s04/s08, gated by their oracles
     "TextQueries" -> Set(
       "admissionGate",  // documented with admissionFeatures' example
-      "polyHashSqlOf"), // oracle-SQL generator, embedded in a dozen oracles
+      "polyHashSqlOf",  // oracle-SQL generator, embedded in a dozen oracles
+      "packShardCol"),  // private[graft] t08 shard column shared with
+                        // StreamIngest; Java-reflection artifact, gated by
+                        // the t08 + t38 oracles
     "Multimodal" -> Set("FrameSize", "ShardBytes", "ShardGroups")) // constants
 
   test("every public operator method has a runnable doc example or a documented exclusion") {

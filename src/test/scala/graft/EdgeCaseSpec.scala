@@ -24,6 +24,21 @@ class EdgeCaseSpec extends SparkSpec {
   private def noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
   private def fewVecs = (0L until 8L).map(ScaleCorpus.vec).toDF("vec_id", "embedding")
 
+  test("ingestBatch degenerate shapes: empty corpus, all-rejected, near-dup collapse") {
+    import graft.streaming.StreamIngest
+    // empty and all-rejected corpora pack nothing (and must not crash)
+    assert(StreamIngest.ingestBatch(noDocs).count() === 0L)
+    assert(StreamIngest.ingestBatch(Seq((1L, "too short")).toDF("doc_id", "text")).count() === 0L)
+    // two admissible near-dup docs collapse to ONE survivor; its token count
+    // is conserved into the packed report (doc 1 wins the larger-rep drop)
+    val base = (1 to 30).map("w" + _).mkString(" ")
+    val packed = StreamIngest.ingestBatch(
+      Seq((1L, base), (2L, base + " tail")).toDF("doc_id", "text"))
+      .agg(sum($"n_docs"), sum($"n_tokens")).head()
+    assert(packed.getLong(0) === 1L, "near-dup pair must leave one survivor")
+    assert(packed.getLong(1) === 30L, "survivor token count must be conserved")
+  }
+
   test("dedup pipelines return empty on an empty or singleton corpus") {
     assert(DedupQueries.minhashNearDupPairs(spark, noDocs).count() === 0L)
     assert(DedupQueries.minhashNearDupPairs(spark, oneDoc).count() === 0L)

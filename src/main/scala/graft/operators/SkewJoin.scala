@@ -47,4 +47,39 @@ object SkewJoin {
       "__salt", explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     saltedFact.join(saltedBuild, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** [[saltedEquiJoin]] for fact tables whose hot rows may be bit-identical
+    * (duplicate log lines): the caller names a `discriminator` column that
+    * distinguishes physical rows — an ingest offset, a Kafka (partition,
+    * offset), a file (path, row-in-file) — and the salt hashes it alongside
+    * the row, so even identical payloads spread over all `salts` reducers.
+    * The discriminator must be retry-stable (carried IN the data, not
+    * minted at read time): `monotonically_increasing_id` or
+    * `spark_partition_id` would re-deal rows across task retries and make
+    * the join nondeterministic, which is exactly why the base form refuses
+    * to mint one itself.
+    *
+    * Example (run verbatim by DocExamplesSpec): identical hot rows spread
+    * by their ingest offset, result still the plain join:
+    * {{{
+    * val fact  = Seq((0L, 1L, "x"), (1L, 1L, "x"), (2L, 1L, "x"), (3L, 2L, "y"))
+    *   .toDF("offset", "k", "v")
+    * val build = Seq((1L, "p"), (2L, "q")).toDF("k", "w")
+    * val j = SkewJoin.saltedEquiJoinBy(fact, build, "k", salts = 4, $"offset")
+    * j.orderBy("offset").collect() ==
+    *   fact.join(build, "k").orderBy("offset").collect()
+    * }}}
+    */
+  def saltedEquiJoinBy(fact: DataFrame, build: DataFrame, key: String,
+      salts: Int, discriminator: org.apache.spark.sql.Column): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    require(!fact.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "input already has a __salt column; rename it before salting")
+    val saltedFact = fact.withColumn(
+      "__salt", pmod(xxhash64(struct(fact.columns.map(col) :+ discriminator: _*)),
+        lit(salts.toLong)))
+    val saltedBuild = build.withColumn(
+      "__salt", explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    saltedFact.join(saltedBuild, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -43,6 +43,15 @@ class DocExamplesSpec extends SparkSpec {
       fact.join(build, "k").orderBy("k", "v").collect().toSeq)
   }
 
+  test("SkewJoin.saltedEquiJoinBy scaladoc example") {
+    val fact  = Seq((0L, 1L, "x"), (1L, 1L, "x"), (2L, 1L, "x"), (3L, 2L, "y"))
+      .toDF("offset", "k", "v")
+    val build = Seq((1L, "p"), (2L, "q")).toDF("k", "w")
+    val j = SkewJoin.saltedEquiJoinBy(fact, build, "k", salts = 4, $"offset")
+    assert(j.orderBy("offset").collect().toSeq ===
+      fact.join(build, "k").orderBy("offset").collect().toSeq)
+  }
+
   test("VectorFns.cosineMilli scaladoc example") {
     val df = Seq((Array(1f, 0f), Array(1f, 0f)), (Array(1f, 0f), Array(0f, 1f)))
       .toDF("a", "b")

@@ -49,6 +49,49 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("saltedEquiJoinBy spreads BIT-IDENTICAL hot rows by their discriminator") {
+    val noBroadcast = "spark.sql.autoBroadcastJoinThreshold"
+    val noCoalesce = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(noBroadcast)
+    val prevC = spark.conf.getOption(noCoalesce)
+    spark.conf.set(noBroadcast, "-1")
+    spark.conf.set(noCoalesce, "false")
+    try {
+      // 20k duplicate log lines: same key, same payload — the row-hash salt
+      // of the base form sends ALL of them to one reducer; the ingest
+      // offset discriminator spreads them. (Values ride a non-foldable
+      // `when` over id so every row is bit-identical yet Catalyst cannot
+      // constant-fold the salt — literal columns, and even id*0 arithmetic,
+      // fold to a constant that prunes the join into a 1-row filter with
+      // no shuffle left to observe.)
+      val fact = spark.range(20000).select($"id".as("offset"),
+        when($"id" >= 0, 1L).otherwise(2L).as("k"),
+        when($"id" >= 0, "dup line").otherwise("x").as("payload"))
+      val dim = spark.range(4).select($"id".as("k"), concat(lit("d"), $"id").as("tag"))
+      def reducersOf(df: org.apache.spark.sql.DataFrame): Int =
+        df.filter($"k" === 1L).rdd.mapPartitions(it => Iterator(it.size))
+          .collect().count(_ > 0)
+      val base = SkewJoin.saltedEquiJoin(fact.drop("offset"), dim, "k", salts = 8)
+      assert(reducersOf(base) === 1,
+        "identical rows must collapse to one salt in the base form (the documented limitation)")
+      val byOffset = SkewJoin.saltedEquiJoinBy(fact, dim, "k", salts = 8, $"offset")
+      assert(reducersOf(byOffset) >= 3,
+        "the discriminator must spread identical payloads over several reducers")
+      // and the result is still exactly the plain join
+      val plain = fact.join(dim, "k")
+      assert(byOffset.exceptAll(plain).isEmpty && plain.exceptAll(byOffset).isEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(noBroadcast, v)
+        case None => spark.conf.unset(noBroadcast)
+      }
+      prevC match {
+        case Some(v) => spark.conf.set(noCoalesce, v)
+        case None => spark.conf.unset(noCoalesce)
+      }
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     // the automatic defense the salted join backstops: with skew-join
     // enabled and thresholds scaled to the test data, the hot key's

@@ -74,16 +74,32 @@ object Bench {
     // tools/closure_bench.py times BOTH engines at sf0.01 and writes the
     // minified single-line artifact below; embed it verbatim so the round's
     // BENCH JSON carries numeric ratios for those queries too.
+    // Parsed (not just brace-sniffed) before embedding: a brace-wrapped
+    // non-JSON artifact or one timed at a different SF than expected would
+    // silently corrupt the round's single-line BENCH JSON. Re-minified from
+    // the parse on success; dropped with a stderr note on any failure.
     val closure = {
       val f = new java.io.File("bench/closure_scaled.json")
-      if (f.isFile) {
+      if (!f.isFile) ""
+      else {
         val line = scala.io.Source.fromFile(f, "UTF-8")
-        try {
-          val s = line.getLines().mkString.trim
-          if (s.startsWith("{") && s.endsWith("}")) s""","closure_family":$s"""
-          else ""
-        } finally line.close()
-      } else ""
+        val raw = try line.getLines().mkString.trim finally line.close()
+        scala.util.Try {
+          import org.json4s._
+          val j = jackson.JsonMethods.parse(raw)
+          val sf = (j \ "sf") match { case JString(v) => v; case _ => "" }
+          require(sf.endsWith("sf0.01"),
+            s"closure_scaled.json timed at '$sf', expected a sf0.01 artifact")
+          require((j \ "queries").isInstanceOf[JObject],
+            "closure_scaled.json has no queries object")
+          jackson.JsonMethods.compact(jackson.JsonMethods.render(j))
+        } match {
+          case scala.util.Success(min) => s""","closure_family":$min"""
+          case scala.util.Failure(e) =>
+            System.err.println(s"[bench] dropping stale/invalid closure_scaled.json: ${e.getMessage}")
+            ""
+        }
+      }
     }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$closure}""")
     spark.stop()

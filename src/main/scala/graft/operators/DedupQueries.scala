@@ -1158,7 +1158,40 @@ object DedupQueries {
     import s.implicits._
     val sh = cached(shinglesOf(s, docs.select($"doc_id", $"text")))
     val bands = cached(bandRowsTyped(s, sh))
-    val cand = bands.filter(isNew)
+    incrementalFromNewBands(sh, bands, bands.filter(isNew))
+  }
+
+  /** Frame-driven variant of [[incrementalNearDupPairs]]: the new slice is
+    * named by a one-column (`doc_id`) DataFrame instead of a predicate.
+    * The new-ness flag reaches the banded rows through a semi-join on
+    * doc_id — never a collected literal id list — so a backfill batch of
+    * 10^7 new docs plans the same three-join shape as a ten-doc trickle
+    * (the driver neither sees the ids nor bakes them into the plan).
+    * Used by the streaming ingestion twin, whose "new" set is data
+    * (this batch's unseen content keys), not a doc_id formula.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * // same contract as the predicate form: the new slice is doc 4
+    * incrementalNearDupPairs(spark, docs, docs.filter($"doc_id" === 4L).select($"doc_id"))
+    *   .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSeq ==
+    *   Seq((1L, 4L), (2L, 4L))  // (1,2) is never re-mined
+    * }}}
+    */
+  def incrementalNearDupPairs(s: SparkSession, docs: DataFrame, newIds: DataFrame): DataFrame = {
+    import s.implicits._
+    val sh = cached(shinglesOf(s, docs.select($"doc_id", $"text")))
+    val bands = cached(bandRowsTyped(s, sh))
+    incrementalFromNewBands(sh, bands,
+      bands.join(newIds.select($"doc_id"), Seq("doc_id"), "left_semi"))
+  }
+
+  /** Shared tail of both incremental variants: candidate pairs from the new
+    * slice's band rows vs all band rows, then the exact-jaccard verify. */
+  private def incrementalFromNewBands(sh: DataFrame, bands: DataFrame,
+      newBands: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    val cand = newBands
       .select($"band", $"bh", $"doc_id".as("id_n"))
       .join(bands.select($"band", $"bh", $"doc_id".as("id_o")), Seq("band", "bh"))
       .filter($"id_n" =!= $"id_o")

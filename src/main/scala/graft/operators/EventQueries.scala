@@ -1207,33 +1207,6 @@ object EventQueries {
        |            FROM pr${i - 1} p JOIN ew ON p.k = ew.src
        |            GROUP BY ew.dst) c USING (k))""".stripMargin
 
-  /** Fixed-point PageRank (damping 0.85, teleport 0.15) over a weighted edge
-    * list. `nodes` must carry one `k` column (the vertex id); `edges` carries
-    * (`src`, `dst`, `w`). Ranks are micro-units (BIGINT, start 1_000_000);
-    * per-edge contributions are `(r * w) div out_w` — truncating division
-    * before the exact integer sum, so the result is independent of
-    * parallelism and reproducible on any engine. Dangling-node mass is
-    * dropped (sink-loss variant), deterministic on both sides.
-    *
-    * Each iteration is ONE join + ONE hash agg, linear in |E|: nodes enter
-    * the aggregate as zero-contribution rows unioned under the edge
-    * contributions (union is free — no shuffle, no join), so every vertex
-    * — including those with no inbound edges — gets its teleport term from
-    * the same sum, and the per-round teleport left-join is gone. The plan
-    * is linear in the previous round (no self-join doubling), so lineage
-    * only needs periodic truncation: an eager localCheckpoint every 5
-    * rounds (and on the last) bounds analyzer depth while keeping the job
-    * count at iters/5, not iters — in-between rounds fuse into the next
-    * checkpoint's job (the d08 discipline, amortized).
-    *
-    * Example (run verbatim by DocExamplesSpec):
-    * {{{
-    * val nodes = Seq(1L, 2L).toDF("k")
-    * val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
-    * pageRank(nodes, edges, iters = 1).orderBy($"k")
-    *   .as[(Long, Long)].collect().toSeq == Seq((1L, 150000L), (2L, 1000000L))
-    * }}}
-    */
   /** Per-node triangle counts over an undirected simple graph given as
     * canonical edges (u < v, distinct, no self-loops): (node, degree, n_tri)
     * for every node, zero-triangle nodes included.
@@ -1343,6 +1316,33 @@ object EventQueries {
       .select($"node", coalesce($"lvl", lit(-1L)).as("lvl"))
   }
 
+  /** Fixed-point PageRank (damping 0.85, teleport 0.15) over a weighted edge
+    * list. `nodes` must carry one `k` column (the vertex id); `edges` carries
+    * (`src`, `dst`, `w`). Ranks are micro-units (BIGINT, start 1_000_000);
+    * per-edge contributions are `(r * w) div out_w` — truncating division
+    * before the exact integer sum, so the result is independent of
+    * parallelism and reproducible on any engine. Dangling-node mass is
+    * dropped (sink-loss variant), deterministic on both sides.
+    *
+    * Each iteration is ONE join + ONE hash agg, linear in |E|: nodes enter
+    * the aggregate as zero-contribution rows unioned under the edge
+    * contributions (union is free — no shuffle, no join), so every vertex
+    * — including those with no inbound edges — gets its teleport term from
+    * the same sum, and the per-round teleport left-join is gone. The plan
+    * is linear in the previous round (no self-join doubling), so lineage
+    * only needs periodic truncation: an eager localCheckpoint every 5
+    * rounds (and on the last) bounds analyzer depth while keeping the job
+    * count at iters/5, not iters — in-between rounds fuse into the next
+    * checkpoint's job (the d08 discipline, amortized).
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val nodes = Seq(1L, 2L).toDF("k")
+    * val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    * pageRank(nodes, edges, iters = 1).orderBy($"k")
+    *   .as[(Long, Long)].collect().toSeq == Seq((1L, 150000L), (2L, 1000000L))
+    * }}}
+    */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val s = nodes.sparkSession
     import s.implicits._

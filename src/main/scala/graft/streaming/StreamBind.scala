@@ -32,6 +32,13 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
   *     original topology choice survives restarts exactly like checkpointed
   *     operator state. Written once per query lifetime (temp + rename);
   *     single-driver Structured Streaming means no concurrent writers.
+  *     Like a checkpoint directory, `dir` MUST be unique to one logical
+  *     query: a decision file left in a reused directory is — by design —
+  *     rehydrated as "this query already decided", so sharing the dir
+  *     across unrelated queries lets one query's first row dictate
+  *     another's topology. The deciding value must be
+  *     `java.io.Serializable` (row scalars all are); a non-serializable
+  *     chooser key fails fast at decision time, not at some later restart.
   */
 object StreamBind {
 
@@ -48,6 +55,13 @@ object StreamBind {
   }
 
   private def writeDecision(s: SparkSession, dir: String, value: Any): Unit = {
+    // Fail fast, before any state is written: a non-serializable chooser
+    // key in durable mode would otherwise surface only on the write path
+    // of a query already running — and a restart would then re-decide,
+    // silently losing the durability the caller asked for.
+    if (!value.isInstanceOf[java.io.Serializable])
+      throw new IllegalArgumentException(
+        s"durable bind decisions must be java.io.Serializable; got ${value.getClass.getName}")
     val p = decisionPath(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir, "bind-decision.tmp")

@@ -105,21 +105,18 @@ object StreamIngest {
   }
 
   /** Mine near-dup rep pairs where at least one side's content key is in
-    * `newKeys`, as unordered ck pairs. */
-  private def minePairs(admitted: DataFrame, newKeys: DataFrame): DataFrame = {
-    val tagged = admitted
-      .join(newKeys.withColumn("is_new", lit(true)), Seq("content_key"), "left")
-    val docs = tagged.select(col("doc_id"), col("text"), col("is_new"))
-    // isNew is evaluated against the banded rows, which carry doc_id only:
-    // translate the flag through an id set (demo-scale; production keeps
-    // the flag as a column through the band explode)
-    val newIds = tagged.filter(col("is_new"))
-      .select(col("doc_id")).collect().map(_.getLong(0))
-    if (newIds.isEmpty) return admitted.sparkSession.emptyDataFrame
-      .select(lit("").as("ck_a"), lit("").as("ck_b")).limit(0)
+    * `newKeys`, as unordered ck pairs. The new slice reaches the band rows
+    * as a doc_id FRAME (semi-joined inside
+    * [[DedupQueries.incrementalNearDupPairs]]) — the driver never collects
+    * the ids and no literal list enters the plan, so a backfill batch of
+    * 10^7 new docs mines with the same three-join plan as a trickle
+    * (StreamIngestPlanSpec gates the plan shape and the 10^4-doc fold). */
+  private[graft] def minePairs(admitted: DataFrame, newKeys: DataFrame): DataFrame = {
+    val newIds = admitted
+      .join(newKeys, Seq("content_key"), "left_semi")
+      .select(col("doc_id"))
     val idPairs = DedupQueries.incrementalNearDupPairs(
-      admitted.sparkSession, docs.select(col("doc_id"), col("text")),
-      col("doc_id").isin(newIds.toSeq: _*))
+      admitted.sparkSession, admitted.select(col("doc_id"), col("text")), newIds)
     val ck = admitted.select(col("doc_id"), col("content_key"))
     idPairs
       .join(ck.select(col("doc_id").as("doc_a"), col("content_key").as("k1")), Seq("doc_a"))
@@ -134,8 +131,7 @@ object StreamIngest {
     * Pair mining goes through [[DedupQueries.minhashNearDupPairs]] directly
     * (everything is "new" in one batch, where incremental mining and full
     * mining coincide — the same slice-restriction equality DedupSpec proves
-    * for d11), which keeps the batch path free of [[minePairs]]' driver-side
-    * id-list seam. Oracle-gated as `t38_ingest_packed`. */
+    * for d11). Oracle-gated as `t38_ingest_packed`. */
   def ingestBatch(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     val canon = foldCanon(None, docs)

@@ -380,6 +380,11 @@ class DocExamplesSpec extends SparkSpec {
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSeq
     // new-vs-history only: the settled (1,2) pair is never re-mined
     assert(pairs === Seq((1L, 4L), (2L, 4L)))
+    // frame-driven overload (the streaming twin's path): identical contract
+    val pairsDf = DedupQueries.incrementalNearDupPairs(spark, docs,
+      docs.filter($"doc_id" === 4L).select($"doc_id"))
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSeq
+    assert(pairsDf === Seq((1L, 4L), (2L, 4L)))
   }
 
   test("DedupQueries.embeddingLshPairs scaladoc example") {

@@ -1579,9 +1579,11 @@ object ExtraRelationalQueries {
     // explicit row_number ranks with (value, custkey) tie order — exact
     // integer arithmetic, no NTILE tie-convention dependence. The three
     // global rank windows run over the customer-level aggregate, never raw
-    // orders; at the largest scales the quintile BOUNDARIES would come from
-    // the q45 two-level range-partition selection instead of a global sort
-    // (same output, no single-task rank) — the formula stays identical.
+    // orders — exact at the sizes this anchor targets, but a single-task
+    // sort of the whole profile. q103 below is the 100-TB form: quintile
+    // boundary VALUES from the q45 two-level range-partition selection, no
+    // customer-sized sort anywhere (plan-gated); this query stays as the
+    // exact-rank small-data anchor (the q60/q102 pairing).
     QueryDef(
       "q84_rfm_segmentation",
       (s, d) => {
@@ -1652,6 +1654,140 @@ object ExtraRelationalQueries {
                       WHEN r_score >= 4 AND f_score <= 2 THEN 'recent_light'
                       ELSE 'core' END AS segment
           FROM seg)
+        SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(mon_c) AS BIGINT) AS total_mon_c,
+               CAST(sum(mon_c) AS BIGINT) // count(*) AS avg_mon_c,
+               CAST(sum(rec_days) AS BIGINT) // count(*) AS avg_rec_days,
+               (1000 * CAST(sum(freq) AS BIGINT)) // count(*) AS avg_freq_milli
+        FROM named GROUP BY segment
+        ORDER BY segment""")),
+
+    // ----- RFM segmentation, 100-TB form (q103) -----------------------------
+    // q84's scalable successor (the q60 -> q102 pattern): same customer
+    // profile, same segment names, but scores come from quintile boundary
+    // VALUES instead of per-customer global ranks. q84's three
+    // unpartitioned row_number windows sort the whole O(customers)
+    // aggregate in ONE task — at TPC-H SF100k that's a ~10^9-row
+    // single-task sort, the plan's first casualty. Here each dimension's
+    // 20/40/60/80% boundaries come from the shared two-level
+    // range-partition selection (percentileDiscTwoLevel, q45's machinery:
+    // windows only ever see O(200)-bucket histograms), the twelve boundary
+    // cells collapse to ONE broadcast row, and scoring is a per-row
+    // comparison against it — no customer-sized sort anywhere
+    // (PlanQualitySpec gates every window's input aggregate). Semantics
+    // shift vs q84 exactly as documented there: tied values share a score
+    // (boundary semantics) instead of splitting on (value, custkey) rank
+    // order — the honest large-scale definition, since rank-splitting ties
+    // by id is arbitrary at any scale. q84 stays as the exact-rank anchor.
+    QueryDef(
+      "q103_rfm_value_segments",
+      (s, d) => {
+        import s.implicits._
+        val per = Tables.orders(s, d)
+          .groupBy($"o_custkey")
+          .agg(max($"o_orderdate").as("last_ts"),
+            count(lit(1)).as("freq"),
+            sum(floor($"o_totalprice" * 100).cast("long")).as("mon_c"))
+        val endTs = per.agg(max($"last_ts").as("end_ts"))
+        // one O(customers) profile, computed once: 6 histogram scans + the
+        // scoring scan all read the cache, not re-aggregate orders
+        val perR = per.crossJoin(broadcast(endTs))
+          .withColumn("rec_days", datediff($"end_ts", $"last_ts").cast("long"))
+          .select($"o_custkey", $"rec_days", $"freq", $"mon_c")
+          .cache()
+        val ps = Seq(0.2, 0.4, 0.6, 0.8)
+        val bounds = percentileDiscTwoLevel(perR, lit("r"), $"rec_days", ps)
+          .unionByName(percentileDiscTwoLevel(perR, lit("f"), $"freq", ps))
+          .unionByName(percentileDiscTwoLevel(perR, lit("m"), $"mon_c", ps))
+        def cell(st: String, p: Double) = max(when($"st" === st && $"p" === p, $"c"))
+        val wide = bounds.agg(
+          cell("r", 0.2).as("r2"), cell("r", 0.4).as("r4"),
+          cell("r", 0.6).as("r6"), cell("r", 0.8).as("r8"),
+          cell("f", 0.2).as("f2"), cell("f", 0.4).as("f4"),
+          cell("f", 0.6).as("f6"), cell("f", 0.8).as("f8"),
+          cell("m", 0.2).as("m2"), cell("m", 0.4).as("m4"),
+          cell("m", 0.6).as("m6"), cell("m", 0.8).as("m8"))
+        def over(v: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          (v > b).cast("long")
+        perR.crossJoin(broadcast(wide))
+          // recency: low rec_days = good; freq/monetary: high = good
+          .withColumn("r_score", lit(5) - over($"rec_days", $"r2") -
+            over($"rec_days", $"r4") - over($"rec_days", $"r6") - over($"rec_days", $"r8"))
+          .withColumn("f_score", lit(1) + over($"freq", $"f2") +
+            over($"freq", $"f4") + over($"freq", $"f6") + over($"freq", $"f8"))
+          .withColumn("m_score", lit(1) + over($"mon_c", $"m2") +
+            over($"mon_c", $"m4") + over($"mon_c", $"m6") + over($"mon_c", $"m8"))
+          .withColumn("segment", expr(
+            """CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champions'
+                    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                    WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                    WHEN r_score >= 4 AND f_score <= 2 THEN 'recent_light'
+                    ELSE 'core' END"""))
+          .groupBy($"segment")
+          .agg(count(lit(1)).as("n_customers"),
+            sum($"mon_c").as("total_mon_c"),
+            sum($"rec_days").as("sum_rec_days"),
+            sum($"freq").as("sum_freq"))
+          .select($"segment", $"n_customers", $"total_mon_c",
+            expr("total_mon_c div n_customers").as("avg_mon_c"),
+            expr("sum_rec_days div n_customers").as("avg_rec_days"),
+            expr("(1000 * sum_freq) div n_customers").as("avg_freq_milli"))
+          .orderBy($"segment")
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT o_custkey, max(o_orderdate) AS last_ts,
+                 CAST(count(*) AS BIGINT) AS freq,
+                 CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS mon_c
+          FROM orders GROUP BY o_custkey),
+        perr AS (
+          SELECT o_custkey, freq, mon_c,
+                 CAST(date_diff('day', CAST(last_ts AS DATE),
+                   CAST((SELECT max(last_ts) FROM per) AS DATE)) AS BIGINT) AS rec_days
+          FROM per),
+        cd AS (
+          SELECT rec_days, freq, mon_c,
+                 cume_dist() OVER (ORDER BY rec_days) AS cdr,
+                 cume_dist() OVER (ORDER BY freq) AS cdf,
+                 cume_dist() OVER (ORDER BY mon_c) AS cdm
+          FROM perr),
+        b AS (
+          SELECT min(CASE WHEN cdr >= 0.2 THEN rec_days END) AS r2,
+                 min(CASE WHEN cdr >= 0.4 THEN rec_days END) AS r4,
+                 min(CASE WHEN cdr >= 0.6 THEN rec_days END) AS r6,
+                 min(CASE WHEN cdr >= 0.8 THEN rec_days END) AS r8,
+                 min(CASE WHEN cdf >= 0.2 THEN freq END) AS f2,
+                 min(CASE WHEN cdf >= 0.4 THEN freq END) AS f4,
+                 min(CASE WHEN cdf >= 0.6 THEN freq END) AS f6,
+                 min(CASE WHEN cdf >= 0.8 THEN freq END) AS f8,
+                 min(CASE WHEN cdm >= 0.2 THEN mon_c END) AS m2,
+                 min(CASE WHEN cdm >= 0.4 THEN mon_c END) AS m4,
+                 min(CASE WHEN cdm >= 0.6 THEN mon_c END) AS m6,
+                 min(CASE WHEN cdm >= 0.8 THEN mon_c END) AS m8
+          FROM cd),
+        scored AS (
+          SELECT rec_days, freq, mon_c,
+                 5 - (CASE WHEN rec_days > b.r2 THEN 1 ELSE 0 END)
+                   - (CASE WHEN rec_days > b.r4 THEN 1 ELSE 0 END)
+                   - (CASE WHEN rec_days > b.r6 THEN 1 ELSE 0 END)
+                   - (CASE WHEN rec_days > b.r8 THEN 1 ELSE 0 END) AS r_score,
+                 1 + (CASE WHEN freq > b.f2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN freq > b.f4 THEN 1 ELSE 0 END)
+                   + (CASE WHEN freq > b.f6 THEN 1 ELSE 0 END)
+                   + (CASE WHEN freq > b.f8 THEN 1 ELSE 0 END) AS f_score,
+                 1 + (CASE WHEN mon_c > b.m2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN mon_c > b.m4 THEN 1 ELSE 0 END)
+                   + (CASE WHEN mon_c > b.m6 THEN 1 ELSE 0 END)
+                   + (CASE WHEN mon_c > b.m8 THEN 1 ELSE 0 END) AS m_score
+          FROM perr CROSS JOIN b),
+        named AS (
+          SELECT *,
+                 CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champions'
+                      WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                      WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                      WHEN r_score >= 4 AND f_score <= 2 THEN 'recent_light'
+                      ELSE 'core' END AS segment
+          FROM scored)
         SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
                CAST(sum(mon_c) AS BIGINT) AS total_mon_c,
                CAST(sum(mon_c) AS BIGINT) // count(*) AS avg_mon_c,

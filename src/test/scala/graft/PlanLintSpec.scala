@@ -28,7 +28,12 @@ class PlanLintSpec extends SparkSpec {
     "q69_market_basket", "t29_keywords", "t30_neyman_allocation",
     // s17 embeds s01's brute-force ground truth — recall evaluation
     // REQUIRES the exact ranking it measures against
-    "s17_recall_harness")
+    "s17_recall_harness",
+    // q103 broadcasts two 1-row frames (the global end-date and the
+    // 12-cell quintile-boundary row) onto the customer profile — the
+    // same stats-broadcast pattern; PlanQualitySpec gates that no window
+    // ever sorts the customer-sized aggregate
+    "q103_rfm_value_segments")
 
   for (q <- SparkEntry.allDefs.filter(_.benchmark)) {
     test(s"${q.name}: no cartesian product, no stray nested-loop join, no mid-plan collect") {

@@ -194,6 +194,27 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q103: every window reads a bucket histogram — q84's customer-sized rank sort is gone") {
+    // the scalable RFM must never sort the O(customers) profile in one
+    // task: each Window's nearest input Aggregate has to be the two-level
+    // percentile machinery's (st, bucket) histogram, not the per-customer
+    // (o_custkey) aggregate q84 ranks over
+    val plan = SparkEntry.queries("q103_rfm_value_segments")(spark, sf)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => WindowNode}
+    val windows = plan.collect { case w: WindowNode => w }
+    assert(windows.nonEmpty, s"expected the histogram cum-sum windows:\n$plan")
+    windows.foreach { w =>
+      val agg = w.child.collectFirst { case a: Aggregate => a }
+      assert(agg.nonEmpty, s"window over raw rows (no histogram below it): $w")
+      val groups = agg.get.groupingExpressions
+        .flatMap(_.collect { case ar: AttributeReference => ar.name })
+      assert(!groups.contains("o_custkey"),
+        s"window input is the O(customers) aggregate — the single-task rank came back: $w")
+    }
+  }
+
   test("q46: correlated EXISTS decorrelates to one semi join, no per-row subquery") {
     val p = plan("q46_exists_subquery")
     assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join: $p")

@@ -36,12 +36,21 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     admission merge + monotone pair-set union) is associative and
   *     order-insensitive across any micro-batch split.
   *
-  * State is driver-held (content-keyed canon table + pair set), the
-  * local-mode stand-in for a keyed transactional table (Delta/Iceberg
-  * MERGE) — the same discipline as [[StreamCdc]] / [[StreamScd2]], with
-  * the identical batchId-retry no-op and rehydration seam used by their
-  * restart tests. State size is O(distinct content keys + true pairs),
-  * never O(stream length).
+  * State (content-keyed canon table + pair set) lives behind the
+  * [[StreamIngest.IngestState]] seam with two backings:
+  *   - in-memory localCheckpointed frames (default) — the demo-scale form;
+  *   - `stateDir` — every committed micro-batch writes canon+pairs as
+  *     parquet plus an atomically-renamed `_latest` marker (the
+  *     transactional-table discipline: a crash mid-write leaves the marker
+  *     on the previous batch, and the source checkpoint redelivers the
+  *     uncommitted batch, which re-folds idempotently). A restart in a
+  *     COMPLETELY FRESH SparkSession rehydrates from disk alone via
+  *     [[StreamIngest.load]] — StreamingSpec proves stream == batch across
+  *     such a restart. Production swaps the parquet-overwrite for a
+  *     Delta/Iceberg MERGE and stores shingle hashes instead of text; the
+  *     commit protocol is the same.
+  * State size is O(distinct content keys + true pairs), never O(stream
+  * length).
   */
 object StreamIngest {
 
@@ -148,7 +157,7 @@ object StreamIngest {
     packedOf(canon, pairs)
   }
 
-  final class IngestState(s: SparkSession) {
+  final class IngestState(s: SparkSession, stateDir: Option[String] = None) {
 
     @volatile private var canon: Option[DataFrame] = None
     @volatile private var pairs: Option[DataFrame] = None
@@ -166,10 +175,39 @@ object StreamIngest {
       val mined = minePairs(admitted, newKeys)
       val nextPairs = pairs.map(_.unionByName(mined).distinct()).getOrElse(mined)
         .localCheckpoint()
+      stateDir.foreach(persistTo(_, nextCanon, nextPairs, batchId))
       canon.foreach(_.unpersist()); pairs.foreach(_.unpersist())
       canon = Some(nextCanon)
       pairs = Some(nextPairs)
       lastBatchId = batchId
+    }
+
+    /** Commit this batch's folded state to `dir`: per-batch parquet tables
+      * plus an atomically-renamed `_latest` marker naming the committed
+      * batch. Crash anywhere before the rename => the marker still names
+      * the previous batch, the source checkpoint redelivers this one, and
+      * the fold re-runs idempotently (same input, same localCheckpoint
+      * lineage cut). The previous batch's tables are pruned only AFTER the
+      * marker moves — at no point is the committed state unreadable. */
+    private def persistTo(dir: String, nextCanon: DataFrame, nextPairs: DataFrame,
+        batchId: Long): Unit = {
+      nextCanon.write.mode("overwrite").parquet(s"$dir/canon_$batchId")
+      nextPairs.write.mode("overwrite").parquet(s"$dir/pairs_$batchId")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val latest = new org.apache.hadoop.fs.Path(dir, "_latest")
+      val tmp = new org.apache.hadoop.fs.Path(dir, "_latest.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(latest, false)
+      if (!fs.rename(tmp, latest))
+        throw new java.io.IOException(s"could not commit ingest state marker $latest")
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
+        val n = st.getPath.getName
+        if ((n.startsWith("canon_") || n.startsWith("pairs_")) &&
+            n.substring(n.indexOf('_') + 1) != batchId.toString)
+          fs.delete(st.getPath, true)
+      }
     }
 
     /** The packed corpus as of the last completed micro-batch. */
@@ -197,15 +235,37 @@ object StreamIngest {
     }
   }
 
+  /** Rehydrate an [[IngestState]] from a `stateDir` previously written by a
+    * `stateDir`-backed run — in ANY SparkSession, including a completely
+    * fresh one after the original driver died: the only inputs are the
+    * parquet tables and the `_latest` marker on disk. An empty/uninitialized
+    * dir yields a fresh state (first start and restart share one call). */
+  def load(s: SparkSession, stateDir: String): IngestState = {
+    val latest = new org.apache.hadoop.fs.Path(stateDir, "_latest")
+    val fs = latest.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = new IngestState(s, Some(stateDir))
+    if (fs.exists(latest)) {
+      val in = fs.open(latest)
+      val bid = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      st.rehydrate(s.read.parquet(s"$stateDir/canon_$bid"),
+        s.read.parquet(s"$stateDir/pairs_$bid"), bid)
+    }
+    st
+  }
+
   /** Start the composed ingestion over a streaming (doc_id, text) frame.
     * `prior` resumes from a rehydrated state after a restart (the query
     * checkpoint skips committed offsets; the state seam supplies their
     * folded result — split-brain on either side fails the equivalence
-    * gate in StreamingSpec). */
+    * gate in StreamingSpec). `stateDir` (when no `prior` is given) backs
+    * the state with per-batch persisted parquet tables — see the object
+    * scaladoc and [[load]]. */
   def start(docs: DataFrame, checkpoint: String,
-      prior: Option[IngestState] = None): (StreamingQuery, IngestState) = {
+      prior: Option[IngestState] = None,
+      stateDir: Option[String] = None): (StreamingQuery, IngestState) = {
     require(docs.isStreaming, "StreamIngest.start needs a streaming DataFrame")
-    val state = prior.getOrElse(new IngestState(docs.sparkSession))
+    val state = prior.getOrElse(new IngestState(docs.sparkSession, stateDir))
     val q = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)

@@ -1068,4 +1068,46 @@ class StreamingSpec extends SparkSpec {
     // failures are gone
     assert(fullStream.map(_.getLong(4)).sum === 30L + 30L + 25L + 25L)
   }
+
+  test("composed ingestion: durable state survives a FULL session kill — disk-only rehydration") {
+    import graft.streaming.StreamIngest
+    def tok(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    val A = tok("a", 30)
+    val B = tok("a", 29) + " zzz" // near-dup of A
+    val C = tok("c", 30)
+    val D = tok("c", 29) + " qqq" // near-dup of C
+    val firstHalf = Seq((10L, A), (20L, B), (30L, C), (40L, D), (70L, tok("u", 25)))
+    val secondHalf = Seq(
+      (3L, A.toUpperCase + "  "), // exact dup of A: rep 10 -> 3
+      (25L, D),                   // exact dup of D: rep 40 -> 25, flips pair {C,D}
+      (80L, tok("v", 25)))
+    val root = java.nio.file.Files.createTempDirectory("ingest_durable").toString
+    val srcDir = s"$root/src"; val ckpt = s"$root/ckpt"; val stateDir = s"$root/state"
+    // a FILE source, not MemoryStream: source files and the query checkpoint
+    // both live on disk, so a restarted query in a DIFFERENT session resumes
+    // offsets (and batch ids) exactly like a production restart would
+    firstHalf.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    def docsStream(s: org.apache.spark.sql.SparkSession) =
+      s.readStream.schema("doc_id LONG, text STRING").parquet(srcDir)
+    val (q1, st1) = StreamIngest.start(docsStream(spark), ckpt, stateDir = Some(stateDir))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(st1.packed.collect().toSeq ===
+      StreamIngest.ingestBatch(firstHalf.toDF("doc_id", "text")).collect().toSeq)
+    // kill the session entirely: the resumed run lives in a brand-new
+    // SparkSession whose ingest state comes from stateDir's parquet tables
+    // + _latest marker ALONE (the shared test JVM keeps one SparkContext,
+    // which holds no ingest state — every frame below reads disk)
+    val s2 = spark.newSession()
+    val resumed = StreamIngest.load(s2, stateDir)
+    assert(resumed.lastCommittedBatch >= 0L, "marker must rehydrate the committed batch id")
+    secondHalf.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    val (q2, st2) = StreamIngest.start(docsStream(s2), ckpt, Some(resumed))
+    try q2.processAllAvailable() finally q2.stop()
+    val full = (firstHalf ++ secondHalf).toDF("doc_id", "text")
+    assert(st2.packed.collect().toSeq ===
+      StreamIngest.ingestBatch(full).collect().toSeq)
+    // the flipped {C,D} decision and the rep shrink both made it through
+    // the disk round-trip: survivors are A (rep 3), D (rep 25), U1, V1
+    assert(st2.packed.collect().map(_.getLong(4)).sum === 30L + 30L + 25L + 25L)
+  }
 }

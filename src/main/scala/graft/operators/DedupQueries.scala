@@ -132,6 +132,46 @@ object DedupQueries {
       .toDF("doc_id", "sh")
   }
 
+  /** JVM twin of [[graft.functions.TextFns.tokens]] for the typed streaming
+    * path: trim SPACES only (Spark `trim` semantics — NOT Java's
+    * control-char trim), root-locale lowercase, collapse whitespace runs,
+    * split on single spaces KEEPING empties (Spark `split` keeps trailing
+    * empty strings). StreamIngestTwsSpec property-tests equivalence with
+    * the Column kernel over the real documents table.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * tokensOf("  Hello   WORLD ") == Seq("hello", "world")
+    * }}}
+    */
+  def tokensOf(text: String): Seq[String] = {
+    var s = 0; var e = text.length
+    while (s < e && text.charAt(s) == ' ') s += 1
+    while (e > s && text.charAt(e - 1) == ' ') e -= 1
+    text.substring(s, e).toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ").split(" ", -1).toSeq
+  }
+
+  /** JVM twin of [[shinglesOf]]'s per-row kernel: the distinct 3-token
+    * shingles of one text, in first-occurrence order.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * shinglesOfText("a b c d") == Seq("a b c", "b c d")
+    * }}}
+    */
+  def shinglesOfText(text: String): Seq[String] = {
+    val t = tokensOf(text)
+    val n = math.max(t.length - 2, 1)
+    val sh = new scala.collection.mutable.LinkedHashSet[String]
+    var i = 0
+    while (i < n) {
+      sh += t.slice(i, math.min(i + 3, t.length)).mkString(" ")
+      i += 1
+    }
+    sh.toSeq
+  }
+
   /** cache() only if this exact plan isn't already cached — d03 and d08
     * share `minhashNearDupPairs`, and a second .cache() on the same plan
     * logs "Asked to cache already cached data" and re-registers nothing. */

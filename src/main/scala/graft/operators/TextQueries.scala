@@ -28,7 +28,14 @@ object TextQueries {
     *   .select($"doc_id").as[Long].collect().toSeq == Seq(1L)
     * }}}
     */
-  def admissionFeatures(docs: DataFrame): DataFrame = {
+  def admissionFeatures(docs: DataFrame): DataFrame =
+    admissionFeaturesWithText(docs).drop("text")
+
+  /** [[admissionFeatures]] plus the raw text column, in ONE stateless
+    * select — the streaming twins need the text alongside the features
+    * without a stream-stream self-join on doc_id. Single source of truth
+    * for the feature expressions. */
+  private[graft] def admissionFeaturesWithText(docs: DataFrame): DataFrame = {
     val t = TextFns.tokens(col("text"))
     val nToks = size(t).cast("long")
     val distinctRatio = floor(size(array_distinct(t)) * lit(1000.0) / size(t)).cast("long")
@@ -36,11 +43,28 @@ object TextQueries {
       md5(TextFns.normalize(col("text"))).as("content_key"),
       TextFns.langId(col("text")).as("predicted_lang"),
       nToks.as("n_tokens"),
-      distinctRatio.as("distinct_ratio_milli"))
+      distinctRatio.as("distinct_ratio_milli"),
+      col("text"))
   }
 
-  /** t05's admission gate over the feature columns. */
-  def admissionGate: Column = col("n_tokens") >= 20 && col("distinct_ratio_milli") >= 200
+  /** t05's admission gate over the feature columns. The thresholds live in
+    * [[admits]] — its JVM twin for the typed streaming path. */
+  def admissionGate: Column =
+    (col("n_tokens") >= MinTokens) && (col("distinct_ratio_milli") >= MinDistinctMilli)
+
+  /** JVM twin of [[admissionGate]] (same thresholds, same integer
+    * comparisons) for stateful processors that gate row-at-a-time.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * admits(nTokens = 25, distinctRatioMilli = 500) && !admits(2, 500)
+    * }}}
+    */
+  def admits(nTokens: Long, distinctRatioMilli: Long): Boolean =
+    nTokens >= MinTokens && distinctRatioMilli >= MinDistinctMilli
+
+  private val MinTokens = 20L
+  private val MinDistinctMilli = 200L
 
   // ----- deterministic split / packing constants ---------------------------
   // Split/shard membership hashes on doc_id via the t04 polynomial hash

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-batch parquet persistence with an atomically-renamed `_latest`
+  * commit marker — the transactional-table discipline shared by the
+  * foreachBatch fold states ([[StreamIngest.IngestState]],
+  * [[StreamIngestTws.TwsIngestState]]): each committed micro-batch writes
+  * its full table set under batch-suffixed dirs, then moves the marker.
+  * A crash anywhere before the rename leaves the previous commit
+  * readable, and the source checkpoint redelivers the uncommitted batch,
+  * which re-folds idempotently. Production swaps the parquet-overwrite
+  * for a Delta/Iceberg MERGE; the commit protocol is the same. */
+private[graft] object BatchStateStore {
+
+  private def fsOf(s: SparkSession, p: Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Commit `tables` (name -> frame) for `batchId`, then prune older
+    * batches' tables — only AFTER the marker moves, so the committed state
+    * is readable at every instant. */
+  def commit(s: SparkSession, dir: String, tables: Seq[(String, DataFrame)],
+      batchId: Long): Unit = {
+    tables.foreach { case (n, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/${n}_$batchId")
+    }
+    val fs = fsOf(s, new Path(dir))
+    val latest = new Path(dir, "_latest")
+    val tmp = new Path(dir, "_latest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(latest, false)
+    if (!fs.rename(tmp, latest))
+      throw new java.io.IOException(s"could not commit state marker $latest")
+    val prefixes = tables.map(_._1 + "_")
+    fs.listStatus(new Path(dir)).foreach { st =>
+      val nm = st.getPath.getName
+      val pfx = prefixes.find(nm.startsWith)
+      if (pfx.exists(p => nm.substring(p.length) != batchId.toString))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** The committed batch id in `dir`, if any commit completed. */
+  def committedBatch(s: SparkSession, dir: String): Option[Long] = {
+    val latest = new Path(dir, "_latest")
+    val fs = fsOf(s, latest)
+    if (!fs.exists(latest)) None
+    else {
+      val in = fs.open(latest)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Read table `name` of the committed batch. */
+  def table(s: SparkSession, dir: String, name: String, batchId: Long): DataFrame =
+    s.read.parquet(s"$dir/${name}_$batchId")
+}

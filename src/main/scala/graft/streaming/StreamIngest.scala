@@ -57,8 +57,7 @@ object StreamIngest {
   private val PackBudget = 512L
 
   private def features(docs: DataFrame): DataFrame =
-    TextQueries.admissionFeatures(docs)
-      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    TextQueries.admissionFeaturesWithText(docs)
 
   /** Min-struct fold of (state ∪ batch-features) to one canonical row per
     * content key — StreamAdmission's merge, carrying the raw text along
@@ -100,9 +99,14 @@ object StreamIngest {
 
   /** Survivor groups + packed report from a canon table and a ck-pair set
     * — the pure function both paths share. */
-  private def packedOf(canon: DataFrame, ckPairs: DataFrame): DataFrame = {
-    val admitted = canon.filter(TextQueries.admissionGate)
-    // per pair, drop the side whose CURRENT rep id is larger
+  private def packedOf(canon: DataFrame, ckPairs: DataFrame): DataFrame =
+    packedOfAdmitted(canon.filter(TextQueries.admissionGate), ckPairs)
+
+  /** The post-gate half of [[packedOf]], shared with the TWS twin (whose
+    * canon table holds admitted groups only — the gate already ran inside
+    * the admission processor): per pair, drop the side whose CURRENT rep
+    * id is larger, pack the survivors. */
+  private[graft] def packedOfAdmitted(admitted: DataFrame, ckPairs: DataFrame): DataFrame = {
     val reps = admitted.select(col("content_key"), col("doc_id"))
     val dropped = ckPairs
       .join(reps.select(col("content_key").as("ck_a"), col("doc_id").as("id_a")), Seq("ck_a"))
@@ -182,33 +186,12 @@ object StreamIngest {
       lastBatchId = batchId
     }
 
-    /** Commit this batch's folded state to `dir`: per-batch parquet tables
-      * plus an atomically-renamed `_latest` marker naming the committed
-      * batch. Crash anywhere before the rename => the marker still names
-      * the previous batch, the source checkpoint redelivers this one, and
-      * the fold re-runs idempotently (same input, same localCheckpoint
-      * lineage cut). The previous batch's tables are pruned only AFTER the
-      * marker moves — at no point is the committed state unreadable. */
+    /** Commit this batch's folded state to `dir` — the [[BatchStateStore]]
+      * protocol (per-batch parquet + atomic `_latest` marker). */
     private def persistTo(dir: String, nextCanon: DataFrame, nextPairs: DataFrame,
-        batchId: Long): Unit = {
-      nextCanon.write.mode("overwrite").parquet(s"$dir/canon_$batchId")
-      nextPairs.write.mode("overwrite").parquet(s"$dir/pairs_$batchId")
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val latest = new org.apache.hadoop.fs.Path(dir, "_latest")
-      val tmp = new org.apache.hadoop.fs.Path(dir, "_latest.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-      fs.delete(latest, false)
-      if (!fs.rename(tmp, latest))
-        throw new java.io.IOException(s"could not commit ingest state marker $latest")
-      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
-        val n = st.getPath.getName
-        if ((n.startsWith("canon_") || n.startsWith("pairs_")) &&
-            n.substring(n.indexOf('_') + 1) != batchId.toString)
-          fs.delete(st.getPath, true)
-      }
-    }
+        batchId: Long): Unit =
+      BatchStateStore.commit(s, dir,
+        Seq("canon" -> nextCanon, "pairs" -> nextPairs), batchId)
 
     /** The packed corpus as of the last completed micro-batch. */
     def packed: DataFrame = canon match {
@@ -241,15 +224,10 @@ object StreamIngest {
     * parquet tables and the `_latest` marker on disk. An empty/uninitialized
     * dir yields a fresh state (first start and restart share one call). */
   def load(s: SparkSession, stateDir: String): IngestState = {
-    val latest = new org.apache.hadoop.fs.Path(stateDir, "_latest")
-    val fs = latest.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = new IngestState(s, Some(stateDir))
-    if (fs.exists(latest)) {
-      val in = fs.open(latest)
-      val bid = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-        finally in.close()
-      st.rehydrate(s.read.parquet(s"$stateDir/canon_$bid"),
-        s.read.parquet(s"$stateDir/pairs_$bid"), bid)
+    BatchStateStore.committedBatch(s, stateDir).foreach { bid =>
+      st.rehydrate(BatchStateStore.table(s, stateDir, "canon", bid),
+        BatchStateStore.table(s, stateDir, "pairs", bid), bid)
     }
     st
   }

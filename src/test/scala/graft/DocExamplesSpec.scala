@@ -387,6 +387,19 @@ class DocExamplesSpec extends SparkSpec {
     assert(pairsDf === Seq((1L, 4L), (2L, 4L)))
   }
 
+  test("DedupQueries.tokensOf scaladoc example") {
+    assert(DedupQueries.tokensOf("  Hello   WORLD ") === Seq("hello", "world"))
+  }
+
+  test("DedupQueries.shinglesOfText scaladoc example") {
+    assert(DedupQueries.shinglesOfText("a b c d") === Seq("a b c", "b c d"))
+  }
+
+  test("TextQueries.admits scaladoc example") {
+    assert(graft.operators.TextQueries.admits(nTokens = 25, distinctRatioMilli = 500) &&
+      !graft.operators.TextQueries.admits(2, 500))
+  }
+
   test("DedupQueries.embeddingLshPairs scaladoc example") {
     val e1 = Array.tabulate(DedupQueries.embDim)(i => if (i == 0) 1f else 0f)
     val emb = Seq((1L, e1), (2L, e1.clone()), (3L, e1.map(-_)))
@@ -595,9 +608,13 @@ class DocExamplesSpec extends SparkSpec {
     "TextQueries" -> Set(
       "admissionGate",  // documented with admissionFeatures' example
       "polyHashSqlOf",  // oracle-SQL generator, embedded in a dozen oracles
-      "packShardCol"),  // private[graft] t08 shard column shared with
+      "packShardCol",   // private[graft] t08 shard column shared with
                         // StreamIngest; Java-reflection artifact, gated by
                         // the t08 + t38 oracles
+      "admissionFeaturesWithText"), // private[graft] single-select feature
+                        // row for the streaming twins; Java-reflection
+                        // artifact — admissionFeatures (its .drop("text")
+                        // view) carries the runnable example
     "Multimodal" -> Set("FrameSize", "ShardBytes", "ShardGroups")) // constants
 
   test("every public operator method has a runnable doc example or a documented exclusion") {

@@ -1,11 +1,13 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{count, lit, sum}
 import graft.operators.DedupQueries
 
-/** The 100x tier of ScaleSpec for the five heaviest operators (d03, d06,
-  * d08, s09, s11): two decades of growth on the same deterministic
-  * generators, asserting a ≲linear runtime fit and EXACT output linearity
+/** The 100x tier of ScaleSpec for the heaviest operators (d03, d06, d08,
+  * s09, s11 + the iterative graph family q48/q54/q55): two decades of
+  * growth on the same deterministic generators, asserting a ≲linear
+  * runtime fit and EXACT output linearity
   * (the corpora embed matches at a fixed per-id rate, so true counts are a
   * pure function of n — any deviation is a recall or flood bug, not
   * noise). A quadratic regression at 100x overshoots the runtime bound by
@@ -105,5 +107,67 @@ class Scale100Spec extends SparkSpec {
     }
     assert100x("s11", run, vecCorpus(2000), vecCorpus(200000),
       2000L * 1000000L + 500L, 200000L * 1000000L + 50000L)
+  }
+
+  // ----- the iterative graph family (q48/q54/q55) ---------------------------
+  // Same two-decade contract as the dedup/ANN tiers: deterministic
+  // generators whose TRUE answer is a pure function of n, so output checks
+  // are exact, and rounds stay fixed (pageRank: iters; triangles:
+  // one-shot; BFS: tree depth grows only logarithmically) while volume
+  // grows 100x — any superlinear join or flooded frontier breaks the
+  // runtime fit or the exact sum first.
+
+  test("q48 pageRank: 100x graph => exact rank mass and ≲linear runtime") {
+    // disconnected 8-node chains: rank values repeat per block, so total
+    // rank mass is exactly (n/8) x the one-block reference sum
+    def nodes(n: Long): DataFrame = spark.range(n).select($"id".as("k"))
+    def edges(n: Long): DataFrame = spark.range(n).filter($"id" % 8 =!= 7)
+      .select($"id".as("src"), ($"id" + 1).as("dst"), lit(1L).as("w"))
+    def run(n: Long)(unused: DataFrame): Long =
+      graft.operators.EventQueries.pageRank(nodes(n), edges(n), iters = 5)
+        .agg(sum($"r")).head().getLong(0)
+    val blockSum = graft.operators.EventQueries.pageRank(nodes(8), edges(8), iters = 5)
+      .agg(sum($"r")).head().getLong(0)
+    assert100x("q48", df => run(df.count())(df),
+      spark.range(4000).toDF("n"), spark.range(400000).toDF("n"),
+      blockSum * 500L, blockSum * 50000L)
+  }
+
+  test("q54 triangles: 100x graph => exact triangle mass and ≲linear runtime") {
+    // disconnected 4-node motifs (one triangle + a pendant edge): per-node
+    // counts sum to exactly 3 per block; rows are exactly 4 per block
+    def edges(blocks: Long): DataFrame = spark.range(blocks).as[Long]
+      .flatMap { b =>
+        val a = 4 * b
+        Seq((a, a + 1), (a, a + 2), (a + 1, a + 2), (a + 2, a + 3))
+      }.toDF("u", "v")
+    def run(df: DataFrame): Long = {
+      val t = graft.operators.EventQueries.triangleCounts(df)
+      val agg = t.agg(count(lit(1)), sum($"n_tri")).head()
+      agg.getLong(0) * 1000000L + agg.getLong(1) // pack rows + mass
+    }
+    assert100x("q54", run, edges(1000), edges(100000),
+      4000L * 1000000L + 3000L, 400000L * 1000000L + 300000L)
+  }
+
+  test("q55 BFS: 100x tree => exact level mass and ≲linear runtime") {
+    // complete-ish binary tree rooted at 1: every node is reachable with
+    // lvl = floor(log2(id)), so the level sum is a pure function of n and
+    // the round count grows only with depth (12 -> 18), not volume
+    def nodes(n: Long): DataFrame = spark.range(1, n + 1).select($"id".as("k"))
+    def edges(n: Long): DataFrame = spark.range(1, n + 1).as[Long]
+      .flatMap(i => Seq(2 * i, 2 * i + 1).filter(_ <= n).map(c => (i, c)))
+      .toDF("src", "dst")
+    def levelMass(n: Long): Long = {
+      var s = 0L; var i = 1L
+      while (i <= n) { s += 63 - java.lang.Long.numberOfLeadingZeros(i); i += 1 }
+      s
+    }
+    def run(n: Long): Long =
+      graft.operators.EventQueries.bfsLevels(nodes(n), edges(n), source = 1L)
+        .agg(sum($"lvl")).head().getLong(0)
+    assert100x("q55", df => run(df.count()),
+      spark.range(4000).toDF("n"), spark.range(400000).toDF("n"),
+      levelMass(4000), levelMass(400000))
   }
 }

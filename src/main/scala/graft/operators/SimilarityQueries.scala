@@ -82,7 +82,18 @@ object SimilarityQueries {
     * hash-sample both engines can compute (Spark: signed order of
     * h ^ Long.MinValue == unsigned order of h; DuckDB: HUGEINT product mod
     * 2^64 — identical because vec_ids are non-negative). Distributed
-    * top-k (TakeOrdered) then an O(k) collect; norms precomputed once. */
+    * top-k (TakeOrdered) then an O(k) collect; norms precomputed once.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * // a 3-vector corpus: all 3 survive the IvfK cap, sorted by vec_id,
+    * // each with its precomputed L2 norm
+    * val e = Seq((1L, Array(3f, 4f)), (2L, Array(1f, 0f)), (3L, Array(0f, 2f)))
+    *   .toDF("vec_id", "embedding")
+    * ivfCentroids(spark, e).map(_._1).toSeq == Seq(1L, 2L, 3L)
+    * ivfCentroids(spark, e).head._3 == 5.0 // norm of (3,4)
+    * }}}
+    */
   private[graft] def ivfCentroids(
       s: SparkSession, e: DataFrame): Array[(Long, Array[Double], Double)] = {
     import s.implicits._
@@ -242,7 +253,18 @@ object SimilarityQueries {
     * hash-sample (deterministic); empty cells keep their previous
     * centroid; component update is floorDiv(sum, count) — exact integers
     * end to end, so the learned codebook is bit-identical on every run,
-    * partitioning, and engine. */
+    * partitioning, and engine.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * // two tight groups on the axes -> k=2 integer-milli centroids; exact
+    * // determinism: a second run returns the bit-identical codebook
+    * val e = Seq((1L, Array(1f, 0f)), (2L, Array(0.9f, 0f)),
+    *   (3L, Array(0f, 1f)), (4L, Array(0f, 0.9f))).toDF("vec_id", "embedding")
+    * val cb = kmeansCodebook(spark, e, k = 2, iters = 3)
+    * cb.length == 2 && cb.map(_.toSeq) == kmeansCodebook(spark, e, 2, 3).map(_.toSeq)
+    * }}}
+    */
   private[graft] def kmeansCodebook(
       s: SparkSession, e: DataFrame,
       k: Int = KmK, iters: Int = KmIters): Array[Array[Long]] = {
@@ -1475,7 +1497,19 @@ object SimilarityQueries {
   /** [subspace][codeword][subdim] codebook from the PqK smallest-hash seed
     * vectors (the s03 deterministic hash-sample), sliced per subspace.
     * Codeword index = rank in hash order, matching the oracle's
-    * row_number(). Constant size at any corpus scale: O(PqK) collect. */
+    * row_number(). Constant size at any corpus scale: O(PqK) collect.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * // 2 full-dim vectors -> 2 codewords per subspace, each of PqSubDim
+    * // integer-milli components, for all PqM subspaces
+    * val e = Seq((1L, Array.tabulate(64)(_.toFloat)),
+    *   (2L, Array.fill(64)(1f))).toDF("vec_id", "embedding")
+    * val cb = pqCodebook(spark, e)
+    * cb.length == PqM && cb.forall(sub => sub.length == 2 &&
+    *   sub.forall(_.length == PqSubDim))
+    * }}}
+    */
   private[graft] def pqCodebook(s: SparkSession, e: DataFrame): Array[Array[Array[Long]]] = {
     import s.implicits._
     val seeds = e.select($"vec_id", $"embedding").as[(Long, Array[Float])]

@@ -48,7 +48,15 @@ object TextQueries {
   }
 
   /** t05's admission gate over the feature columns. The thresholds live in
-    * [[admits]] — its JVM twin for the typed streaming path. */
+    * [[admits]] — its JVM twin for the typed streaming path.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val feats = admissionFeatures(docs)  // doc 1 long+diverse, doc 2 short
+    * feats.filter(admissionGate).select($"doc_id").as[Long].collect() == Seq(1L)
+    * feats.filter(!admissionGate).count() == feats.count() - 1  // exact partition
+    * }}}
+    */
   def admissionGate: Column =
     (col("n_tokens") >= MinTokens) && (col("distinct_ratio_milli") >= MinDistinctMilli)
 

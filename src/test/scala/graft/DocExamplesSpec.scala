@@ -400,6 +400,42 @@ class DocExamplesSpec extends SparkSpec {
       !graft.operators.TextQueries.admits(2, 500))
   }
 
+  test("TextQueries.admissionGate scaladoc example") {
+    import graft.operators.TextQueries.{admissionFeatures, admissionGate}
+    val docs = Seq(
+      (1L, (1 to 25).map("w" + _).mkString(" ")), // long + diverse: admitted
+      (2L, "too short")).toDF("doc_id", "text")
+    val feats = admissionFeatures(docs)
+    assert(feats.filter(admissionGate).select($"doc_id").as[Long].collect().toSeq === Seq(1L))
+    assert(feats.filter(!admissionGate).count() === feats.count() - 1)
+  }
+
+  test("SimilarityQueries.ivfCentroids scaladoc example") {
+    import graft.operators.SimilarityQueries.ivfCentroids
+    val e = Seq((1L, Array(3f, 4f)), (2L, Array(1f, 0f)), (3L, Array(0f, 2f)))
+      .toDF("vec_id", "embedding")
+    assert(ivfCentroids(spark, e).map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(ivfCentroids(spark, e).head._3 === 5.0)
+  }
+
+  test("SimilarityQueries.kmeansCodebook scaladoc example") {
+    import graft.operators.SimilarityQueries.kmeansCodebook
+    val e = Seq((1L, Array(1f, 0f)), (2L, Array(0.9f, 0f)),
+      (3L, Array(0f, 1f)), (4L, Array(0f, 0.9f))).toDF("vec_id", "embedding")
+    val cb = kmeansCodebook(spark, e, k = 2, iters = 3)
+    assert(cb.length === 2)
+    assert(cb.map(_.toSeq).toSeq === kmeansCodebook(spark, e, 2, 3).map(_.toSeq).toSeq)
+  }
+
+  test("SimilarityQueries.pqCodebook scaladoc example") {
+    import graft.operators.SimilarityQueries.{pqCodebook, PqM, PqSubDim}
+    val e = Seq((1L, Array.tabulate(64)(_.toFloat)),
+      (2L, Array.fill(64)(1f))).toDF("vec_id", "embedding")
+    val cb = pqCodebook(spark, e)
+    assert(cb.length === PqM)
+    assert(cb.forall(sub => sub.length === 2 && sub.forall(_.length === PqSubDim)))
+  }
+
   test("DedupQueries.embeddingLshPairs scaladoc example") {
     val e1 = Array.tabulate(DedupQueries.embDim)(i => if (i == 0) 1f else 0f)
     val emb = Seq((1L, e1), (2L, e1.clone()), (3L, e1.map(-_)))
@@ -602,11 +638,8 @@ class DocExamplesSpec extends SparkSpec {
       "d06OracleSql"),  // oracle-SQL constant consumed by the s12 oracle
     "SimilarityQueries" -> Set(
       "IvfK", "KmK", "PqK", "PqM", "PqSubDim", // private[graft] codebook constants
-      "planeLit",                              // oracle-SQL literal builder (d14/s02 oracles)
-      "ivfCentroids", "kmeansCodebook", "pqCodebook"), // internal codebook builders behind
-                                               // ivfSearch/s04/s08, gated by their oracles
+      "planeLit"),                             // oracle-SQL literal builder (d14/s02 oracles)
     "TextQueries" -> Set(
-      "admissionGate",  // documented with admissionFeatures' example
       "polyHashSqlOf",  // oracle-SQL generator, embedded in a dozen oracles
       "packShardCol",   // private[graft] t08 shard column shared with
                         // StreamIngest; Java-reflection artifact, gated by

@@ -88,6 +88,39 @@ class StreamIngestTwsSpec extends SparkSpec {
     }
   }
 
+  test("TWS composed ingestion: FULL session kill — operator state from the checkpoint, report from disk") {
+    withRocksDb {
+      def tok(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+      val A = tok("a", 30)
+      val B = tok("a", 29) + " zzz"
+      val firstHalf = Seq((10L, A), (30L, tok("c", 30)), (70L, tok("u", 25)))
+      val secondHalf = Seq((20L, B), (3L, A.toUpperCase + "  "))
+      val root = java.nio.file.Files.createTempDirectory("tws_durable").toString
+      val srcDir = s"$root/src"; val ckpt = s"$root/ckpt"; val stateDir = s"$root/state"
+      firstHalf.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+      def docsStream(s: org.apache.spark.sql.SparkSession) =
+        s.readStream.schema("doc_id LONG, text STRING").parquet(srcDir)
+      val (q1, st1) = StreamIngestTws.start(docsStream(spark), ckpt,
+        stateDir = Some(stateDir))
+      try q1.processAllAvailable() finally q1.stop()
+      assert(st1.packed.collect().toSeq ===
+        StreamIngest.ingestBatch(firstHalf.toDF("doc_id", "text")).collect().toSeq)
+      // brand-new SparkSession: both TWS operators restore from the RocksDB
+      // checkpoint; the report fold rehydrates from stateDir parquet. The
+      // second half then near-dups AGAINST FIRST-HALF STATE (doc 20 vs doc
+      // 10's bucket history) and shrinks a first-half rep (doc 3 < 10) —
+      // neither works unless the restored state is complete.
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+      val resumed = StreamIngestTws.load(s2, stateDir)
+      secondHalf.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+      val (q2, st2) = StreamIngestTws.start(docsStream(s2), ckpt, Some(resumed))
+      try q2.processAllAvailable() finally q2.stop()
+      assert(st2.packed.collect().toSeq === StreamIngest.ingestBatch(
+        (firstHalf ++ secondHalf).toDF("doc_id", "text")).collect().toSeq)
+    }
+  }
+
   test("TWS path folds a multi-batch corpus to the exact one-shot batch result") {
     withRocksDb {
       implicit val sq = spark.sqlContext

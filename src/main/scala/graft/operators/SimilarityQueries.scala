@@ -187,6 +187,61 @@ object SimilarityQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Composed retrieval-index build (s19) — the t38 pattern for the
+    * similarity family: admit canonical quality-gated docs (t05's gate),
+    * join their embeddings, assign each admitted doc to its IVF cell
+    * (s03's hash-sampled codebook contract), and pack each cell's docs
+    * into [[TextQueries.PackBudget]]-token context windows (t08's integer
+    * cumsum packer, partitioned by (cell, poly-hash shard) so no cell ever
+    * serializes through one task). Output: per (cell, shard, chunk) the doc
+    * count and exact token count — the shard manifest a retrieval corpus
+    * build hands to the indexer.
+    *
+    * Scale shape: admission is one narrow projection + one hash agg; the
+    * codebook broadcast is O(64); assignment is one mapPartitions pass;
+    * the only corpus-to-corpus exchange is the doc_id equi-join of admitted
+    * docs to cells; packing cumsums run per (cell, shard). Nothing is ever
+    * all-pairs or globally ordered.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * def v(hot: Int) = Array.tabulate(4)(i => if (i == hot) 1f else 0f)
+    * val docs = Seq.tabulate(3)(i =>
+    *   (i + 1L, (1 to 21).map(t => s"d${i}w$t").mkString(" ")))
+    *   .toDF("doc_id", "text")
+    * val emb = Seq((1L, v(0)), (2L, v(1)), (3L, v(2))).toDF("vec_id", "embedding")
+    * // 3 orthogonal vectors -> 3 singleton cells, each doc packs alone
+    * indexBuild(spark, docs, emb).select($"n_docs", $"n_tokens")
+    *   .as[(Long, Long)].collect().toSeq == Seq((1L, 21L), (1L, 21L), (1L, 21L))
+    * }}}
+    */
+  def indexBuild(s: SparkSession, docs: DataFrame, emb: DataFrame): DataFrame = {
+    import s.implicits._
+    val scored = TextQueries.admissionFeatures(docs)
+    val canon = scored.groupBy($"content_key").agg(min($"doc_id").as("doc_id"))
+    val admitted = scored.join(canon, Seq("content_key", "doc_id"))
+      .filter(TextQueries.admissionGate)
+      .select($"doc_id", $"n_tokens".as("n"))
+    val bc = s.sparkContext.broadcast(ivfCentroids(s, emb))
+    val cells = assignCells(s, emb, bc, 1)
+      .select($"vec_id".as("doc_id"), element_at($"cells", 1).as("cell"))
+    val b = lit(TextQueries.PackBudget)
+    val w = Window.partitionBy($"cell", $"shard").orderBy($"doc_id")
+    admitted.join(cells, Seq("doc_id"))
+      .withColumn("shard", TextQueries.packShardCol)
+      .withColumn("fin", sum($"n").over(w))
+      .withColumn("start", $"fin" - $"n")
+      .withColumn("c0", floor($"start" / b).cast("long"))
+      .withColumn("c1", floor(($"fin" - 1) / b).cast("long"))
+      .select($"cell", $"shard", $"start", $"fin",
+        explode(sequence($"c0", $"c1")).as("chunk"))
+      .groupBy($"cell", $"shard", $"chunk")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(($"chunk" + 1) * b, $"fin") - greatest($"chunk" * b, $"start"))
+          .as("n_tokens"))
+      .orderBy($"cell", $"shard", $"chunk")
+  }
+
   /** DuckDB literal for one hyperplane: Double.toString is shortest
     * round-trip, so the oracle parses back the identical IEEE doubles and
     * list_dot_product reproduces the JVM's sequential accumulation bit for
@@ -1166,7 +1221,68 @@ object SimilarityQueries {
           FROM cd GROUP BY label)
         SELECT CAST(s.label AS BIGINT) AS label, n_a, n_b, centroid_cos_milli, ks_milli
         FROM shift s JOIN ks USING (label)
-        ORDER BY label""")))
+        ORDER BY label""")),
+
+    // ----- composed retrieval-index build (s19) ------------------------------
+    // The capstone the s-family stages exist for, as ONE oracle-gated plan
+    // (t38's pattern on the retrieval side): t05's admission gate picks the
+    // canonical quality-passing docs, their embeddings land in s03's IVF
+    // cells, and t08's integer packer lays each cell's docs into 512-token
+    // context windows per (cell, poly-hash shard). The oracle replays all
+    // four stages as composed CTEs of the t05/s03/t08 oracle shapes.
+    QueryDef(
+      "s19_index_build",
+      (s, d) => indexBuild(s, Tables.documents(s, d), Tables.embeddings(s, d)),
+      oracle = Some(s"""
+        WITH toksd AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_key,
+                 string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        feats AS (
+          SELECT doc_id, content_key,
+                 CAST(len(t) AS BIGINT) AS n,
+                 CAST(floor(len(list_distinct(t)) * 1000.0 / len(t)) AS BIGINT) AS dr
+          FROM toksd),
+        canon AS (SELECT content_key, min(doc_id) AS doc_id FROM feats GROUP BY content_key),
+        adm AS (
+          SELECT f.doc_id, f.n
+          FROM feats f JOIN canon c ON f.content_key = c.content_key AND f.doc_id = c.doc_id
+          WHERE f.n >= 20 AND f.dr >= 200),
+        t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        c2 AS (SELECT vec_id AS cent_id, e AS ce FROM t
+               ORDER BY (CAST(vec_id AS HUGEINT) * $IvfHashMultUnsigned)
+                        % 18446744073709551616
+               LIMIT $IvfK),
+        scoredv AS (
+          SELECT t.vec_id, c2.cent_id,
+                 CAST(floor(list_dot_product(t.e, c2.ce) * 1000.0 /
+                   (sqrt(list_dot_product(t.e, t.e)) * sqrt(list_dot_product(c2.ce, c2.ce)))) AS BIGINT) AS cs
+          FROM t CROSS JOIN c2),
+        cells AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rk
+            FROM scoredv) WHERE rk = 1),
+        j AS (
+          SELECT a.doc_id, cl.cell,
+                 CAST(${TextQueries.packShardSql} AS BIGINT) AS shard, a.n
+          FROM adm a JOIN cells cl ON a.doc_id = cl.vec_id),
+        spans AS (
+          SELECT cell, shard,
+                 CAST(sum(n) OVER (PARTITION BY cell, shard ORDER BY doc_id) AS BIGINT) AS fin,
+                 CAST(sum(n) OVER (PARTITION BY cell, shard ORDER BY doc_id) - n AS BIGINT) AS start
+          FROM j),
+        ex AS (
+          SELECT cell, shard, start, fin,
+                 unnest(generate_series(CAST(floor(start::DOUBLE / ${TextQueries.PackBudget}) AS BIGINT),
+                                        CAST(floor((fin - 1)::DOUBLE / ${TextQueries.PackBudget}) AS BIGINT))) AS chunk
+          FROM spans)
+        SELECT cell, shard, chunk, count(*) AS n_docs,
+               CAST(sum(least((chunk + 1) * ${TextQueries.PackBudget}, fin)
+                        - greatest(chunk * ${TextQueries.PackBudget}, start)) AS BIGINT) AS n_tokens
+        FROM ex
+        GROUP BY cell, shard, chunk
+        ORDER BY cell, shard, chunk""")))
 
   /** The s10 pipeline over an arbitrary (doc_id, text) table: BM25 top-k
     * per query in exact integer-milli arithmetic (see the s10 comment).

@@ -84,7 +84,9 @@ object TextQueries {
   // (object init is sequential).
   private val TrainPct = 90
   private val PackShards = 8
-  private val PackBudget = 512L
+  /** t08's token budget per packed context window, shared with the s19
+    * retrieval-index capstone so both packers agree. */
+  private[graft] val PackBudget = 512L
   private val ChunkSize = 120
   private val ChunkStride = 90
   private val SampleK = 20
@@ -129,7 +131,9 @@ object TextQueries {
     * poly-hash sharding as the standalone packer (reads `doc_id`). */
   private[graft] def packShardCol: Column = packShard
   private def splitBucketSql: String = s"(${saltedDocHashSql("split:")}) % 100"
-  private def packShardSql: String = s"(${saltedDocHashSql("shard:")}) % $PackShards"
+  /** DuckDB mirror of [[packShardCol]] (reads `doc_id`), shared with the
+    * s19 oracle. */
+  private[graft] def packShardSql: String = s"(${saltedDocHashSql("shard:")}) % $PackShards"
 
   // ----- BPE merge induction (t13) -----------------------------------------
   private val BpeRounds = 3
@@ -1240,6 +1244,20 @@ object TextQueries {
       (s, d) => repeatedSpans(Tables.documents(s, d)),
       oracle = Some(repeatedSpansOracle)),
 
+    // ----- substring-dedup scrub economics (the remove step) -----------------
+    // t20 finds the exact cross-document copies; t39 prices cutting them:
+    // each span is removed from the higher-id doc (lower id keeps the only
+    // copy), per-doc overlapping cuts merge into maximal segments, and the
+    // per-lang report says how many docs get rewritten and what fraction of
+    // their tokens disappears — the go/no-go evidence before running a
+    // corpus rewrite. Past the miner everything is O(spans): per-doc
+    // windows over a handful of intervals, one corpus scan for token
+    // counts. This is the Lee et al. 2022 substring-dedup decision table.
+    QueryDef(
+      "t39_span_scrub",
+      (s, d) => spanScrubReport(Tables.documents(s, d)),
+      oracle = Some(spanScrubOracle)),
+
     // ----- broadcast linear-model inference (hashed bag-of-words) ------------
     // The fastText/logreg quality-classifier shape at corpus scale: token ->
     // hashed feature bucket -> broadcast join against an O(B) weight table ->
@@ -2094,6 +2112,23 @@ object TextQueries {
     require(maxDf >= 2, s"need maxDf >= 2, got $maxDf")
     val s = docs.sparkSession
     import s.implicits._
+    verifiedSpanRows(docs, minRun, maxDf)
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_spans"),
+        max($"span_tokens").as("max_span_tokens"),
+        sum($"span_tokens").as("dup_tokens"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The verified span rows behind [[repeatedSpans]] and [[spanScrubReport]]:
+    * one row per maximal exact repeat, (doc_a, doc_b, diag, start_a,
+    * span_tokens) with doc_a < doc_b and start_b = start_a - diag. Every row
+    * has passed the token-window slice compare, so a 64-bit shingle collision
+    * can never fabricate one.
+    */
+  private def verifiedSpanRows(docs: DataFrame, minRun: Int, maxDf: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     // positional shingle keys straight from the codegen'd expression — no
     // shingle strings, no typed map; (pos, g) comes off the scan stage
     val pos = docs
@@ -2133,11 +2168,7 @@ object TextQueries {
       .join(toks.select($"doc_id".as("doc_b"), $"t".as("tb")), Seq("doc_b"))
       .filter(slice($"ta", $"start_a".cast("int"), $"span_tokens".cast("int")) ===
         slice($"tb", ($"start_a" - $"diag").cast("int"), $"span_tokens".cast("int")))
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("n_spans"),
-        max($"span_tokens").as("max_span_tokens"),
-        sum($"span_tokens").as("dup_tokens"))
-      .orderBy($"doc_a", $"doc_b")
+      .select($"doc_a", $"doc_b", $"diag", $"start_a", $"span_tokens")
   }
 
   /** The t20 oracle: same positional shingles (DuckDB list indexing past the
@@ -2179,6 +2210,132 @@ object TextQueries {
            CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
     FROM spans GROUP BY doc_a, doc_b
     ORDER BY doc_a, doc_b"""
+  }
+
+  /** Substring-dedup scrub economics (t39) — the REMOVE step the t20 miner
+    * stops short of (the Lee et al. 2022 "Deduplicating Training Data"
+    * rewrite): every verified repeated span is cut from the HIGHER-id doc of
+    * its pair (the lower id keeps the only copy — d07's keep-lowest canon at
+    * span granularity), overlapping/adjacent cuts on one doc are merged into
+    * maximal segments, and the result is a per-lang report of what scrubbing
+    * would delete: (lang, docs_scrubbed, segments, tokens_removed,
+    * doc_tokens, removed_milli).
+    *
+    * Scale shape: everything downstream of the t20 miner is O(spans), not
+    * O(corpus) — the interval merge runs per-doc windows over the few spans
+    * each doc carries (partitioned by doc_id, never a global sort), and the
+    * only corpus-wide touch is one scan for per-doc token counts that joins
+    * to the span-bearing docs. `removed_milli` is integer `div`, exact on
+    * both engines.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val span = (1 to 20).map("d" + _).mkString(" ")
+    * val docs = Seq((1L, s"a b c $span", "en"), (2L, s"$span x y", "en"))
+    *   .toDF("doc_id", "text", "lang")
+    * // doc 2 (higher id) loses the 20-token span out of its 22 tokens
+    * TextQueries.spanScrubReport(docs)
+    *   .select("lang", "docs_scrubbed", "tokens_removed", "doc_tokens")
+    *   .as[(String, Long, Long, Long)].head == (("en", 1L, 20L, 22L))
+    * }}}
+    */
+  def spanScrubReport(docs: DataFrame, minRun: Int = 8, maxDf: Int = 32): DataFrame = {
+    require(minRun >= 1, s"need minRun >= 1, got $minRun")
+    require(maxDf >= 2, s"need maxDf >= 2, got $maxDf")
+    val s = docs.sparkSession
+    import s.implicits._
+    // token intervals to cut, on the losing (higher-id) doc; identical
+    // intervals from different partners collapse before the merge
+    val iv = verifiedSpanRows(docs, minRun, maxDf)
+      .select($"doc_b".as("doc_id"),
+        ($"start_a" - $"diag").as("s"),
+        ($"start_a" - $"diag" + $"span_tokens" - 1L).as("e"))
+      .distinct()
+    // classic interval merge as per-doc islands: a row starts a new segment
+    // iff it begins past every earlier end (+1 coalesces adjacent cuts)
+    val wOrd = Window.partitionBy($"doc_id").orderBy($"s", $"e")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val perDoc = iv
+      .withColumn("prev_e", max($"e").over(wPrev))
+      .withColumn("brk", when($"prev_e".isNull || $"s" > $"prev_e" + 1L, 1L).otherwise(0L))
+      .withColumn("island", sum($"brk").over(wOrd))
+      .groupBy($"doc_id", $"island")
+      .agg((max($"e") - min($"s") + 1L).as("covered"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("segments"), sum($"covered").as("removed"))
+    val meta = docs.select($"doc_id", $"lang",
+      size(TextFns.tokens($"text")).cast("long").as("n_toks"))
+    perDoc.join(meta, Seq("doc_id"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("docs_scrubbed"),
+        sum($"segments").as("segments"),
+        sum($"removed").as("tokens_removed"),
+        sum($"n_toks").as("doc_tokens"))
+      .withColumn("removed_milli", expr("(tokens_removed * 1000) div doc_tokens"))
+      .orderBy($"lang")
+  }
+
+  /** The t39 oracle: t20's CTE chain kept at span-row granularity (min(pa)
+    * recovers each span's start; start_b = start_a - diag), then the same
+    * distinct-interval merge and per-lang rollup in SQL windows. Positive
+    * operands make DuckDB's `//` and Spark's `div` agree exactly.
+    */
+  private def spanScrubOracle: String = {
+    val gram = (0 to 7).map(k => s"t[i+$k]").mkString(", ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+    pos AS (
+      SELECT doc_id, i AS pos, concat_ws(' ', $gram) AS g
+      FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+            FROM toks)),
+    keep AS (
+      SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM pos GROUP BY g)
+      WHERE nd BETWEEN 2 AND 32),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS diag
+      FROM (SELECT p.* FROM pos p JOIN keep USING (g)) a
+      JOIN pos b USING (g)
+      WHERE a.doc_id < b.doc_id),
+    runs AS (
+      SELECT doc_a, doc_b, diag, pa,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+      FROM m),
+    iv AS (
+      SELECT DISTINCT doc_b AS doc_id, s, s + n - 1 AS e
+      FROM (SELECT doc_b, min(pa) - diag AS s, count(*) + 7 AS n
+            FROM runs GROUP BY doc_a, doc_b, diag, isl
+            HAVING count(*) + 7 >= 15)),
+    marked AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  CAST(-1 AS BIGINT)) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM iv),
+    seg AS (
+      SELECT doc_id, island, max(e) - min(s) + 1 AS covered
+      FROM (SELECT doc_id, s, e,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+            FROM marked)
+      GROUP BY doc_id, island),
+    perdoc AS (
+      SELECT doc_id, count(*) AS segments, sum(covered) AS removed
+      FROM seg GROUP BY doc_id)
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS docs_scrubbed,
+           CAST(sum(p.segments) AS BIGINT) AS segments,
+           CAST(sum(p.removed) AS BIGINT) AS tokens_removed,
+           CAST(sum(len(tk.t)) AS BIGINT) AS doc_tokens,
+           CAST((sum(p.removed) * 1000) // sum(len(tk.t)) AS BIGINT) AS removed_milli
+    FROM perdoc p
+    JOIN documents d USING (doc_id)
+    JOIN toks tk USING (doc_id)
+    GROUP BY d.lang
+    ORDER BY d.lang"""
   }
 
   /** Broadcast linear-model inference (t21), exposed as a library call:

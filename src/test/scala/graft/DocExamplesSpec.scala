@@ -81,6 +81,16 @@ class DocExamplesSpec extends SparkSpec {
       .as[(Long, Long, Long)].head === ((1L, 2L, 20L)))
   }
 
+  test("TextQueries.spanScrubReport scaladoc example") {
+    import graft.operators.TextQueries
+    val span = (1 to 20).map("d" + _).mkString(" ")
+    val docs = Seq((1L, s"a b c $span", "en"), (2L, s"$span x y", "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(TextQueries.spanScrubReport(docs)
+      .select("lang", "docs_scrubbed", "tokens_removed", "doc_tokens")
+      .as[(String, Long, Long, Long)].head === (("en", 1L, 20L, 22L)))
+  }
+
   test("TextQueries.modelScores scaladoc example") {
     import graft.operators.TextQueries
     val r = TextQueries.modelScores(
@@ -458,6 +468,18 @@ class DocExamplesSpec extends SparkSpec {
     assert(top._1 === 100L && top._2 === 1L && top._3 === 1L) // exact match wins rank 1
   }
 
+  test("SimilarityQueries.indexBuild scaladoc example") {
+    import graft.operators.SimilarityQueries
+    def v(hot: Int) = Array.tabulate(4)(i => if (i == hot) 1f else 0f)
+    val docs = Seq.tabulate(3)(i =>
+      (i + 1L, (1 to 21).map(t => s"d${i}w$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val emb = Seq((1L, v(0)), (2L, v(1)), (3L, v(2))).toDF("vec_id", "embedding")
+    assert(SimilarityQueries.indexBuild(spark, docs, emb)
+      .select($"n_docs", $"n_tokens")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 21L), (1L, 21L), (1L, 21L)))
+  }
+
   test("SimilarityQueries.bm25Search scaladoc example") {
     import graft.operators.SimilarityQueries
     val docs = Seq(
@@ -644,6 +666,9 @@ class DocExamplesSpec extends SparkSpec {
       "packShardCol",   // private[graft] t08 shard column shared with
                         // StreamIngest; Java-reflection artifact, gated by
                         // the t08 + t38 oracles
+      "PackBudget",     // private[graft] packing constant shared with s19
+      "packShardSql",   // private[graft] oracle-SQL mirror of packShardCol,
+                        // embedded in the t08/t38/s19 oracles
       "admissionFeaturesWithText"), // private[graft] single-select feature
                         // row for the streaming twins; Java-reflection
                         // artifact — admissionFeatures (its .drop("text")

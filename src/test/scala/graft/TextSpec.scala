@@ -285,6 +285,30 @@ class TextSpec extends SparkSpec {
     assert(operators.TextQueries.repeatedSpans(docs2).count() == 0L)
   }
 
+  test("t39: scrub merges overlapping cuts from different partners; disjoint cuts stay segments") {
+    import spark.implicits._
+    // lang aa: doc 3 (highest id) loses u1..u20 to doc 1 and u11..u30 to
+    // doc 2 — the two intervals overlap, so ONE merged segment of 30 tokens
+    // out of doc 3's 32. doc 1 vs 2 share only 10 tokens (< the 15 floor).
+    val u = (1 to 30).map(i => s"u$i")
+    // lang bb: doc 11 loses two spans to doc 10 separated by a 3-token gap
+    // in doc 11 — disjoint, so TWO segments (32 of 35 tokens).
+    val p = (1 to 16).map(i => s"p$i").mkString(" ")
+    val q = (1 to 16).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 ${u.take(20).mkString(" ")} z1", "aa"),
+      (2L, s"b1 ${u.drop(10).mkString(" ")} y1 y2", "aa"),
+      (3L, s"${u.mkString(" ")} f1 f2", "aa"),
+      (10L, s"$p n1 n2 $q", "bb"),
+      (11L, s"$p m1 m2 m3 $q", "bb"))
+      .toDF("doc_id", "text", "lang")
+    val rows = operators.TextQueries.spanScrubReport(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.toSeq === Seq(
+      ("aa", 1L, 1L, 30L, 32L, 937L),
+      ("bb", 1L, 2L, 32L, 35L, 914L)))
+  }
+
   test("t22: temperature compresses shares toward uniform and factors invert shares") {
     val rows = SparkEntry.queries("t22_temperature_mix")(spark, sf).collect()
     assert(rows.length > 1)

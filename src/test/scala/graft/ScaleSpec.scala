@@ -151,6 +151,42 @@ class ScaleSpec extends SparkSpec {
       docCorpus(4000), docCorpus(40000))
   }
 
+  test("t39 span scrub: 10x corpus => ~10x runtime and removed tokens") {
+    // every 10th doc is the higher-id side of exactly one 39-token span
+    // (it repeats its template's first 39 tokens), so scrubbed tokens =
+    // 39 * n/10 — linear by construction; the interval merge adds only
+    // O(spans) work on top of the t20 miner
+    import org.apache.spark.sql.functions.lit
+    assertTrend("t39",
+      df => graft.operators.TextQueries
+        .spanScrubReport(df.withColumn("lang", lit("en")))
+        .agg(org.apache.spark.sql.functions.sum($"tokens_removed"))
+        .as[Long].collect()(0),
+      docCorpus(4000), docCorpus(40000))
+  }
+
+  test("s19 index build: 10x corpus => ~10x runtime, exact token conservation") {
+    // all docs pass admission (40 diverse tokens each), so the packed
+    // chunk token totals must conserve the corpus EXACTLY: 40n tokens at
+    // both scales — any loss (a dropped doc, a packing off-by-one) or
+    // inflation (a doc packed twice) breaks equality, and super-linear
+    // runtime means the codebook broadcast or the cell join degenerated
+    def run(n: Int): (Double, Long) = timed {
+      graft.operators.SimilarityQueries
+        .indexBuild(spark, docCorpus(n), vecCorpus(n))
+        .agg(org.apache.spark.sql.functions.sum($"n_tokens"))
+        .as[Long].collect()(0)
+    }
+    run(2000) // warmup: codegen + JIT, untimed
+    val (tS, tokS) = run(2000)
+    val (tL, tokL) = run(20000)
+    info(f"s19: 1x -> $tS%.2f s / $tokS tokens, 10x -> $tL%.2f s / $tokL tokens")
+    assert(tokS == 40L * 2000 && tokL == 40L * 20000,
+      s"packing must conserve admitted tokens exactly: got $tokS / $tokL")
+    assert(tL <= 25.0 * math.max(tS, 0.5),
+      f"s19 runtime grew super-linearly: $tS%.2f s -> $tL%.2f s for 10x data")
+  }
+
   test("d06 embedding-LSH dedup: 10x corpus => ~10x runtime and pairs") {
     // K and the cosine bar are tuned for THIS corpus per the pipeline's
     // documented contract (K ~ 2*log2(n) - 10, threshold above the random

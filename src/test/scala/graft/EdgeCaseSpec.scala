@@ -268,6 +268,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextQueries.repeatedSpans(tiny).count() === 0L)
   }
 
+  test("spanScrubReport: empty/span-free corpora report nothing; adjacent cuts coalesce") {
+    import graft.operators.TextQueries
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(TextQueries.spanScrubReport(empty).count() === 0L)
+    val noSpans = Seq((1L, (1 to 30).map("a" + _).mkString(" "), "en"),
+      (2L, (1 to 30).map("b" + _).mkString(" "), "en")).toDF("doc_id", "text", "lang")
+    assert(TextQueries.spanScrubReport(noSpans).count() === 0L)
+    // doc 9 loses [1,16] to doc 1 and [17,32] to doc 2 — the cuts touch
+    // (17 = 16 + 1) without overlapping, so they coalesce into ONE
+    // 32-token segment; the boundary-straddling shingles of doc 9 exist
+    // nowhere else, so the miner reports the two spans separately
+    val p = (1 to 16).map(i => s"p$i").mkString(" ")
+    val q = (1 to 16).map(i => s"q$i").mkString(" ")
+    val adj = Seq(
+      (1L, s"$p x1 x2 x3 x4", "en"),
+      (2L, s"y1 y2 y3 y4 $q", "en"),
+      (9L, s"$p $q z1 z2", "en")).toDF("doc_id", "text", "lang")
+    val r = TextQueries.spanScrubReport(adj)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(r.toSeq === Seq(("en", 1L, 1L, 32L, 34L, 941L)))
+  }
+
   test("modelScores scores the empty doc (one empty token) instead of crashing") {
     import graft.operators.TextQueries
     val r = TextQueries.modelScores(

@@ -1803,6 +1803,51 @@ object ExtraRelationalQueries {
         FROM named GROUP BY segment
         ORDER BY segment""")),
 
+    // ----- interval concurrency sweep (q104) ---------------------------------
+    // The classic max-overlapping-intervals / resource-occupancy operator
+    // (warehouse capacity planning, connection-pool sizing): each lineitem
+    // holds an open shipment over [l_shipdate, l_receiptdate); per
+    // supplier, the peak number of simultaneously open shipments is a
+    // sweep-line — +1/-1 boundary events, one per-supplier ordered running
+    // sum, max. Half-open semantics are encoded in the sort itself
+    // (ORDER BY ts, delta puts the -1 first at a shared instant, so an
+    // interval ending exactly when another starts never overlaps it) —
+    // identical tie handling on both engines, and the partition max is
+    // invariant to the remaining within-tie order (a tie group is all +1s
+    // or all -1s, whose running values form one monotone run). Scale:
+    // events = 2x lineitem rows, ONE hash exchange on l_suppkey, windows
+    // per supplier — no global order anywhere; output is the O(peaks)
+    // histogram of per-supplier peaks. The fixture's lineitem carries no
+    // receipt column, so the window closes after a deterministic 1-14 day
+    // transit keyed on (orderkey, linenumber) — identical arithmetic on
+    // both engines; production reads the real l_receiptdate.
+    QueryDef(
+      "q104_shipment_concurrency",
+      (s, d) => shipmentConcurrency(Tables.lineitem(s, d).withColumn(
+        "l_receiptdate",
+        expr("timestampadd(DAY, CAST(1 + pmod(l_orderkey + l_linenumber, 14) AS INT), l_shipdate)"))),
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_suppkey, l_shipdate,
+                 l_shipdate + to_days(CAST(1 + (l_orderkey + l_linenumber) % 14 AS INT))
+                   AS l_receiptdate
+          FROM lineitem),
+        ev AS (
+          SELECT l_suppkey, l_shipdate AS ts, CAST(1 AS BIGINT) AS delta
+          FROM li
+          UNION ALL
+          SELECT l_suppkey, l_receiptdate, CAST(-1 AS BIGINT) FROM li),
+        c AS (
+          SELECT l_suppkey,
+                 CAST(sum(delta) OVER (PARTITION BY l_suppkey ORDER BY ts, delta
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open
+          FROM ev),
+        p AS (SELECT l_suppkey, CAST(max(open) AS BIGINT) AS peak_open
+              FROM c GROUP BY l_suppkey)
+        SELECT peak_open, CAST(count(*) AS BIGINT) AS n_suppliers
+        FROM p GROUP BY peak_open
+        ORDER BY peak_open""")),
+
     // ----- Kaplan-Meier survival / churn curve (q85) ------------------------
     // Customer-lifetime survival analysis with right censoring: lifetime =
     // weeks between a customer's first and last order; the churn event is
@@ -2702,6 +2747,35 @@ object ExtraRelationalQueries {
     *   val lt = Seq((1L, true), (1L, true), (2L, true)).toDF("t", "churned")
     *   ExtraRelationalQueries.kmCurve(lt).show()
     * }}} */
+  /** The q104 sweep-line over an arbitrary (l_suppkey, l_shipdate,
+    * l_receiptdate) interval table: per key, the peak number of
+    * simultaneously open half-open [ship, receipt) intervals, reported as
+    * the (peak_open, n_suppliers) histogram. Boundary semantics ride the
+    * event sort — at a shared instant the -1 (close) sorts before the +1
+    * (open), so back-to-back intervals never count as concurrent.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    * val li = Seq((7L, ts(1), ts(2)), (7L, ts(2), ts(3)), (7L, ts(2), ts(4)))
+    *   .toDF("l_suppkey", "l_shipdate", "l_receiptdate")
+    * // [1,2) closes exactly as the others open -> peak is 2, not 3
+    * ExtraRelationalQueries.shipmentConcurrency(li)
+    *   .as[(Long, Long)].head == ((2L, 1L))
+    * }}} */
+  def shipmentConcurrency(li: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ev = li.select(col("l_suppkey"), col("l_shipdate").as("ts"), lit(1L).as("delta"))
+      .unionAll(li.select(col("l_suppkey"), col("l_receiptdate").as("ts"), lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("ts"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("open", sum(col("delta")).over(w))
+      .groupBy(col("l_suppkey"))
+      .agg(max(col("open")).as("peak_open"))
+      .groupBy(col("peak_open"))
+      .agg(count(lit(1)).as("n_suppliers"))
+      .orderBy(col("peak_open"))
+  }
+
   def kmCurve(lifetimes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = lifetimes.sparkSession
     import s.implicits._

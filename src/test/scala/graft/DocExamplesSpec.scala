@@ -132,6 +132,15 @@ class DocExamplesSpec extends SparkSpec {
     assert(CountMin.estimate(sk, 2L) >= 1L)
   }
 
+  test("ExtraRelationalQueries.shipmentConcurrency scaladoc example") {
+    import graft.operators.ExtraRelationalQueries
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val li = Seq((7L, ts(1), ts(2)), (7L, ts(2), ts(3)), (7L, ts(2), ts(4)))
+      .toDF("l_suppkey", "l_shipdate", "l_receiptdate")
+    assert(ExtraRelationalQueries.shipmentConcurrency(li)
+      .as[(Long, Long)].head === ((2L, 1L)))
+  }
+
   test("ExtraRelationalQueries.kmCurve scaladoc example") {
     import graft.operators.ExtraRelationalQueries
     val lt = Seq((1L, true), (1L, true), (2L, true)).toDF("t", "churned")

@@ -290,6 +290,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.toSeq === Seq(("en", 1L, 1L, 32L, 34L, 941L)))
   }
 
+  test("shipmentConcurrency: zero-length intervals never count open; singleton peak is 1") {
+    import graft.operators.ExtraRelationalQueries
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // supplier 1: one zero-length interval [t, t) — the -1 sorts before the
+    // +1 at the shared instant, so it is never observed open: peak 0.
+    // supplier 2: one real interval: peak 1.
+    val li = Seq((1L, ts(5), ts(5)), (2L, ts(5), ts(6)))
+      .toDF("l_suppkey", "l_shipdate", "l_receiptdate")
+    val r = ExtraRelationalQueries.shipmentConcurrency(li)
+      .as[(Long, Long)].collect().toSeq
+    assert(r === Seq((0L, 1L), (1L, 1L)))
+    val empty = Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .toDF("l_suppkey", "l_shipdate", "l_receiptdate")
+    assert(ExtraRelationalQueries.shipmentConcurrency(empty).count() === 0L)
+  }
+
   test("modelScores scores the empty doc (one empty token) instead of crashing") {
     import graft.operators.TextQueries
     val r = TextQueries.modelScores(

@@ -165,6 +165,37 @@ class ScaleSpec extends SparkSpec {
       docCorpus(4000), docCorpus(40000))
   }
 
+  test("q104 sweep: 10x suppliers => ~10x runtime, exactly 10x histogram mass") {
+    // every supplier carries the IDENTICAL 100-interval pattern (ship day
+    // and duration depend only on the within-supplier index), so the peak
+    // histogram is one row whose count = supplier count — exactly 10x at
+    // 10x rows; the sweep's only state is per-supplier, so runtime must
+    // track the row count, not the supplier cross-product
+    import org.apache.spark.sql.functions.{col, lit, pmod, timestamp_seconds}
+    def intervals(n: Int) = {
+      val w = pmod(col("id"), lit(100L))
+      val ship = pmod(w * 37L + 11L, lit(365L)) * 86400L
+      val dur = (pmod(w * 17L + 5L, lit(14L)) + 1L) * 86400L
+      spark.range(n).select(
+        (col("id") / 100L).cast("long").as("l_suppkey"),
+        timestamp_seconds(ship).as("l_shipdate"),
+        timestamp_seconds(ship + dur).as("l_receiptdate"))
+    }
+    def run(n: Int): (Double, Long) = timed {
+      graft.operators.ExtraRelationalQueries.shipmentConcurrency(intervals(n))
+        .agg(org.apache.spark.sql.functions.sum($"n_suppliers"))
+        .as[Long].collect()(0)
+    }
+    run(40000) // warmup: codegen + JIT, untimed
+    val (tS, supS) = run(40000)
+    val (tL, supL) = run(400000)
+    info(f"q104: 1x -> $tS%.2f s / $supS suppliers, 10x -> $tL%.2f s / $supL suppliers")
+    assert(supS == 400L && supL == 4000L,
+      s"histogram mass must equal the supplier count exactly: got $supS / $supL")
+    assert(tL <= 25.0 * math.max(tS, 0.5),
+      f"q104 runtime grew super-linearly: $tS%.2f s -> $tL%.2f s for 10x data")
+  }
+
   test("s19 index build: 10x corpus => ~10x runtime, exact token conservation") {
     // all docs pass admission (40 diverse tokens each), so the packed
     // chunk token totals must conserve the corpus EXACTLY: 40n tokens at

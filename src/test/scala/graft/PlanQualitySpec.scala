@@ -215,6 +215,22 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  for (q <- Seq("t39_span_scrub", "s19_index_build", "q104_shipment_concurrency"))
+    test(s"$q: every window is key-partitioned — no single-task global sort") {
+      // the round-6 rows' scale claims all rest on per-key windows (t39's
+      // per-doc interval merge, s19's per-(cell, shard) packing cumsum,
+      // q104's per-supplier sweep); an empty partitionSpec is the q84
+      // failure mode sneaking back in
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.{Window => WindowNode}
+      val windows = plan.collect { case w: WindowNode => w }
+      assert(windows.nonEmpty, s"expected keyed windows in $q:\n$plan")
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$q plans an unpartitioned window (single-task sort): $w")
+      }
+    }
+
   test("q46: correlated EXISTS decorrelates to one semi join, no per-row subquery") {
     val p = plan("q46_exists_subquery")
     assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join: $p")

@@ -974,6 +974,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming occupancy equals the batch sweep; redelivered boundaries count nothing twice") {
+    import graft.streaming.StreamOccupancy
+    import graft.streaming.StreamOccupancy.{Boundary, Occupancy}
+    implicit val sq = spark.sqlContext
+    // key 1: [1,4) [2,6) [3,5) stack to peak 3; key 2: back-to-back [1,2)
+    // [2,3) never overlap (the close sorts before the open at t=2): peak 1
+    val iv = Map(
+      1L -> Seq((1L, 4L), (2L, 6L), (3L, 5L)),
+      2L -> Seq((1L, 2L), (2L, 3L)))
+    def boundaries(xs: Seq[(Long, Long)]): Seq[Boundary] =
+      xs.flatMap { case (a, b) => Seq((a, 1L), (b, -1L)) }
+        .sortBy { case (t, d) => (t, d) }
+        .zipWithIndex.map { case ((t, d), i) => Boundary(i + 1L, t, d) }
+    def replay(bs: Seq[Boundary]): Seq[Occupancy] = {
+      var open = 0L; var peak = 0L
+      bs.map { b =>
+        open += b.delta; peak = math.max(peak, open)
+        Occupancy(b.seq, b.t, open, peak)
+      }
+    }
+    val ms = MemoryStream[Keyed[Boundary]]
+    val q = StreamOccupancy.occupancyStream(ms.toDS())
+      .writeStream.format("memory").queryName("occ_out")
+      .outputMode("append").start()
+    try {
+      val data = iv.toSeq.flatMap { case (k, xs) =>
+        boundaries(xs).map(b => Keyed(k, b.seq, b))
+      }.sortBy(x => (x.seq, x.key))
+      data.grouped(4).zipWithIndex.foreach { case (c, i) =>
+        ms.addData(c.toSeq); q.processAllAvailable()
+        if (i == 0) { ms.addData(c.toSeq); q.processAllAvailable() } // redelivery
+      }
+      val got = spark.table("occ_out").as[Keyed[Occupancy]].collect()
+        .groupBy(_.key).view.mapValues(_.map(_.value).sortBy(_.seq).toSeq).toMap
+      iv.foreach { case (k, xs) =>
+        assert(got(k) === replay(boundaries(xs)), s"key $k: stream must equal the batch sweep")
+      }
+      assert(got(1L).map(_.peak).max === 3L, "stacked intervals must peak at 3")
+      assert(got(2L).map(_.peak).max === 1L, "back-to-back intervals must never stack")
+    } finally q.stop()
+  }
+
   test("streaming token-bucket quota equals the batch replay; replays decide nothing twice") {
     import graft.streaming.StreamQuota
     import graft.streaming.StreamQuota.{Decision, Request}

@@ -1258,6 +1258,114 @@ object TextQueries {
       (s, d) => spanScrubReport(Tables.documents(s, d)),
       oracle = Some(spanScrubOracle)),
 
+    // ----- filter ablation: which quality gate uniquely rejects what? --------
+    // The filter-redundancy report a corpus build runs before touching its
+    // gate set: per filter, how many docs fail it at all, and how many ONLY
+    // it catches (n_unique_fail = the docs lost if the filter is dropped —
+    // zero means the filter is redundant given the others). t25's funnel
+    // shows sequential attrition; this shows marginal value. Four gates
+    // over the t02/t05 signals: token floor, lexical diversity, canonical
+    // copy (d07), sane mean token length. ONE corpus scan computes all
+    // four flags (plus t05's content-key hash agg for canonicity); the
+    // eight counts come from a single aggregate row exploded to four
+    // output rows — O(1) past the scan.
+    QueryDef(
+      "t40_filter_ablation",
+      (s, d) => filterAblation(Tables.documents(s, d)),
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ck,
+                 string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        feats AS (
+          SELECT doc_id, ck,
+                 CAST(len(t) AS BIGINT) AS n,
+                 CAST(floor(len(list_distinct(t)) * 1000.0 / len(t)) AS BIGINT) AS dr,
+                 CAST(floor(list_reduce(list_prepend(0, list_transform(t, x -> length(x))),
+                   (acc, x) -> acc + x) * 1000.0 / len(t)) AS BIGINT) AS mt
+          FROM toks),
+        canon AS (SELECT ck, min(doc_id) AS m FROM feats GROUP BY ck),
+        flags AS (
+          SELECT (n < 20) AS x_len, (dr < 200) AS x_div,
+                 (f.doc_id <> c.m) AS x_canon,
+                 (mt < 2000 OR mt > 15000) AS x_tok
+          FROM feats f JOIN canon c USING (ck)),
+        agg AS (
+          SELECT
+            CAST(sum(CASE WHEN x_len THEN 1 ELSE 0 END) AS BIGINT) AS f_len,
+            CAST(sum(CASE WHEN x_len AND NOT x_div AND NOT x_canon AND NOT x_tok THEN 1 ELSE 0 END) AS BIGINT) AS u_len,
+            CAST(sum(CASE WHEN x_div THEN 1 ELSE 0 END) AS BIGINT) AS f_div,
+            CAST(sum(CASE WHEN x_div AND NOT x_len AND NOT x_canon AND NOT x_tok THEN 1 ELSE 0 END) AS BIGINT) AS u_div,
+            CAST(sum(CASE WHEN x_canon THEN 1 ELSE 0 END) AS BIGINT) AS f_canon,
+            CAST(sum(CASE WHEN x_canon AND NOT x_len AND NOT x_div AND NOT x_tok THEN 1 ELSE 0 END) AS BIGINT) AS u_canon,
+            CAST(sum(CASE WHEN x_tok THEN 1 ELSE 0 END) AS BIGINT) AS f_tok,
+            CAST(sum(CASE WHEN x_tok AND NOT x_len AND NOT x_div AND NOT x_canon THEN 1 ELSE 0 END) AS BIGINT) AS u_tok
+          FROM flags)
+        SELECT 'canonical_copy' AS filter, f_canon AS n_fail, u_canon AS n_unique_fail FROM agg
+        UNION ALL SELECT 'lexical_diversity', f_div, u_div FROM agg
+        UNION ALL SELECT 'mean_token_length', f_tok, u_tok FROM agg
+        UNION ALL SELECT 'token_floor', f_len, u_len FROM agg
+        ORDER BY filter""")),
+
+    // ----- epoch-budget waterfilling (the data-mix epoch decision) -----------
+    // The step the mixing family feeds: t11 samples at given rates, t22
+    // rebalances shares, t30 splits an annotation budget — t41 decides HOW
+    // MANY EPOCHS of each source a training run gets under a total token
+    // budget, the LLaMA-recipe waterfill (repeat every source at a common
+    // level λ, clamp each at its own cap). Caps here derive from the t04
+    // poly-hash (a deterministic stand-in for per-source quality/licensing
+    // tiers, like t21's synthetic model weights); the budget is 1.5 epochs
+    // of the corpus. One corpus aggregate, then everything runs on the
+    // O(sources) table.
+    QueryDef(
+      "t41_epoch_waterfill",
+      (s, d) => {
+        import s.implicits._
+        val srcs = Tables.documents(s, d)
+          .select($"source", size(TextFns.tokens($"text")).cast("long").as("nt"))
+          .groupBy($"source").agg(sum($"nt").as("s_tokens"))
+          .withColumn("cap_milli",
+            (pmod(TextFns.polyHash($"source"), lit(4L)) + 1L) * 1000L)
+        epochWaterfill(srcs)
+      },
+      oracle = Some(s"""
+        WITH srcs AS (
+          SELECT source,
+                 CAST(sum(len(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS BIGINT) AS s_tokens,
+                 CAST(((${polyHashSqlOf("source")}) % 4 + 1) * 1000 AS BIGINT) AS cap_milli
+          FROM documents GROUP BY source),
+        base AS (
+          SELECT source, s_tokens, cap_milli,
+                 CAST(sum(s_tokens) OVER () AS BIGINT) AS total_s,
+                 CAST(sum(s_tokens) OVER () * 1500 AS BIGINT) AS bm,
+                 coalesce(CAST(sum(cap_milli * s_tokens) OVER (ORDER BY cap_milli, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS pprev,
+                 CAST(sum(s_tokens) OVER () AS BIGINT)
+                   - coalesce(CAST(sum(s_tokens) OVER (ORDER BY cap_milli, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS rprev,
+                 coalesce(CAST(max(cap_milli) OVER (ORDER BY cap_milli, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cap_prev
+          FROM srcs),
+        cand AS (
+          SELECT *, CASE WHEN rprev > 0 AND bm > pprev
+                         THEN (bm - pprev) // rprev END AS cand
+          FROM base),
+        lamt AS (
+          SELECT min(CASE WHEN cand IS NOT NULL AND cand >= cap_prev AND cand <= cap_milli
+                          THEN cand END) AS lam_valid,
+                 CAST(sum(cap_milli * s_tokens) AS BIGINT) AS capped_mass,
+                 CAST(max(cap_milli) AS BIGINT) AS cap_max,
+                 CAST(max(bm) AS BIGINT) AS bm
+          FROM cand)
+        SELECT c.source, c.s_tokens, c.cap_milli,
+               CAST(least(coalesce(l.lam_valid,
+                 CASE WHEN l.bm >= l.capped_mass THEN l.cap_max END), c.cap_milli) AS BIGINT) AS epochs_milli,
+               (least(coalesce(l.lam_valid,
+                 CASE WHEN l.bm >= l.capped_mass THEN l.cap_max END), c.cap_milli) * c.s_tokens) // 1000 AS alloc_tokens
+        FROM cand c CROSS JOIN lamt l
+        ORDER BY c.source""")),
+
     // ----- broadcast linear-model inference (hashed bag-of-words) ------------
     // The fastText/logreg quality-classifier shape at corpus scale: token ->
     // hashed feature bucket -> broadcast join against an O(B) weight table ->
@@ -2210,6 +2318,111 @@ object TextQueries {
            CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
     FROM spans GROUP BY doc_a, doc_b
     ORDER BY doc_a, doc_b"""
+  }
+
+  /** Filter-ablation report (t40) over an arbitrary (doc_id, text) corpus:
+    * per quality gate, how many docs fail it at all (`n_fail`) and how many
+    * ONLY it catches (`n_unique_fail` — the docs lost if the gate is
+    * dropped; zero means the gate is redundant given the other three).
+    * Gates: t05's token floor and lexical diversity, d07's canonical-copy
+    * rule, and a sane-mean-token-length band. ONE corpus scan computes all
+    * four flags (plus the content-key hash agg for canonicity); the eight
+    * counts collapse to a single aggregate row exploded to four output
+    * rows — O(1) work past the scan at any corpus size.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val docs = Seq((1L, (1 to 25).map("w" + _).mkString(" ")), (2L, "tiny"))
+    *   .toDF("doc_id", "text")
+    * filterAblation(docs).filter($"filter" === "token_floor")
+    *   .select($"n_fail", $"n_unique_fail").as[(Long, Long)].head == ((1L, 1L))
+    * }}}
+    */
+  def filterAblation(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val t = TextFns.tokens($"text")
+    val nToks = size(t).cast("long")
+    val distinctRatio = floor(size(array_distinct(t)) * lit(1000.0) / size(t)).cast("long")
+    val meanTokLen = floor(
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)) * lit(1000.0) / size(t)).cast("long")
+    val feats = docs
+      .select($"doc_id",
+        md5(TextFns.normalize($"text")).as("ck"),
+        nToks.as("n"), distinctRatio.as("dr"), meanTokLen.as("mt"))
+    val canon = feats.groupBy($"ck").agg(min($"doc_id").as("m"))
+    val flags = feats.join(canon, Seq("ck"))
+      .select(($"n" < 20L).as("x_len"), ($"dr" < 200L).as("x_div"),
+        ($"doc_id" =!= $"m").as("x_canon"),
+        ($"mt" < 2000L || $"mt" > 15000L).as("x_tok"))
+    def fails(c: Column) = sum(c.cast("long"))
+    def uniq(c: Column, others: Column*) =
+      sum((c && others.map(!_).reduce(_ && _)).cast("long"))
+    val one = flags.agg(
+      fails($"x_len").as("f_len"), uniq($"x_len", $"x_div", $"x_canon", $"x_tok").as("u_len"),
+      fails($"x_div").as("f_div"), uniq($"x_div", $"x_len", $"x_canon", $"x_tok").as("u_div"),
+      fails($"x_canon").as("f_canon"), uniq($"x_canon", $"x_len", $"x_div", $"x_tok").as("u_canon"),
+      fails($"x_tok").as("f_tok"), uniq($"x_tok", $"x_len", $"x_div", $"x_canon").as("u_tok"))
+    one.select(explode(array(
+        struct(lit("canonical_copy").as("filter"), $"f_canon".as("n_fail"), $"u_canon".as("n_unique_fail")),
+        struct(lit("lexical_diversity").as("filter"), $"f_div".as("n_fail"), $"u_div".as("n_unique_fail")),
+        struct(lit("mean_token_length").as("filter"), $"f_tok".as("n_fail"), $"u_tok".as("n_unique_fail")),
+        struct(lit("token_floor").as("filter"), $"f_len".as("n_fail"), $"u_len".as("n_unique_fail")))).as("e"))
+      .select($"e.filter".as("filter"), $"e.n_fail".as("n_fail"),
+        $"e.n_unique_fail".as("n_unique_fail"))
+      .orderBy($"filter")
+  }
+
+  /** Epoch-budget waterfilling (t41) over a (source, s_tokens, cap_milli)
+    * table: split a total token budget across sources at a COMMON
+    * milli-epoch level λ, clamping each source at its own epoch cap (the
+    * LLaMA-recipe shape: high-quality sources may repeat more) — epochs_i =
+    * min(λ, cap_i) with λ chosen so Σ epochs_i·s_i ≈ budget. λ comes from
+    * the classic sorted-prefix closed form: sort sources by cap; for the
+    * branch capping exactly the first i−1 sources the candidate is
+    * (budget − capped prefix mass) div (remaining weight), valid when it
+    * lands between the neighbouring caps — the true branch is always valid
+    * (integer floor stays inside its bracket), selection is min over valid
+    * candidates, and an over-generous budget degrades to all-capped. All
+    * integer milli arithmetic (div == // on positive operands), one
+    * O(sources) pass after the per-source aggregate — the windows only
+    * ever see the source table, never the corpus.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * // budget 1.5 epochs of 200 tokens = 300; a caps at 1.0, b soaks to 2.0
+    * val srcs = Seq(("a", 100L, 1000L), ("b", 100L, 4000L))
+    *   .toDF("source", "s_tokens", "cap_milli")
+    * epochWaterfill(srcs).select($"source", $"epochs_milli", $"alloc_tokens")
+    *   .as[(String, Long, Long)].collect().toSeq ==
+    *   Seq(("a", 1000L, 100L), ("b", 2000L, 200L))
+    * }}}
+    */
+  def epochWaterfill(srcs: DataFrame, budgetMilliEpochs: Long = 1500L): DataFrame = {
+    require(budgetMilliEpochs > 0, s"need a positive budget, got $budgetMilliEpochs")
+    val s = srcs.sparkSession
+    import s.implicits._
+    val wAll = Window.partitionBy(lit(1))
+    val wPrev = Window.partitionBy(lit(1)).orderBy($"cap_milli", $"source")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lam = srcs
+      .withColumn("total_s", sum($"s_tokens").over(wAll))
+      .withColumn("bm", $"total_s" * budgetMilliEpochs)
+      .withColumn("pprev", coalesce(sum($"cap_milli" * $"s_tokens").over(wPrev), lit(0L)))
+      .withColumn("rprev", $"total_s" - coalesce(sum($"s_tokens").over(wPrev), lit(0L)))
+      .withColumn("cap_prev", coalesce(max($"cap_milli").over(wPrev), lit(0L)))
+      .withColumn("cand", when($"rprev" > 0L && $"bm" > $"pprev",
+        expr("(bm - pprev) div rprev")))
+      .withColumn("lam_valid", min(when(
+        $"cand".isNotNull && $"cand" >= $"cap_prev" && $"cand" <= $"cap_milli",
+        $"cand")).over(wAll))
+      .withColumn("capped_mass", sum($"cap_milli" * $"s_tokens").over(wAll))
+      .withColumn("lam", coalesce($"lam_valid",
+        when($"bm" >= $"capped_mass", max($"cap_milli").over(wAll))))
+    lam.select($"source", $"s_tokens", $"cap_milli",
+        least($"lam", $"cap_milli").as("epochs_milli"))
+      .withColumn("alloc_tokens", expr("(epochs_milli * s_tokens) div 1000"))
+      .orderBy($"source")
   }
 
   /** Substring-dedup scrub economics (t39) — the REMOVE step the t20 miner

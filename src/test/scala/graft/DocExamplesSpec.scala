@@ -81,6 +81,24 @@ class DocExamplesSpec extends SparkSpec {
       .as[(Long, Long, Long)].head === ((1L, 2L, 20L)))
   }
 
+  test("TextQueries.filterAblation scaladoc example") {
+    import graft.operators.TextQueries
+    val docs = Seq((1L, (1 to 25).map("w" + _).mkString(" ")), (2L, "tiny"))
+      .toDF("doc_id", "text")
+    assert(TextQueries.filterAblation(docs).filter($"filter" === "token_floor")
+      .select($"n_fail", $"n_unique_fail").as[(Long, Long)].head === ((1L, 1L)))
+  }
+
+  test("TextQueries.epochWaterfill scaladoc example") {
+    import graft.operators.TextQueries
+    val srcs = Seq(("a", 100L, 1000L), ("b", 100L, 4000L))
+      .toDF("source", "s_tokens", "cap_milli")
+    assert(TextQueries.epochWaterfill(srcs)
+      .select($"source", $"epochs_milli", $"alloc_tokens")
+      .as[(String, Long, Long)].collect().toSeq ===
+      Seq(("a", 1000L, 100L), ("b", 2000L, 200L)))
+  }
+
   test("TextQueries.spanScrubReport scaladoc example") {
     import graft.operators.TextQueries
     val span = (1 to 20).map("d" + _).mkString(" ")

@@ -309,6 +309,44 @@ class TextSpec extends SparkSpec {
       ("bb", 1L, 2L, 32L, 35L, 914L)))
   }
 
+  test("t40: each gate's unique catch is exactly the planted doc; shared failures are unique to none") {
+    import spark.implicits._
+    val good = (1 to 25).map(i => s"good$i").mkString(" ")
+    val docs = Seq(
+      (1L, good),                                       // passes all four gates
+      (2L, "only five short tokens here"),              // 5 tokens: token_floor only
+      (3L, (Seq.fill(30)("word") ++ (1 to 4).map(i => s"pad$i")).mkString(" ")),
+      //     34 tokens, 5 distinct -> dr 147 < 200; mt 4000 sane: diversity only
+      (4L, good),                                       // exact copy of doc 1: canonical only
+      (5L, ('a' to 'y').map(_.toString).mkString(" ")), // 25 1-char tokens: mean length only
+      (6L, Seq.fill(6)("x").mkString(" ")))             // short, repetitive AND 1-char: unique to none
+      .toDF("doc_id", "text")
+    val m = operators.TextQueries.filterAblation(docs)
+      .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(m("token_floor") === ((2L, 1L)), "docs 2+6 fail the floor; only 2 uniquely")
+    assert(m("lexical_diversity") === ((2L, 1L)), "docs 3+6 fail diversity; only 3 uniquely")
+    assert(m("canonical_copy") === ((1L, 1L)), "doc 4 is the only non-canonical copy")
+    assert(m("mean_token_length") === ((2L, 1L)), "docs 5+6 fail length; only 5 uniquely")
+  }
+
+  test("t41: waterfill conserves the budget within quantization; over-budget degrades to caps") {
+    import spark.implicits._
+    val srcs = Seq(("a", 300L, 1000L), ("b", 200L, 2000L), ("c", 500L, 4000L))
+      .toDF("source", "s_tokens", "cap_milli")
+    // budget = 1.5 epochs of 1000 tokens = 1,500,000 milli-tokens: source a
+    // caps at 1.0 epochs; the remaining 1,200,000 spread over weight 700
+    // gives lambda = 1714 milli-epochs (under b's and c's caps)
+    val r = operators.TextQueries.epochWaterfill(srcs)
+      .as[(String, Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r("a")._4 === 1000L && r("b")._4 === 1714L && r("c")._4 === 1714L)
+    val alloc = r.values.map(_._5).sum
+    assert(math.abs(alloc - 1500L) <= 3, s"allocated $alloc of the 1500-token budget")
+    // an over-generous budget degrades to every source at its own cap
+    val capsOnly = operators.TextQueries.epochWaterfill(srcs, budgetMilliEpochs = 100000L)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(capsOnly.forall(x => x._4 === x._3), "over-budget must clamp everything at cap")
+  }
+
   test("t22: temperature compresses shares toward uniform and factors invert shares") {
     val rows = SparkEntry.queries("t22_temperature_mix")(spark, sf).collect()
     assert(rows.length > 1)

@@ -306,6 +306,16 @@ class EdgeCaseSpec extends SparkSpec {
     assert(ExtraRelationalQueries.shipmentConcurrency(empty).count() === 0L)
   }
 
+  test("epochWaterfill: empty source table is empty; a lone source takes the whole budget") {
+    import graft.operators.TextQueries
+    val empty = Seq.empty[(String, Long, Long)].toDF("source", "s_tokens", "cap_milli")
+    assert(TextQueries.epochWaterfill(empty).count() === 0L)
+    // one source under its cap: lambda = the full budget level
+    val lone = Seq(("a", 100L, 2000L)).toDF("source", "s_tokens", "cap_milli")
+    assert(TextQueries.epochWaterfill(lone)
+      .select($"epochs_milli", $"alloc_tokens").as[(Long, Long)].head === ((1500L, 150L)))
+  }
+
   test("modelScores scores the empty doc (one empty token) instead of crashing") {
     import graft.operators.TextQueries
     val r = TextQueries.modelScores(

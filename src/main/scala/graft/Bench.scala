@@ -101,8 +101,37 @@ object Bench {
         }
       }
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$closure}""")
+    val full =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$closure}"""
+    // Driver stdout-capture protocol: the round harness keeps only the LAST
+    // ~2000 chars of stdout and sbt appends a "[success] ..." line after
+    // main returns, so a single ~6 KB JSON line is never reconstructable
+    // from the capture (round 6 shipped with parsed=null). Three-way fix:
+    //  1. the full line is WRITTEN to bench/bench_last.json (well-known
+    //     file, survives any capture window);
+    //  2. the full line still prints (full-stdout parsers);
+    //  3. the FINAL printed line is a compact (<1700 char) JSON with the
+    //     same headline fields plus the slowest queries and a pointer to
+    //     the full artifact — short enough that the complete line, plus
+    //     sbt's trailer, fits inside a 2000-char tail window.
+    scala.util.Try {
+      val w = new java.io.PrintWriter(new java.io.File("bench/bench_last.json"), "UTF-8")
+      try w.println(full) finally w.close()
+    }.failed.foreach(e =>
+      System.err.println(s"[bench] could not write bench/bench_last.json: ${e.getMessage}"))
     spark.stop()
+    println(full)
+    val compactBudget = 1700
+    // same schema as the full line ("queries" map), holding the slowest
+    // subset that fits; "full" points at the complete artifact
+    val head = f""""metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"full":"bench/bench_last.json","queries":"""
+    val slow = new StringBuilder
+    results.sortBy(-_._2).foreach { case (k, v) =>
+      val entry = (if (slow.isEmpty) "" else ",") + "\"" + k + f"""\":$v%.3f"""
+      if (2 + head.length + slow.length + entry.length + 2 <= compactBudget)
+        slow ++= entry
+    }
+    println(s"{$head{$slow}}")
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED (no timing recorded): ${failed.mkString(", ")}")
       sys.exit(1)

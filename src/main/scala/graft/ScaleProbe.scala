@@ -68,9 +68,18 @@ object ScaleProbe {
 
     val docs = Tables.documents(spark, src)
     replicated { k =>
+      // copy 0 passes through untouched (mirroring the embeddings branch)
+      // so the probe data is a strict superset of the sf0.1 fixture; only
+      // copies k > 0 get the vocabulary bijection, and THEIR n_chars is
+      // recomputed so the metadata column matches the rewritten text.
+      val text =
+        if (k == 0) col("text")
+        else regexp_replace(col("text"), "(\\S{4,})", "$1" + k)
+      val nChars =
+        if (k == 0) col("n_chars")
+        else length(text).cast(docs.schema("n_chars").dataType)
       docs.select((col("doc_id") + k * IdStride).as("doc_id"),
-        regexp_replace(col("text"), "(\\S{4,})", "$1" + k).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        text.as("text"), col("lang"), col("source"), nChars.as("n_chars"))
     }.write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val embs = Tables.embeddings(spark, src)

@@ -147,6 +147,10 @@ object TextQueries {
     * above `val all`; interpolated into the oracle). */
   private val BlockPhrases = Seq("slow", "table table", "fast key scan")
 
+  /** t42 per-domain doc budget as a percent of post-dedup URLs (declared
+    * above `val all`; interpolated into the oracle). */
+  private val DomainBudgetPct = 60L
+
   /** Greedy non-overlapping left-to-right application of merge (s1, s2) to a
     * space-separated symbol string. EXACTLY mirrors the DuckDB
     * `list_reduce` lambda in the t13 oracle: fold symbols left to right,
@@ -1366,6 +1370,106 @@ object TextQueries {
         FROM cand c CROSS JOIN lamt l
         ORDER BY c.source""")),
 
+    // ----- URL/domain-grain corpus governance --------------------------------
+    // The crawl-side gate that runs BEFORE any text filter: canonicalize
+    // URLs, dedup on the canonical form, cap any one registered domain's
+    // share of the corpus (waterfill at unit weight — see
+    // domainGovernance). The documents table carries no URL, so the query
+    // synthesizes one deterministically from (doc_id, source) with every
+    // messy variant the canonicalizer must handle — scheme case, www/m
+    // subdomains, host case, trailing slash, /index.html, query strings,
+    // fragments — and the oracle replays the same synthesis. doc_id is
+    // reduced mod 7 BEFORE squaring so the skew term never overflows at
+    // probe-scale ids (k·10^9).
+    QueryDef(
+      "t42_domain_governance",
+      (s, d) => {
+        import s.implicits._
+        val d7 = pmod($"doc_id", lit(7L))
+        val scheme = when(d7 === 0L, "HTTPS").when(d7 === 1L, "http")
+          .otherwise("https")
+        val sub = when(pmod($"doc_id", lit(5L)) === 0L, "www.")
+          .when(pmod($"doc_id", lit(5L)) === 1L, "WWW.")
+          .when(pmod($"doc_id", lit(5L)) === 2L, "m.")
+          .otherwise("")
+        val host0 = concat(sub, $"source", lit("-"),
+          pmod(pmod(d7 * d7, lit(7L)), lit(3L)).cast("string"),
+          lit(".com"))
+        val host = when(pmod($"doc_id", lit(11L)) === 0L, upper(host0))
+          .otherwise(host0)
+        val tail = when(pmod($"doc_id", lit(6L)) === 0L, "/")
+          .when(pmod($"doc_id", lit(6L)) === 1L, "/index.html")
+          .when(pmod($"doc_id", lit(6L)) === 2L, "?utm_source=feed")
+          .when(pmod($"doc_id", lit(6L)) === 3L, "#frag")
+          .when(pmod($"doc_id", lit(6L)) === 4L, "?x=1&utm=2")
+          .otherwise("")
+        val urls = Tables.documents(s, d).select($"doc_id",
+          concat(scheme, lit("://"), host,
+            lit("/p/"), pmod($"doc_id", lit(40L)).cast("string"), tail).as("url"))
+        domainGovernance(urls)
+      },
+      oracle = Some(s"""
+        WITH parts AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 5 = 0 THEN 'www.' WHEN doc_id % 5 = 1 THEN 'WWW.'
+                       WHEN doc_id % 5 = 2 THEN 'm.' ELSE '' END)
+                 || source || '-'
+                 || CAST((((doc_id % 7) * (doc_id % 7)) % 7) % 3 AS VARCHAR)
+                 || '.com' AS h
+          FROM documents),
+        urls AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS'
+                       WHEN doc_id % 7 = 1 THEN 'http' ELSE 'https' END)
+                 || '://' || (CASE WHEN doc_id % 11 = 0 THEN upper(h) ELSE h END)
+                 || '/p/' || CAST(doc_id % 40 AS VARCHAR)
+                 || (CASE WHEN doc_id % 6 = 0 THEN '/'
+                          WHEN doc_id % 6 = 1 THEN '/index.html'
+                          WHEN doc_id % 6 = 2 THEN '?utm_source=feed'
+                          WHEN doc_id % 6 = 3 THEN '#frag'
+                          WHEN doc_id % 6 = 4 THEN '?x=1&utm=2' ELSE '' END) AS url
+          FROM parts),
+        canon AS (
+          SELECT regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                   '^www\\.', '') AS host,
+                 regexp_replace(regexp_replace(
+                   regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                   '/index\\.html$$', ''), '/$$', '') AS p
+          FROM urls),
+        dom AS (
+          SELECT regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT 'https://' || host || p) AS BIGINT) AS n_urls
+          FROM canon GROUP BY 1),
+        base AS (
+          SELECT domain, n_docs, n_urls,
+                 CAST(sum(n_urls) OVER () AS BIGINT) AS total_u,
+                 (CAST(sum(n_urls) OVER () AS BIGINT) * $DomainBudgetPct) // 100 AS b,
+                 coalesce(CAST(sum(n_urls) OVER (ORDER BY n_urls, domain
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS pprev,
+                 CAST(count(*) OVER () AS BIGINT)
+                   - coalesce(CAST(count(*) OVER (ORDER BY n_urls, domain
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS rprev,
+                 coalesce(CAST(max(n_urls) OVER (ORDER BY n_urls, domain
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cap_prev
+          FROM dom),
+        cand AS (
+          SELECT *, CASE WHEN rprev > 0 AND b > pprev
+                         THEN (b - pprev) // rprev END AS cand
+          FROM base),
+        lamt AS (
+          SELECT min(CASE WHEN cand IS NOT NULL AND cand >= cap_prev AND cand <= n_urls
+                          THEN cand END) AS lam_valid,
+                 CAST(sum(n_urls) AS BIGINT) AS total_u2,
+                 CAST(max(n_urls) AS BIGINT) AS cap_max,
+                 CAST(max(b) AS BIGINT) AS b
+          FROM cand)
+        SELECT c.domain, c.n_docs, c.n_urls,
+               CAST(least(coalesce(l.lam_valid,
+                 CASE WHEN l.b >= l.total_u2 THEN l.cap_max END), c.n_urls) AS BIGINT) AS kept
+        FROM cand c CROSS JOIN lamt l
+        ORDER BY c.domain""")),
+
     // ----- broadcast linear-model inference (hashed bag-of-words) ------------
     // The fastText/logreg quality-classifier shape at corpus scale: token ->
     // hashed feature bucket -> broadcast join against an O(B) weight table ->
@@ -2423,6 +2527,79 @@ object TextQueries {
         least($"lam", $"cap_milli").as("epochs_milli"))
       .withColumn("alloc_tokens", expr("(epochs_milli * s_tokens) div 1000"))
       .orderBy($"source")
+  }
+
+  /** URL/domain-grain corpus governance (t42) over a (doc_id, url) frame —
+    * the first filter every web-scale pipeline runs, in two stages:
+    *
+    *  1. URL-CANONICALIZATION DEDUP (d01's shape at URL grain): lowercase
+    *     the host, strip a leading `www.`, drop the query string and
+    *     fragment, strip a trailing `/index.html` then a trailing `/`, and
+    *     fold the scheme to `https` — one canonical URL per fetched page
+    *     however it was linked. Dedup keys on the canonical string.
+    *  2. PER-DOMAIN CAP via [[epochWaterfill]]'s sorted-prefix closed form
+    *     at UNIT weight: a total budget of `budgetPct`% of the deduped
+    *     URLs splits across registered domains (last two host labels) at a
+    *     common per-domain level λ, each domain clamped at its own URL
+    *     count — kept_d = min(n_urls_d, λ) with λ the min valid candidate
+    *     (budget − prefix) div remaining over domains sorted by size.
+    *     This is how corpus builds bound any one site's share (the
+    *     Common-Crawl top-domain skew) without starving the tail.
+    *
+    * Everything before the O(domains) waterfill is one per-row projection
+    * plus one (domain, url) aggregate — no corpus-wide window, no driver
+    * loop; at 100 TB the canonicalization rides the scan and the cap
+    * decision runs on a table the size of the domain list.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val urls = Seq(
+    *   (1L, "HTTPS://WWW.Big.com/a/index.html"),
+    *   (2L, "https://big.com/a/"),          // canonical dup of doc 1
+    *   (3L, "https://big.com/b"), (4L, "https://m.big.com/c"),
+    *   (5L, "http://tiny.com/x?utm_source=feed")).toDF("doc_id", "url")
+    * // 4 deduped urls, budget 50% = 2 -> λ = 1: big.com keeps 1 of 3
+    * TextQueries.domainGovernance(urls, budgetPct = 50L)
+    *   .as[(String, Long, Long, Long)].collect().toSeq ==
+    *   Seq(("big.com", 4L, 3L, 1L), ("tiny.com", 1L, 1L, 1L))
+    * }}}
+    */
+  def domainGovernance(urls: DataFrame, budgetPct: Long = DomainBudgetPct): DataFrame = {
+    require(budgetPct > 0 && budgetPct <= 100, s"need budgetPct in (0,100], got $budgetPct")
+    val s = urls.sparkSession
+    import s.implicits._
+    val host = regexp_replace(
+      lower(regexp_extract($"url", "^[A-Za-z]+://([^/?#]+)", 1)), "^www\\.", "")
+    val path = regexp_replace(regexp_replace(
+      regexp_extract($"url", "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+      "/index\\.html$", ""), "/$", "")
+    val dom = urls
+      .select(concat(lit("https://"), host, path).as("curl"),
+        regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("domain"))
+      .groupBy($"domain")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"curl").as("n_urls"))
+    // unit-weight waterfill — epochWaterfill's closed form with weight 1
+    // per domain; runs on the O(domains) aggregate only
+    val wAll = Window.partitionBy(lit(1))
+    val wPrev = Window.partitionBy(lit(1)).orderBy($"n_urls", $"domain")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lam = dom
+      .withColumn("total_u", sum($"n_urls").over(wAll))
+      .withColumn("b", expr(s"(total_u * $budgetPct) div 100"))
+      .withColumn("pprev", coalesce(sum($"n_urls").over(wPrev), lit(0L)))
+      .withColumn("rprev",
+        count(lit(1)).over(wAll) - coalesce(count(lit(1)).over(wPrev), lit(0L)))
+      .withColumn("cap_prev", coalesce(max($"n_urls").over(wPrev), lit(0L)))
+      .withColumn("cand", when($"rprev" > 0L && $"b" > $"pprev",
+        expr("(b - pprev) div rprev")))
+      .withColumn("lam_valid", min(when(
+        $"cand".isNotNull && $"cand" >= $"cap_prev" && $"cand" <= $"n_urls",
+        $"cand")).over(wAll))
+      .withColumn("lam", coalesce($"lam_valid",
+        when($"b" >= $"total_u", max($"n_urls").over(wAll))))
+    lam.select($"domain", $"n_docs", $"n_urls",
+        least($"lam", $"n_urls").as("kept"))
+      .orderBy($"domain")
   }
 
   /** Substring-dedup scrub economics (t39) — the REMOVE step the t20 miner

@@ -30,9 +30,14 @@ private[graft] object BatchStateStore {
     val tmp = new Path(dir, "_latest.tmp")
     val out = fs.create(tmp, true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(latest, false)
-    if (!fs.rename(tmp, latest))
-      throw new java.io.IOException(s"could not commit state marker $latest")
+    // Atomic OVERWRITE rename (FileContext, not FileSystem.rename): a
+    // delete-then-rename would open a window where a crash leaves NO
+    // marker at all — committedBatch() would then silently start fresh
+    // while the query checkpoint never redelivers the committed batches.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      latest.toUri, s.sparkContext.hadoopConfiguration)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(latest),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     val prefixes = tables.map(_._1 + "_")
     fs.listStatus(new Path(dir)).foreach { st =>
       val nm = st.getPath.getName
@@ -42,11 +47,31 @@ private[graft] object BatchStateStore {
     }
   }
 
-  /** The committed batch id in `dir`, if any commit completed. */
+  /** The committed batch id in `dir`, if any commit completed.
+    *
+    * Defense-in-depth: a dir that holds completed table dirs but NO
+    * marker is ambiguous — either a crash during the FIRST commit (table
+    * parquet landed, marker never created; a fresh state would be correct
+    * because the source checkpoint still redelivers that batch) or marker
+    * loss over committed state (a fresh state would silently drop batches
+    * the checkpoint will never redeliver). The two are indistinguishable
+    * here, and the second is unrecoverable data loss, so fail loudly and
+    * let the operator resolve it: if the query checkpoint shows no
+    * committed offsets, delete the orphan table dirs and restart. */
   def committedBatch(s: SparkSession, dir: String): Option[Long] = {
     val latest = new Path(dir, "_latest")
     val fs = fsOf(s, latest)
-    if (!fs.exists(latest)) None
+    if (!fs.exists(latest)) {
+      val root = new Path(dir)
+      if (fs.exists(root) &&
+          fs.listStatus(root).exists(st =>
+            st.isDirectory && st.getPath.getName.matches(".*_\\d+") &&
+              fs.exists(new Path(st.getPath, "_SUCCESS"))))
+        throw new IllegalStateException(
+          s"state dir $dir holds committed table dirs but no _latest marker; " +
+            "refusing to rehydrate a fresh state over committed batches")
+      None
+    }
     else {
       val in = fs.open(latest)
       try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)

@@ -59,7 +59,10 @@ object StreamBind {
     // key in durable mode would otherwise surface only on the write path
     // of a query already running — and a restart would then re-decide,
     // silently losing the durability the caller asked for.
-    if (!value.isInstanceOf[java.io.Serializable])
+    // null is serializable (ObjectOutputStream round-trips it), and must
+    // not fall through to the error path — value.getClass would NPE inside
+    // the message, masking the intended IllegalArgumentException.
+    if (value != null && !value.isInstanceOf[java.io.Serializable])
       throw new IllegalArgumentException(
         s"durable bind decisions must be java.io.Serializable; got ${value.getClass.getName}")
     val p = decisionPath(dir)

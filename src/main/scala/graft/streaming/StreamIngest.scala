@@ -54,8 +54,6 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamIngest {
 
-  private val PackBudget = 512L
-
   private def features(docs: DataFrame): DataFrame =
     TextQueries.admissionFeaturesWithText(docs)
 
@@ -79,7 +77,7 @@ object StreamIngest {
     * canonical docs concatenate in doc_id order into 512-token chunks. */
   private def packChunks(survivors: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
-    val b = lit(PackBudget)
+    val b = lit(TextQueries.PackBudget) // the ONE budget both packers share
     survivors
       .select(col("doc_id"), col("predicted_lang").as("lang"),
         TextQueries.packShardCol.as("shard"),

@@ -99,6 +99,18 @@ class DocExamplesSpec extends SparkSpec {
       Seq(("a", 1000L, 100L), ("b", 2000L, 200L)))
   }
 
+  test("TextQueries.domainGovernance scaladoc example") {
+    import graft.operators.TextQueries
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Big.com/a/index.html"),
+      (2L, "https://big.com/a/"),          // canonical dup of doc 1
+      (3L, "https://big.com/b"), (4L, "https://m.big.com/c"),
+      (5L, "http://tiny.com/x?utm_source=feed")).toDF("doc_id", "url")
+    assert(TextQueries.domainGovernance(urls, budgetPct = 50L)
+      .as[(String, Long, Long, Long)].collect().toSeq ===
+      Seq(("big.com", 4L, 3L, 1L), ("tiny.com", 1L, 1L, 1L)))
+  }
+
   test("TextQueries.spanScrubReport scaladoc example") {
     import graft.operators.TextQueries
     val span = (1 to 20).map("d" + _).mkString(" ")

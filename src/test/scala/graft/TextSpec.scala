@@ -347,6 +347,29 @@ class TextSpec extends SparkSpec {
     assert(capsOnly.forall(x => x._4 === x._3), "over-budget must clamp everything at cap")
   }
 
+  test("t42: url variants canonicalize to one key; the domain cap binds exactly the planted whale") {
+    import spark.implicits._
+    // whale.com: 8 docs but only 4 canonical urls (each page linked 2 ways);
+    // three tail domains with 1 url each. budget 60% of 7 urls = 4 ->
+    // lambda: sorted (1,1,1,4): cand_1 = 4//4 = 1 valid -> tails uncapped at
+    // 1, whale keeps min(4, (4-3)//1 = 1)... the closed form picks the MIN
+    // valid candidate = 1, so whale is capped at 1 and tails keep their 1.
+    val whale = (0 until 4).flatMap { p =>
+      Seq((10L + p, s"https://www.whale.com/page$p/index.html"),
+        (20L + p, s"HTTP://Whale.com/page$p/?utm_source=x"))
+    }
+    val tail = Seq((30L, "https://a.com/x"), (31L, "https://b.com/y#f"),
+      (32L, "https://m.c.com/z/"))
+    val urls = (whale ++ tail).toDF("doc_id", "url")
+    val r = operators.TextQueries.domainGovernance(urls)
+      .as[(String, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r("whale.com") === (("whale.com", 8L, 4L, 1L)),
+      "the 2-ways-linked pages must dedup 8 docs to 4 urls, then cap to lambda = 1")
+    for (d <- Seq("a.com", "b.com", "c.com"))
+      assert(r(d)._3 === 1L && r(d)._4 === 1L, s"tail domain $d must keep its 1 url")
+    assert(r.values.map(_._4).sum <= (7L * 60L) / 100L, "total kept must respect the budget")
+  }
+
   test("t22: temperature compresses shares toward uniform and factors invert shares") {
     val rows = SparkEntry.queries("t22_temperature_mix")(spark, sf).collect()
     assert(rows.length > 1)

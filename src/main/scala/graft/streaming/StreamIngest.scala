@@ -38,8 +38,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * State (content-keyed canon table + pair set) lives behind the
   * [[StreamIngest.IngestState]] seam with two backings:
-  *   - in-memory localCheckpointed frames (default) — the demo-scale form;
-  *   - `stateDir` — every committed micro-batch writes canon+pairs as
+  *   - `stateDir` (THE DEFAULT — [[start]] requires one) — every committed
+  *     micro-batch writes canon+pairs as
   *     parquet plus an atomically-renamed `_latest` marker (the
   *     transactional-table discipline: a crash mid-write leaves the marker
   *     on the previous batch, and the source checkpoint redelivers the
@@ -48,7 +48,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     [[StreamIngest.load]] — StreamingSpec proves stream == batch across
   *     such a restart. Production swaps the parquet-overwrite for a
   *     Delta/Iceberg MERGE and stores shingle hashes instead of text; the
-  *     commit protocol is the same.
+  *     commit protocol is the same;
+  *   - in-memory localCheckpointed frames ([[startEphemeral]]) — the
+  *     single-session demo form, lost with the driver.
   * State size is O(distinct content keys + true pairs), never O(stream
   * length).
   */
@@ -230,18 +232,37 @@ object StreamIngest {
     st
   }
 
-  /** Start the composed ingestion over a streaming (doc_id, text) frame.
-    * `prior` resumes from a rehydrated state after a restart (the query
-    * checkpoint skips committed offsets; the state seam supplies their
-    * folded result — split-brain on either side fails the equivalence
-    * gate in StreamingSpec). `stateDir` (when no `prior` is given) backs
-    * the state with per-batch persisted parquet tables — see the object
-    * scaladoc and [[load]]. */
+  /** THE FRONT DOOR — durable by default. Start the composed ingestion
+    * over a streaming (doc_id, text) frame with its fold state backed by
+    * `stateDir` (per-batch parquet tables + atomic `_latest` marker, the
+    * [[BatchStateStore]] protocol). The SAME call is restart-safe by
+    * construction: it first rehydrates whatever `stateDir` holds (an
+    * empty/uninitialized dir yields a fresh state), so first start and
+    * every later restart — including in a brand-new SparkSession after
+    * the original driver died — are literally one code path
+    * (StreamingSpec's full-session-kill test drives exactly this call
+    * twice). Pair `stateDir` with the query `checkpoint`: offsets the
+    * checkpoint has committed are never redelivered, and their folded
+    * result comes back from `stateDir`. */
   def start(docs: DataFrame, checkpoint: String,
-      prior: Option[IngestState] = None,
-      stateDir: Option[String] = None): (StreamingQuery, IngestState) = {
+      stateDir: String): (StreamingQuery, IngestState) =
+    startWith(docs, checkpoint, load(docs.sparkSession, stateDir))
+
+  /** DEMO/TEST overload — ephemeral state. The fold lives in driver-held
+    * localCheckpointed frames and dies with the session; a restart
+    * without a rehydrated `prior` silently starts empty while the query
+    * checkpoint skips the already-committed offsets (split-brain). Use
+    * [[start]] with a `stateDir` for anything that must survive a
+    * restart; this overload exists for single-session demos and the
+    * equivalence tests that hand-drive `prior`. */
+  def startEphemeral(docs: DataFrame, checkpoint: String,
+      prior: Option[IngestState] = None): (StreamingQuery, IngestState) =
+    startWith(docs, checkpoint,
+      prior.getOrElse(new IngestState(docs.sparkSession, None)))
+
+  private def startWith(docs: DataFrame, checkpoint: String,
+      state: IngestState): (StreamingQuery, IngestState) = {
     require(docs.isStreaming, "StreamIngest.start needs a streaming DataFrame")
-    val state = prior.getOrElse(new IngestState(docs.sparkSession, stateDir))
     val q = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)

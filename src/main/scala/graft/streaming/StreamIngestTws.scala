@@ -240,15 +240,29 @@ object StreamIngestTws {
     st
   }
 
-  /** Start the TWS-path composed ingestion. Requires the RocksDB state
-    * store provider (chained column families). The query checkpoint holds
-    * BOTH operators' state; `prior`/`stateDir` only carry the report
-    * fold. */
+  /** THE FRONT DOOR — durable by default ([[StreamIngest.start]]'s
+    * contract): the report fold persists to `stateDir` per batch and the
+    * SAME call rehydrates it on restart, so first start and restart are
+    * one code path. Requires the RocksDB state store provider (chained
+    * column families). The query checkpoint holds BOTH operators'
+    * executor-side state; `stateDir` carries only the report fold. */
   def start(docs: DataFrame, checkpoint: String,
-      prior: Option[TwsIngestState] = None,
-      stateDir: Option[String] = None): (StreamingQuery, TwsIngestState) = {
+      stateDir: String): (StreamingQuery, TwsIngestState) =
+    startWith(docs, checkpoint, load(docs.sparkSession, stateDir))
+
+  /** DEMO/TEST overload — ephemeral report fold (the heavy dedup state
+    * still lives in the checkpointed state store, but the folded report
+    * tables die with the session; a restart without a rehydrated `prior`
+    * silently resumes with empty reports). Use [[start]] with a
+    * `stateDir` for anything that must survive a restart. */
+  def startEphemeral(docs: DataFrame, checkpoint: String,
+      prior: Option[TwsIngestState] = None): (StreamingQuery, TwsIngestState) =
+    startWith(docs, checkpoint,
+      prior.getOrElse(new TwsIngestState(docs.sparkSession, None)))
+
+  private def startWith(docs: DataFrame, checkpoint: String,
+      state: TwsIngestState): (StreamingQuery, TwsIngestState) = {
     require(docs.isStreaming, "StreamIngestTws.start needs a streaming DataFrame")
-    val state = prior.getOrElse(new TwsIngestState(docs.sparkSession, stateDir))
     val q = events(docs).toDF().writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)

@@ -64,7 +64,7 @@ class StreamIngestTwsSpec extends SparkSpec {
       val ckpt = s"$root/ckpt"
       val stateDir = s"$root/state"
       val (q1, st1) = StreamIngestTws.start(ms.toDF().toDF("doc_id", "text"),
-        ckpt, stateDir = Some(stateDir))
+        ckpt, stateDir)
       try { ms.addData(firstHalf: _*); q1.processAllAvailable() } finally q1.stop()
       val halfStream = st1.packed.collect().toSeq
       val halfBatch = StreamIngest.ingestBatch(
@@ -74,10 +74,11 @@ class StreamIngestTwsSpec extends SparkSpec {
       // state (admission keys, bucket signatures) returns from the query
       // checkpoint — the admitted set must not re-mine, the flipped {C,D}
       // decision must still land
-      val resumed = StreamIngestTws.load(spark, stateDir)
-      assert(resumed.lastCommittedBatch === st1.lastCommittedBatch)
+      assert(StreamIngestTws.load(spark, stateDir).lastCommittedBatch ===
+        st1.lastCommittedBatch)
+      // restart = the same front-door call (durable-by-default contract)
       val (q2, st2) = StreamIngestTws.start(ms.toDF().toDF("doc_id", "text"),
-        ckpt, Some(resumed))
+        ckpt, stateDir)
       try { ms.addData(secondHalf: _*); q2.processAllAvailable() } finally q2.stop()
       val fullStream = st2.packed.collect().toSeq
       val fullBatch = StreamIngest.ingestBatch(
@@ -100,8 +101,7 @@ class StreamIngestTwsSpec extends SparkSpec {
       firstHalf.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
       def docsStream(s: org.apache.spark.sql.SparkSession) =
         s.readStream.schema("doc_id LONG, text STRING").parquet(srcDir)
-      val (q1, st1) = StreamIngestTws.start(docsStream(spark), ckpt,
-        stateDir = Some(stateDir))
+      val (q1, st1) = StreamIngestTws.start(docsStream(spark), ckpt, stateDir)
       try q1.processAllAvailable() finally q1.stop()
       assert(st1.packed.collect().toSeq ===
         StreamIngest.ingestBatch(firstHalf.toDF("doc_id", "text")).collect().toSeq)
@@ -112,9 +112,9 @@ class StreamIngestTwsSpec extends SparkSpec {
       // neither works unless the restored state is complete.
       val s2 = spark.newSession()
       s2.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
-      val resumed = StreamIngestTws.load(s2, stateDir)
       secondHalf.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
-      val (q2, st2) = StreamIngestTws.start(docsStream(s2), ckpt, Some(resumed))
+      // default construction is restart-safe: same call, fresh session
+      val (q2, st2) = StreamIngestTws.start(docsStream(s2), ckpt, stateDir)
       try q2.processAllAvailable() finally q2.stop()
       assert(st2.packed.collect().toSeq === StreamIngest.ingestBatch(
         (firstHalf ++ secondHalf).toDF("doc_id", "text")).collect().toSeq)
@@ -126,7 +126,7 @@ class StreamIngestTwsSpec extends SparkSpec {
       implicit val sq = spark.sqlContext
       val ms = MemoryStream[(Long, String)]
       val ckpt = java.nio.file.Files.createTempDirectory("tws_corpus").toString
-      val (q, st) = StreamIngestTws.start(ms.toDF().toDF("doc_id", "text"), ckpt)
+      val (q, st) = StreamIngestTws.startEphemeral(ms.toDF().toDF("doc_id", "text"), ckpt)
       // 300 ScaleCorpus docs in three micro-batches: every 10th doc is a
       // near-dup of its predecessor, so pairs span batch boundaries
       val all = (0L until 300L).map(ScaleCorpus.doc)

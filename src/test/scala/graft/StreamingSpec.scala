@@ -1080,7 +1080,7 @@ class StreamingSpec extends SparkSpec {
       (80L, tok("v", 25)))
     val ms = MemoryStream[(Long, String)]
     val ckpt = java.nio.file.Files.createTempDirectory("ingest_ckpt").toString
-    val (q1, st1) = StreamIngest.start(ms.toDF().toDF("doc_id", "text"), ckpt)
+    val (q1, st1) = StreamIngest.startEphemeral(ms.toDF().toDF("doc_id", "text"), ckpt)
     try { ms.addData(firstHalf: _*); q1.processAllAvailable() } finally q1.stop()
     // any-prefix equivalence: the composed stream state equals the one-shot
     // batch pipeline over the same prefix (here: pair {A,B} drops B, pair
@@ -1098,7 +1098,7 @@ class StreamingSpec extends SparkSpec {
     val (savedCanon, savedPairs) = st1.stateTables.get
     val resumed = new StreamIngest.IngestState(spark)
     resumed.rehydrate(savedCanon, savedPairs, st1.lastCommittedBatch)
-    val (q2, st2) = StreamIngest.start(
+    val (q2, st2) = StreamIngest.startEphemeral(
       ms.toDF().toDF("doc_id", "text"), ckpt, Some(resumed))
     try { ms.addData(secondHalf: _*); q2.processAllAvailable() } finally q2.stop()
     val fullStream = st2.packed.collect().toSeq
@@ -1131,7 +1131,7 @@ class StreamingSpec extends SparkSpec {
     firstHalf.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
     def docsStream(s: org.apache.spark.sql.SparkSession) =
       s.readStream.schema("doc_id LONG, text STRING").parquet(srcDir)
-    val (q1, st1) = StreamIngest.start(docsStream(spark), ckpt, stateDir = Some(stateDir))
+    val (q1, st1) = StreamIngest.start(docsStream(spark), ckpt, stateDir)
     try q1.processAllAvailable() finally q1.stop()
     assert(st1.packed.collect().toSeq ===
       StreamIngest.ingestBatch(firstHalf.toDF("doc_id", "text")).collect().toSeq)
@@ -1140,10 +1140,12 @@ class StreamingSpec extends SparkSpec {
     // + _latest marker ALONE (the shared test JVM keeps one SparkContext,
     // which holds no ingest state — every frame below reads disk)
     val s2 = spark.newSession()
-    val resumed = StreamIngest.load(s2, stateDir)
-    assert(resumed.lastCommittedBatch >= 0L, "marker must rehydrate the committed batch id")
+    assert(StreamIngest.load(s2, stateDir).lastCommittedBatch >= 0L,
+      "marker must rehydrate the committed batch id")
     secondHalf.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
-    val (q2, st2) = StreamIngest.start(docsStream(s2), ckpt, Some(resumed))
+    // DEFAULT CONSTRUCTION is restart-safe: the restart is the very same
+    // front-door call as the first start — no explicit load/prior wiring
+    val (q2, st2) = StreamIngest.start(docsStream(s2), ckpt, stateDir)
     try q2.processAllAvailable() finally q2.stop()
     val full = (firstHalf ++ secondHalf).toDF("doc_id", "text")
     assert(st2.packed.collect().toSeq ===

@@ -431,6 +431,19 @@ object DedupQueries {
     * hit without convergence the query FAILS rather than silently emitting
     * wrong labels (templated corpora produce arbitrarily long near-dup
     * chains; a silent cap would mislabel them). */
+  /** Per-round frontier telemetry of the MOST RECENT [[clusterLabels]]
+    * call on this driver: element i = how many labels changed in round
+    * i + 1 (the Observation side-metric each round already collects;
+    * recording it costs nothing extra), final element always 0 — the
+    * converged round. Length = rounds run. This is THE capacity-planning
+    * number for the iterative dedup family at 100 TB: rounds grow with
+    * log(component diameter), not with data size, and a frontier that
+    * stops shrinking flags a templated-corpus long chain before the
+    * maxRounds failure does. Driver-side like the loop itself; written
+    * once per call, after convergence. */
+  private[graft] val lastClusterFrontier =
+    new java.util.concurrent.atomic.AtomicReference[Seq[Long]](Nil)
+
   /** Example (run verbatim by DocExamplesSpec): a 2-chain, an edgeless
     * singleton, and a pair collapse to min-id cluster labels:
     * {{{
@@ -466,6 +479,7 @@ object DedupQueries {
     var labels = touched.select($"doc_id", $"doc_id".as("cluster_id")).localCheckpoint()
     var changed = 1L
     var rounds = 0
+    val frontier = Seq.newBuilder[Long]
     while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select($"doc_id".as("dst"), $"cluster_id".as("nl")), "dst")
@@ -504,13 +518,16 @@ object DedupQueries {
       }
       stepped.unpersist()
       labels = next.select($"doc_id", $"cluster_id")
+      frontier += changed
       rounds += 1
     }
     require(changed == 0,
       s"near-dup clustering did not converge after $rounds rounds " +
         s"($changed labels still changing); raise maxRounds")
+    lastClusterFrontier.set(frontier.result())
     org.slf4j.LoggerFactory.getLogger("graft.DedupQueries")
-      .info(s"clusterLabels converged in $rounds rounds")
+      .info(s"clusterLabels converged in $rounds rounds; " +
+        s"frontier=${lastClusterFrontier.get().mkString(",")}")
     edges.unpersist()
     // isolated nodes re-enter with their own id as the label
     docs.select($"doc_id").join(labels, Seq("doc_id"), "left")

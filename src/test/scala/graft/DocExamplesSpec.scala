@@ -696,6 +696,9 @@ class DocExamplesSpec extends SparkSpec {
     "DedupQueries" -> Set(
       "numBands", "embDim", "lshTableCount", "lshPlanesPerTableCount", // constant accessors
       "minSharedTable", // private[operators]; Java-reflection artifact
+      "lastClusterFrontier", // private[graft] telemetry holder (per-round
+                        // frontier of the last clusterLabels call); gated
+                        // by ObservationJobsSpec, not an operator
       "d06OracleSql"),  // oracle-SQL constant consumed by the s12 oracle
     "SimilarityQueries" -> Set(
       "IvfK", "KmK", "PqK", "PqM", "PqSubDim", // private[graft] codebook constants

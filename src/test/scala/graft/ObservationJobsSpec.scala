@@ -57,7 +57,18 @@ class ObservationJobsSpec extends SparkSpec {
         .as[(Long, Long)].collect()
     }
     assert(labels.forall(_._2 == 0L) && labels.length == 40)
-    info(s"clusterLabels(40-chain): $jobs jobs, actions = ${actions.groupBy(identity).view.mapValues(_.size).toMap}")
+    // round telemetry rides the same Observation metric: per-round changed
+    // counts, one entry per round, converged (0) last — the rounds-vs-size
+    // number the sf1 probe records (bench/sf1_probe.json)
+    val frontier = DedupQueries.lastClusterFrontier.get()
+    assert(frontier.nonEmpty && frontier.last === 0L,
+      s"frontier must end at the converged round: $frontier")
+    assert(frontier.init.forall(_ > 0L),
+      s"every non-final round must have changed labels: $frontier")
+    // pointer jumping: a 40-chain converges in O(log n) rounds, not ~40
+    assert(frontier.length <= 8, s"40-chain took ${frontier.length} rounds")
+    info(s"clusterLabels(40-chain): $jobs jobs, rounds=${frontier.length}, " +
+      s"frontier=${frontier.mkString(",")}, actions = ${actions.groupBy(identity).view.mapValues(_.size).toMap}")
     val counts = actions.count(_ == "count")
     assert(counts === 0,
       s"clusterLabels ran $counts standalone count actions — the convergence " +

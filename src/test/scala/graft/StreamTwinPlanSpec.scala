@@ -1,0 +1,114 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** The StreamIngestPlanSpec no-collect gate, generalized over the
+  * foreachBatch twin registry (the round-6 verdict's stretch 7): round 5's
+  * regression class was a driver-side `collect()` of per-batch data baked
+  * back into a plan as an `isin` literal list — O(batch) through the
+  * driver and an O(n)-literal Catalyst expression. This spec drives each
+  * fold twin through its public streaming API over batches big enough
+  * that any collected id list would be unmistakable (150+ rows vs the
+  * 16-literal enum allowance), tracing every driver action the fold
+  * executes, and asserts the class is structurally absent EVERYWHERE:
+  *
+  *  1. the only materializing action a fold may run is its per-batch
+  *     `localCheckpoint` (lineage truncation) — no collect/head/take/
+  *     toLocalIterator ever reaches the driver from inside a merge;
+  *  2. no traced plan contains an In/InSet wider than a small constant
+  *     enum (tombstone-type lists and the like pass; a data-derived id
+  *     list cannot).
+  *
+  * StreamIngest's own mining seam keeps its dedicated semi-join gate in
+  * StreamIngestPlanSpec; this registry covers the simpler fold twins the
+  * directive names (CDC compaction, bottom-k sampling, SCD2 history). */
+class StreamTwinPlanSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val MaxEnumLiterals = 16
+  private val AllowedActions = Set("localCheckpoint")
+
+  /** Run `drive`, returning every (action name, query execution) the
+    * session's driver executed while it ran. */
+  private def traced(drive: => Unit): Seq[(String, QueryExecution)] = {
+    val acts = new ConcurrentLinkedQueue[(String, QueryExecution)]()
+    val ql = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        acts.add((f, qe))
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit =
+        acts.add((f, qe))
+    }
+    spark.listenerManager.register(ql)
+    try { drive; Thread.sleep(800) } // drain the async listener bus
+    finally spark.listenerManager.unregister(ql)
+    import scala.jdk.CollectionConverters._
+    acts.asScala.toSeq
+  }
+
+  private def wideIns(qe: QueryExecution): Seq[String] =
+    qe.optimizedPlan.collect { case n =>
+      n.expressions.flatMap(_.collect {
+        case i: In if i.list.size > MaxEnumLiterals => s"In(${i.list.size})"
+        case i: InSet if i.hset.size > MaxEnumLiterals => s"InSet(${i.hset.size})"
+      })
+    }.flatten
+
+  private def ts(i: Int) =
+    java.sql.Timestamp.valueOf(f"2024-03-01 ${i / 60}%02d:${i % 60}%02d:00")
+
+  /** Twin registry: name -> drive (start on a MemoryStream, feed two
+    * 150-row batches, stop). 150 distinct ids per batch means a collected
+    * id list re-entering a plan would be a 150-wide In — 9x the enum
+    * allowance. */
+  private lazy val twins: Seq[(String, () => Unit)] = Seq(
+    "StreamCdc" -> { () =>
+      implicit val sq = spark.sqlContext
+      val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+      val rows = (0 until 300).map(i => (i.toLong, ts(i), (i % 40).toLong,
+        Seq("signup", "view", "delete")(i % 3), i.toDouble))
+      val (q, state) = graft.streaming.StreamCdc.start(
+        ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+      try rows.grouped(150).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      assert(state.snapshot.columns.nonEmpty)
+    },
+    "StreamSample" -> { () =>
+      implicit val sq = spark.sqlContext
+      val ms = MemoryStream[(Long, String)]
+      val rows = (0 until 300).map(i => (i.toLong, Seq("en", "de", "fr")(i % 3)))
+      val (q, state) = graft.streaming.StreamSample.start(
+        ms.toDF().toDF("doc_id", "lang"), k = 7)
+      try rows.grouped(150).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      assert(state.sample.columns.nonEmpty)
+    },
+    "StreamScd2" -> { () =>
+      implicit val sq = spark.sqlContext
+      val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+      val rows = (0 until 300).map(i => (i.toLong, ts(i), (i % 40).toLong,
+        s"""{"k": ${(i / 40) * 25}}"""))
+      val (q, state) = graft.streaming.StreamScd2.start(
+        ms.toDF().toDF("event_id", "ts", "user_id", "props"))
+      try rows.grouped(150).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      assert(state.history.columns.nonEmpty)
+    })
+
+  for ((name, drive) <- twins)
+    test(s"$name folds collect-free: only localCheckpoint actions, no data-derived In/InSet") {
+      val acts = traced(drive())
+      assert(acts.nonEmpty, "the drive must execute at least one fold action")
+      val illegal = acts.map(_._1).filterNot(AllowedActions)
+      assert(illegal.isEmpty,
+        s"$name ran driver actions beyond the per-batch checkpoint: " +
+          illegal.groupBy(identity).view.mapValues(_.size).toMap)
+      val ins = acts.flatMap { case (f, qe) => wideIns(qe).map(w => s"$f: $w") }
+      assert(ins.isEmpty,
+        s"$name bakes a data-derived literal list into a plan: ${ins.mkString(", ")}")
+    }
+}

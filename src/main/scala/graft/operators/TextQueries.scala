@@ -1470,6 +1470,90 @@ object TextQueries {
         FROM cand c CROSS JOIN lamt l
         ORDER BY c.domain""")),
 
+    // ----- license propagation through dedup groups --------------------------
+    // Provenance governance: when dedup keeps ONE canonical copy of a
+    // document that arrived from several sources, the kept copy's
+    // effective license is the MOST RESTRICTIVE across its group — a
+    // permissively-licensed mirror of a restricted document does not
+    // launder the restriction. Per-source tiers here derive from the t04
+    // poly-hash (the t21/t41 synthetic-stand-in convention: 0 permissive,
+    // 1 attribution, 2 restricted; max = lattice join); groups are d01's
+    // exact content-key grain (production can run the same fold at d08's
+    // near-dup-cluster grain — the max is associative over any grouping).
+    // Output per effective license: groups kept, groups ESCALATED (the
+    // keeper's own source was more permissive than the group — the
+    // dangerous case a naive per-doc license column gets wrong), total
+    // copies, and kept tokens. One corpus scan, one content-key agg, one
+    // O(licenses) agg. The escalation path is exercised by TextSpec's
+    // planted multi-source group (the sf0.01 fixture has no cross-source
+    // exact dups; the oracle still value-checks tiering and totals).
+    QueryDef(
+      "t43_license_fold",
+      (s, d) => licenseFold(Tables.documents(s, d)),
+      oracle = Some(s"""
+        WITH f AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ck,
+                 CAST((${polyHashSqlOf("'lic:' || source")}) % 3 AS BIGINT) AS tier,
+                 CAST(len(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_toks
+          FROM documents),
+        g AS (
+          SELECT ck, max(tier) AS gtier, min_by(tier, doc_id) AS ktier,
+                 min_by(n_toks, doc_id) AS ktoks,
+                 CAST(count(*) AS BIGINT) AS n_copies
+          FROM f GROUP BY ck)
+        SELECT CASE gtier WHEN 0 THEN 'permissive' WHEN 1 THEN 'attribution'
+                          ELSE 'restricted' END AS license,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN ktier < gtier THEN 1 ELSE 0 END) AS BIGINT) AS n_escalated,
+               CAST(sum(n_copies) AS BIGINT) AS n_copies,
+               CAST(sum(ktoks) AS BIGINT) AS kept_tokens
+        FROM g GROUP BY 1
+        ORDER BY license""")),
+
+    // ----- eval decontamination (the REMOVE step t07 stops short of) ---------
+    // t07 flags heldout docs that leak into training; the production
+    // decision runs the OTHER way: any TRAIN document sharing an 8-token
+    // shingle with the heldout set is dropped from training (the GPT-3/
+    // PaLM n-gram decontamination rule), because a leaked eval answer in
+    // the training set invalidates the benchmark, not the eval doc. Same
+    // linear shape as t07 with the semi-join reversed — distinct heldout
+    // shingles (the 10% side, broadcast-sized at any split ratio) probe
+    // the train side; plus the scrub economics (t39's convention): per
+    // lang, docs and tokens dropped vs kept. In-scan shingle keys, one
+    // equi-join, never all-pairs.
+    QueryDef(
+      "t44_decontaminate",
+      (s, d) => decontaminateReport(Tables.documents(s, d)),
+      oracle = Some {
+        val gram = (0 to 7).map(k => s"t[i+$k]").mkString(", ")
+        s"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 CASE WHEN $splitBucketSql < $TrainPct
+                      THEN 'train' ELSE 'heldout' END AS split,
+                 string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, lang, split, CAST(len(t) AS BIGINT) AS n_toks,
+                 list_distinct(list_transform(generate_series(1, greatest(len(t) - 7, 1)),
+                   i -> concat_ws(' ', $gram))) AS s
+          FROM toks),
+        held AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE split = 'heldout'),
+        train AS (SELECT doc_id, lang, n_toks, s FROM sh WHERE split = 'train'),
+        dropped AS (
+          SELECT DISTINCT tr.doc_id
+          FROM (SELECT doc_id, unnest(s) AS g FROM train) tr
+          JOIN held USING (g))
+        SELECT t.lang, CAST(count(*) AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN t.n_toks ELSE 0 END) AS BIGINT) AS tokens_dropped,
+               CAST(sum(CASE WHEN d.doc_id IS NULL THEN t.n_toks ELSE 0 END) AS BIGINT) AS tokens_clean
+        FROM train t LEFT JOIN dropped d ON t.doc_id = d.doc_id
+        GROUP BY t.lang
+        ORDER BY t.lang"""
+      }),
+
     // ----- broadcast linear-model inference (hashed bag-of-words) ------------
     // The fastText/logreg quality-classifier shape at corpus scale: token ->
     // hashed feature bucket -> broadcast join against an O(B) weight table ->
@@ -2600,6 +2684,115 @@ object TextQueries {
     lam.select($"domain", $"n_docs", $"n_urls",
         least($"lam", $"n_urls").as("kept"))
       .orderBy($"domain")
+  }
+
+  /** License propagation through exact-dedup groups (t43) over a
+    * (doc_id, text, source) frame: group documents by normalized content
+    * key (d01's grain), fold each group's per-source license tiers with
+    * MAX (the lattice join: 0 permissive < 1 attribution < 2 restricted —
+    * a permissive mirror never launders a restricted original), and
+    * report per effective license: groups, ESCALATED groups (keeper's own
+    * source was more permissive than the group — the case a naive per-doc
+    * license column silently gets wrong), total copies, kept tokens.
+    * `tierCol` maps each row to its tier; the t43 query derives it from
+    * the source poly-hash (synthetic stand-in for a real license table).
+    * One scan, one content-key agg, one O(licenses) agg; the fold is
+    * associative, so the same decision runs unchanged at near-dup-cluster
+    * grain or inside an incremental ingest fold.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * // docs 1+2 are one content group: keeper 1 is permissive (tier 0)
+    * // but copy 2 is restricted -> the group ESCALATES to restricted
+    * val docs = Seq((1L, "same text", "a"), (2L, "same  TEXT ", "b"),
+    *   (3L, "other", "a")).toDF("doc_id", "text", "source")
+    * TextQueries.licenseFold(docs, when($"source" === "b", 2L).otherwise(0L))
+    *   .select($"license", $"n_groups", $"n_escalated", $"n_copies")
+    *   .as[(String, Long, Long, Long)].collect().toSeq ==
+    *   Seq(("permissive", 1L, 0L, 1L), ("restricted", 1L, 1L, 2L))
+    * }}}
+    */
+  def licenseFold(docs: DataFrame, tierCol: Column = defaultLicenseTier): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val f = docs.select($"doc_id",
+      md5(TextFns.normalize($"text")).as("ck"), tierCol.as("tier"),
+      size(TextFns.tokens($"text")).cast("long").as("n_toks"))
+    val g = f.groupBy($"ck").agg(
+      max($"tier").as("gtier"),
+      min_by($"tier", $"doc_id").as("ktier"),
+      min_by($"n_toks", $"doc_id").as("ktoks"),
+      count(lit(1)).as("n_copies"))
+    g.groupBy(when($"gtier" === 0L, "permissive")
+        .when($"gtier" === 1L, "attribution")
+        .otherwise("restricted").as("license"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(($"ktier" < $"gtier").cast("long")).as("n_escalated"),
+        sum($"n_copies").as("n_copies"),
+        sum($"ktoks").as("kept_tokens"))
+      .orderBy($"license")
+  }
+
+  /** t43's synthetic per-source tier: the t04 poly-hash of the salted
+    * source name mod 3 — deterministic, oracle-replayable (the t21/t41
+    * synthetic-model convention). */
+  private def defaultLicenseTier: Column =
+    pmod(TextFns.polyHash(concat(lit("lic:"), col("source"))), lit(3L))
+
+  /** Eval decontamination (t44) over a (doc_id, text, lang) frame — the
+    * REMOVE step t07's check stops short of: any TRAIN document sharing
+    * an 8-token shingle with the heldout set is dropped from training
+    * (the GPT-3/PaLM n-gram rule — a leaked eval answer invalidates the
+    * benchmark, so the train side pays, not the eval side). Train-train
+    * shingle overlap is untouched: only heldout shingles probe. Output
+    * per lang: train docs, dropped docs, and the token economics of the
+    * scrub (t39's convention). `trainPred` decides split membership; the
+    * t44 query uses the t06 salted-hash bucket, so the split is exactly
+    * the stratified-split family's.
+    *
+    * Scale shape: distinct heldout shingles are the minority-split side —
+    * broadcast-sized relative to the corpus at any split ratio — and the
+    * only join is one equi-semi-join from exploded train shingle keys
+    * (in-scan ShingleHashesExpr longs, never strings); linear in corpus
+    * shingles, never all-pairs.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * def gram(p: String) = (1 to 8).map(p + _).mkString(" ")
+    * val docs = Seq(
+    *   (1L, s"${gram("g")} tail", "en"),          // heldout
+    *   (2L, s"lead ${gram("g")} ${gram("h")}", "en"), // train: leaks g -> dropped
+    *   (3L, s"${gram("h")} tail", "en"))          // train: shares h with TRAIN 2 only -> kept
+    *   .toDF("doc_id", "text", "lang")
+    * TextQueries.decontaminateReport(docs, trainPred = $"doc_id" > 1L)
+    *   .as[(String, Long, Long, Long, Long)].head ==
+    *   (("en", 2L, 1L, 17L, 9L))
+    * }}}
+    */
+  def decontaminateReport(docs: DataFrame,
+      trainPred: Column = splitBucket < TrainPct): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sh = shingleKeys8(docs)
+      .join(docs.select($"doc_id",
+        size(TextFns.tokens($"text")).cast("long").as("n_toks")), Seq("doc_id"))
+      .withColumn("split", when(trainPred, "train").otherwise("heldout"))
+      .cache()
+    val heldSh = sh.filter($"split" === "heldout")
+      .select(explode($"gs").as("g")).distinct()
+    val train = sh.filter($"split" === "train")
+    val dropped = train
+      .select($"doc_id", explode($"gs").as("g"))
+      .join(heldSh, Seq("g"), "left_semi")
+      .select($"doc_id").distinct()
+    train
+      .join(dropped.withColumn("is_dropped", lit(1L)), Seq("doc_id"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce($"is_dropped", lit(0L))).as("n_dropped"),
+        sum(when($"is_dropped".isNotNull, $"n_toks").otherwise(0L)).as("tokens_dropped"),
+        sum(when($"is_dropped".isNull, $"n_toks").otherwise(0L)).as("tokens_clean"))
+      .orderBy($"lang")
   }
 
   /** Substring-dedup scrub economics (t39) — the REMOVE step the t20 miner

@@ -111,6 +111,30 @@ class DocExamplesSpec extends SparkSpec {
       Seq(("big.com", 4L, 3L, 1L), ("tiny.com", 1L, 1L, 1L)))
   }
 
+  test("TextQueries.licenseFold scaladoc example") {
+    import graft.operators.TextQueries
+    import org.apache.spark.sql.functions.when
+    val docs = Seq((1L, "same text", "a"), (2L, "same  TEXT ", "b"),
+      (3L, "other", "a")).toDF("doc_id", "text", "source")
+    assert(TextQueries.licenseFold(docs, when($"source" === "b", 2L).otherwise(0L))
+      .select($"license", $"n_groups", $"n_escalated", $"n_copies")
+      .as[(String, Long, Long, Long)].collect().toSeq ===
+      Seq(("permissive", 1L, 0L, 1L), ("restricted", 1L, 1L, 2L)))
+  }
+
+  test("TextQueries.decontaminateReport scaladoc example") {
+    import graft.operators.TextQueries
+    def gram(p: String) = (1 to 8).map(p + _).mkString(" ")
+    val docs = Seq(
+      (1L, s"${gram("g")} tail", "en"),
+      (2L, s"lead ${gram("g")} ${gram("h")}", "en"),
+      (3L, s"${gram("h")} tail", "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(TextQueries.decontaminateReport(docs, trainPred = $"doc_id" > 1L)
+      .as[(String, Long, Long, Long, Long)].head ===
+      (("en", 2L, 1L, 17L, 9L)))
+  }
+
   test("TextQueries.spanScrubReport scaladoc example") {
     import graft.operators.TextQueries
     val span = (1 to 20).map("d" + _).mkString(" ")

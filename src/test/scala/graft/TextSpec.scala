@@ -370,6 +370,30 @@ class TextSpec extends SparkSpec {
     assert(r.values.map(_._4).sum <= (7L * 60L) / 100L, "total kept must respect the budget")
   }
 
+  test("t43: the license lattice folds max across copies and the keeper is the min-id copy") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{element_at, map, lit => l}
+    // one group with THREE copies across all tiers: keeper = min id (tier 1),
+    // group = max tier (2, from the middle copy) -> attribution keeper
+    // escalates to restricted; a lone attribution doc stays put
+    val docs = Seq(
+      (10L, "shared corpus text", "attr_src"),
+      (11L, "  SHARED   corpus TEXT", "restr_src"),
+      (12L, "shared corpus  text ", "perm_src"),
+      (20L, "standalone", "attr_src")).toDF("doc_id", "text", "source")
+    val tier = element_at(
+      map(l("perm_src"), l(0L), l("attr_src"), l(1L), l("restr_src"), l(2L)),
+      $"source")
+    val r = operators.TextQueries.licenseFold(docs, tier)
+      .as[(String, Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r("restricted") === (("restricted", 1L, 1L, 3L, 3L)),
+      "the 3-copy group must fold to restricted, count as escalated, keep keeper 10's 3 tokens")
+    assert(r("attribution") === (("attribution", 1L, 0L, 1L, 1L)),
+      "the lone attribution doc must not escalate")
+    assert(!r.contains("permissive"),
+      "no group's MAX tier is permissive - the permissive copy never wins the fold")
+  }
+
   test("t22: temperature compresses shares toward uniform and factors invert shares") {
     val rows = SparkEntry.queries("t22_temperature_mix")(spark, sf).collect()
     assert(rows.length > 1)

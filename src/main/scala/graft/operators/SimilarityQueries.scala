@@ -58,6 +58,15 @@ object SimilarityQueries {
   private val ProxQueriesSqlValues: String =
     ProxQueries.map { case (q, a, b) => s"($q, '$a', '$b')" }.mkString(", ")
 
+  // s20 hybrid fusion: each side contributes its top FuseR ranks; RRF
+  // contribution = RrfScale // (RrfK + rank), the standard K=60 smoothing
+  // in integer micro-units (distinct per rank <= FuseR, so fused ties only
+  // arise across docs and break on doc_id). MUST be declared above
+  // `val all` (object init is sequential).
+  private val FuseR = 20
+  private val RrfK = 60
+  private val RrfScale = 1000000L
+
   /** The BM25 per-(term, doc) contribution in exact integer arithmetic,
     * written once and rendered for either engine's integer-division
     * operator (Spark `div`, DuckDB `//` — identical on the all-positive
@@ -818,6 +827,75 @@ object SimilarityQueries {
       "s10_bm25_retrieval",
       (s, d) => bm25Search(Tables.documents(s, d), Bm25Queries, k = 10),
       oracle = Some(s10OracleSql)),
+
+    // ----- hybrid retrieval: BM25 + vector fused by reciprocal rank ---------
+    // The serving pattern every production retrieval stack converges on:
+    // a lexical ranking and a semantic ranking answer the same query
+    // INDEPENDENTLY, and reciprocal-rank fusion (RRF, K = 60) merges the
+    // two top-R lists — rank-based, so the incomparable score scales
+    // (BM25 millis vs cosine millis) never need calibration. Queries here
+    // are query-BY-DOCUMENT (docs 0-4, which carry both text and an
+    // embedding via the shared id space): the "more like this" shape that
+    // retrieval-augmented dedup and recommendation run. The lexical side
+    // is s10's exact integer BM25 with the query doc's term set as the
+    // query (terms come from a FRAME, never a driver collect); the vector
+    // side is s01's exact cosine contract. Fusion itself consumes only
+    // the two O(queries x R) ranked lists — at 100 TB each side swaps in
+    // its indexed variant (s02/s03, impact-ordered postings) and the
+    // fusion plan is unchanged. Docs missing from a side's top-R
+    // contribute 0 (reported rank 0): full-outer fuse, never inner — an
+    // inner join would silently drop single-modality hits.
+    QueryDef(
+      "s20_hybrid_rrf",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val dt = docs
+          .select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
+          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+          .cache()
+        val dl = dt.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+        val dft = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
+        val qterms = dt.filter($"doc_id" < 5)
+          .select($"doc_id".as("query_id"), $"tok")
+          .join(dft, "tok")
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_total"))
+        val wl = Window.partitionBy($"query_id").orderBy($"score_milli".desc, $"doc_id")
+        val lex = dt.join(broadcast(qterms), "tok")
+          .filter($"doc_id" =!= $"query_id")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select($"query_id", $"doc_id", expr(Bm25ContribExpr).as("contrib"))
+          .groupBy($"query_id", $"doc_id")
+          .agg(expr("sum(contrib) div 1000").as("score_milli"))
+          .withColumn("lex_rank", row_number().over(wl).cast("long"))
+          .filter($"lex_rank" <= FuseR)
+          .select($"query_id", $"doc_id", $"lex_rank")
+        val e = Tables.embeddings(s, d)
+        val queries = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("query_id"), $"embedding".as("q"))
+        val wv = Window.partitionBy($"query_id").orderBy($"cos_milli".desc, $"doc_id")
+        val vec = e.join(broadcast(queries), $"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("doc_id"),
+            VectorFns.cosineMilli($"q", $"embedding").as("cos_milli"))
+          .withColumn("vec_rank", row_number().over(wv).cast("long"))
+          .filter($"vec_rank" <= FuseR)
+          .select($"query_id", $"doc_id", $"vec_rank")
+        val wf = Window.partitionBy($"query_id").orderBy($"fused_micro".desc, $"doc_id")
+        lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+          .select($"query_id", $"doc_id",
+            coalesce($"lex_rank", lit(0L)).as("lex_rank"),
+            coalesce($"vec_rank", lit(0L)).as("vec_rank"))
+          .withColumn("fused_micro",
+            when($"lex_rank" > 0L, expr(s"$RrfScale div ($RrfK + lex_rank)")).otherwise(0L)
+              + when($"vec_rank" > 0L, expr(s"$RrfScale div ($RrfK + vec_rank)")).otherwise(0L))
+          .withColumn("rank", row_number().over(wf).cast("long"))
+          .filter($"rank" <= 10L)
+          .select($"query_id", $"rank", $"doc_id", $"fused_micro",
+            $"lex_rank", $"vec_rank")
+          .orderBy($"query_id", $"rank")
+      },
+      oracle = Some(s20OracleSql)),
 
     // ----- semantic clusters: connected components over the mutual-kNN graph
     // The SemDeDup-family capstone: label every vector with a semantic
@@ -1828,6 +1906,69 @@ object SimilarityQueries {
         FROM ranked WHERE rank <= 10
         ORDER BY query_id, rank"""
   }
+
+  /** The s20 oracle: s10's integer BM25 with the query docs' term sets as
+    * queries, s01's cosine ranking, RRF-fused over each side's top FuseR
+    * with integer micro contributions. */
+  private def s20OracleSql: String = s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+          FROM documents),
+        dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+               FROM toks GROUP BY doc_id, tok),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY doc_id),
+        dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS t_total FROM dl),
+        qt AS (SELECT doc_id AS query_id, tok FROM dt WHERE doc_id < 5),
+        lexs AS (
+          SELECT query_id, doc_id,
+                 CAST(sum(${bm25Contrib("//")}) // 1000 AS BIGINT) AS score_milli
+          FROM dt
+          JOIN qt USING (tok)
+          JOIN dft USING (tok)
+          JOIN dl USING (doc_id)
+          CROSS JOIN st
+          WHERE doc_id != query_id
+          GROUP BY query_id, doc_id),
+        lexr AS (
+          SELECT query_id, doc_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_milli DESC, doc_id) AS BIGINT) AS lex_rank
+          FROM lexs QUALIFY lex_rank <= $FuseR),
+        t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        qv AS (SELECT vec_id AS query_id, e AS qe FROM t WHERE vec_id < 5),
+        vecs AS (
+          SELECT qv.query_id, t.vec_id AS doc_id,
+                 CAST(floor(list_dot_product(qv.qe, t.e) * 1000.0 /
+                   (sqrt(list_dot_product(qv.qe, qv.qe)) *
+                    sqrt(list_dot_product(t.e, t.e)))) AS BIGINT) AS cos_milli
+          FROM qv JOIN t ON t.vec_id != qv.query_id),
+        vecr AS (
+          SELECT query_id, doc_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_milli DESC, doc_id) AS BIGINT) AS vec_rank
+          FROM vecs QUALIFY vec_rank <= $FuseR),
+        fused AS (
+          SELECT coalesce(l.query_id, v.query_id) AS query_id,
+                 coalesce(l.doc_id, v.doc_id) AS doc_id,
+                 coalesce(l.lex_rank, 0) AS lex_rank,
+                 coalesce(v.vec_rank, 0) AS vec_rank,
+                 CAST(coalesce($RrfScale // ($RrfK + l.lex_rank), 0)
+                    + coalesce($RrfScale // ($RrfK + v.vec_rank), 0) AS BIGINT) AS fused_micro
+          FROM lexr l FULL JOIN vecr v
+            ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+        ranked AS (
+          SELECT query_id, doc_id, fused_micro, lex_rank, vec_rank,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY fused_micro DESC, doc_id) AS BIGINT) AS rank
+          FROM fused)
+        SELECT query_id, rank, doc_id, fused_micro,
+               CAST(lex_rank AS BIGINT) AS lex_rank,
+               CAST(vec_rank AS BIGINT) AS vec_rank
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank"""
 
   /** The s11 oracle: s09's full kNN oracle nested as a CTE, the same
     * mutual-edge filter, then the d08 recursive-CTE transitive closure

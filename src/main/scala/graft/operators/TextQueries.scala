@@ -2773,9 +2773,13 @@ object TextQueries {
       trainPred: Column = splitBucket < TrainPct): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val sh = shingleKeys8(docs)
-      .join(docs.select($"doc_id",
-        size(TextFns.tokens($"text")).cast("long").as("n_toks")), Seq("doc_id"))
+    // one scan: shingle keys (in-scan ShingleHashesExpr) and the token
+    // count ride the same projection — never a self-join back for n_toks
+    val t = TextFns.tokens($"text")
+    val sh = docs
+      .select($"doc_id", $"lang",
+        array_distinct(TextFns.shingleHashes(t)).as("gs"),
+        size(t).cast("long").as("n_toks"))
       .withColumn("split", when(trainPred, "train").otherwise("heldout"))
       .cache()
     val heldSh = sh.filter($"split" === "heldout")

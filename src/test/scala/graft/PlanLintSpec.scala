@@ -29,6 +29,10 @@ class PlanLintSpec extends SparkSpec {
     // s17 embeds s01's brute-force ground truth — recall evaluation
     // REQUIRES the exact ranking it measures against
     "s17_recall_harness",
+    // s20 fuses s10's BM25 (1-row stats broadcast) with s01's exact
+    // cosine side (broadcast query set, non-equi self-exclusion) — both
+    // established bnljOk patterns composed
+    "s20_hybrid_rrf",
     // q103 broadcasts two 1-row frames (the global end-date and the
     // 12-cell quintile-boundary row) onto the customer profile — the
     // same stats-broadcast pattern; PlanQualitySpec gates that no window

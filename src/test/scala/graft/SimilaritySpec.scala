@@ -341,4 +341,35 @@ class SimilaritySpec extends SparkSpec {
       // the oracle hash-match is the value gate
     }
   }
+
+  test("s20: RRF fusion is self-consistent, rank-ordered, and keeps single-modality hits") {
+    val rows = SparkEntry.queries("s20_hybrid_rrf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    def rrf(r: Long) = if (r > 0L) 1000000L / (60L + r) else 0L
+    rows.foreach { case (_, _, _, fused, lr, vr) =>
+      assert(fused === rrf(lr) + rrf(vr),
+        s"fused_micro must equal the RRF recompute from (lex=$lr, vec=$vr)")
+      assert(lr >= 0L && lr <= 20L && vr >= 0L && vr <= 20L,
+        "side ranks are 0 (absent) or within the fusion window R=20")
+      assert(lr > 0L || vr > 0L, "a fused row must come from at least one side")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to rs.length).toSeq,
+        s"query $q ranks must be contiguous from 1")
+      // fused scores non-increasing, doc_id ascending inside a tie
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 > b._4 || (a._4 === b._4 && a._3 < b._3),
+          s"query $q fused order violated between ranks ${a._2} and ${b._2}")
+      case _ => ()
+      }
+    }
+    // the full-outer contract: lexical-only and vector-only hits survive
+    // (the fixture's lexical and semantic neighborhoods are uncorrelated,
+    // so the two top-20s are mostly disjoint)
+    assert(rows.exists(r => r._5 > 0L && r._6 === 0L), "expected a lexical-only hit")
+    assert(rows.exists(r => r._6 > 0L && r._5 === 0L), "expected a vector-only hit")
+  }
 }

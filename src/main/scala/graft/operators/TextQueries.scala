@@ -34,7 +34,17 @@ object TextQueries {
   /** [[admissionFeatures]] plus the raw text column, in ONE stateless
     * select — the streaming twins need the text alongside the features
     * without a stream-stream self-join on doc_id. Single source of truth
-    * for the feature expressions. */
+    * for the feature expressions.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * // case/whitespace variants share one content_key; text rides along
+    * val docs = Seq((1L, " Hello  World "), (2L, "hello world")).toDF("doc_id", "text")
+    * val f = TextQueries.admissionFeaturesWithText(docs)
+    * f.select($"content_key").distinct().count() == 1
+    * f.filter($"doc_id" === 1L).select($"text").as[String].head == " Hello  World "
+    * }}}
+    */
   private[graft] def admissionFeaturesWithText(docs: DataFrame): DataFrame = {
     val t = TextFns.tokens(col("text"))
     val nToks = size(t).cast("long")

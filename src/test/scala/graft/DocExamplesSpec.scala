@@ -111,6 +111,14 @@ class DocExamplesSpec extends SparkSpec {
       Seq(("big.com", 4L, 3L, 1L), ("tiny.com", 1L, 1L, 1L)))
   }
 
+  test("TextQueries.admissionFeaturesWithText scaladoc example") {
+    import graft.operators.TextQueries
+    val docs = Seq((1L, " Hello  World "), (2L, "hello world")).toDF("doc_id", "text")
+    val f = TextQueries.admissionFeaturesWithText(docs)
+    assert(f.select($"content_key").distinct().count() === 1)
+    assert(f.filter($"doc_id" === 1L).select($"text").as[String].head === " Hello  World ")
+  }
+
   test("TextQueries.licenseFold scaladoc example") {
     import graft.operators.TextQueries
     import org.apache.spark.sql.functions.when
@@ -733,12 +741,8 @@ class DocExamplesSpec extends SparkSpec {
                         // StreamIngest; Java-reflection artifact, gated by
                         // the t08 + t38 oracles
       "PackBudget",     // private[graft] packing constant shared with s19
-      "packShardSql",   // private[graft] oracle-SQL mirror of packShardCol,
+      "packShardSql"),  // private[graft] oracle-SQL mirror of packShardCol,
                         // embedded in the t08/t38/s19 oracles
-      "admissionFeaturesWithText"), // private[graft] single-select feature
-                        // row for the streaming twins; Java-reflection
-                        // artifact — admissionFeatures (its .drop("text")
-                        // view) carries the runnable example
     "Multimodal" -> Set("FrameSize", "ShardBytes", "ShardGroups")) // constants
 
   test("every public operator method has a runnable doc example or a documented exclusion") {

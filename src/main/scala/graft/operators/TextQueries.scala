@@ -1366,7 +1366,7 @@ object TextQueries {
                          THEN (bm - pprev) // rprev END AS cand
           FROM base),
         lamt AS (
-          SELECT min(CASE WHEN cand IS NOT NULL AND cand >= cap_prev AND cand <= cap_milli
+          SELECT max(CASE WHEN cand IS NOT NULL AND cand >= cap_prev AND cand <= cap_milli
                           THEN cand END) AS lam_valid,
                  CAST(sum(cap_milli * s_tokens) AS BIGINT) AS capped_mass,
                  CAST(max(cap_milli) AS BIGINT) AS cap_max,
@@ -1468,7 +1468,7 @@ object TextQueries {
                          THEN (b - pprev) // rprev END AS cand
           FROM base),
         lamt AS (
-          SELECT min(CASE WHEN cand IS NOT NULL AND cand >= cap_prev AND cand <= n_urls
+          SELECT max(CASE WHEN cand IS NOT NULL AND cand >= cap_prev AND cand <= n_urls
                           THEN cand END) AS lam_valid,
                  CAST(sum(n_urls) AS BIGINT) AS total_u2,
                  CAST(max(n_urls) AS BIGINT) AS cap_max,
@@ -2579,9 +2579,13 @@ object TextQueries {
     * the classic sorted-prefix closed form: sort sources by cap; for the
     * branch capping exactly the first i−1 sources the candidate is
     * (budget − capped prefix mass) div (remaining weight), valid when it
-    * lands between the neighbouring caps — the true branch is always valid
-    * (integer floor stays inside its bracket), selection is min over valid
-    * candidates, and an over-generous budget degrades to all-capped. All
+    * lands between the neighbouring caps — every bracket-valid candidate
+    * is FEASIBLE (its implied allocation ≤ budget, by the floor) and the
+    * true λ is the largest feasible, so selection is MAX over valid
+    * candidates (min under-allocates when an earlier branch's floor lands
+    * exactly on its bracket's upper edge — caught by the t42 unit-weight
+    * edge case, where the quantization is a whole doc), and an
+    * over-generous budget degrades to all-capped. All
     * integer milli arithmetic (div == // on positive operands), one
     * O(sources) pass after the per-source aggregate — the windows only
     * ever see the source table, never the corpus.
@@ -2611,7 +2615,7 @@ object TextQueries {
       .withColumn("cap_prev", coalesce(max($"cap_milli").over(wPrev), lit(0L)))
       .withColumn("cand", when($"rprev" > 0L && $"bm" > $"pprev",
         expr("(bm - pprev) div rprev")))
-      .withColumn("lam_valid", min(when(
+      .withColumn("lam_valid", max(when(
         $"cand".isNotNull && $"cand" >= $"cap_prev" && $"cand" <= $"cap_milli",
         $"cand")).over(wAll))
       .withColumn("capped_mass", sum($"cap_milli" * $"s_tokens").over(wAll))
@@ -2635,8 +2639,9 @@ object TextQueries {
     *     at UNIT weight: a total budget of `budgetPct`% of the deduped
     *     URLs splits across registered domains (last two host labels) at a
     *     common per-domain level λ, each domain clamped at its own URL
-    *     count — kept_d = min(n_urls_d, λ) with λ the min valid candidate
-    *     (budget − prefix) div remaining over domains sorted by size.
+    *     count — kept_d = min(n_urls_d, λ) with λ the MAX valid candidate
+    *     (budget − prefix) div remaining over domains sorted by size
+    *     (every valid candidate is feasible; the largest is the true λ).
     *     This is how corpus builds bound any one site's share (the
     *     Common-Crawl top-domain skew) without starving the tail.
     *
@@ -2686,7 +2691,7 @@ object TextQueries {
       .withColumn("cap_prev", coalesce(max($"n_urls").over(wPrev), lit(0L)))
       .withColumn("cand", when($"rprev" > 0L && $"b" > $"pprev",
         expr("(b - pprev) div rprev")))
-      .withColumn("lam_valid", min(when(
+      .withColumn("lam_valid", max(when(
         $"cand".isNotNull && $"cand" >= $"cap_prev" && $"cand" <= $"n_urls",
         $"cand")).over(wAll))
       .withColumn("lam", coalesce($"lam_valid",

@@ -316,6 +316,48 @@ class EdgeCaseSpec extends SparkSpec {
       .select($"epochs_milli", $"alloc_tokens").as[(Long, Long)].head === ((1500L, 150L)))
   }
 
+  test("domainGovernance: empty is empty; budget 100% never caps; one domain soaks its budget") {
+    import graft.operators.TextQueries
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "url")
+    assert(TextQueries.domainGovernance(empty).count() === 0L)
+    val urls = Seq((1L, "https://a.com/x"), (2L, "https://a.com/y"),
+      (3L, "https://b.com/z")).toDF("doc_id", "url")
+    // 100% budget: the waterfill degrades to every domain at its own count
+    val full = TextQueries.domainGovernance(urls, budgetPct = 100L)
+      .as[(String, Long, Long, Long)].collect()
+    assert(full.forall(r => r._4 === r._3), s"100% budget must not cap: ${full.toSeq}")
+    // a lone domain takes the whole (rounded-down) budget
+    val lone = TextQueries.domainGovernance(
+      Seq((1L, "https://a.com/x"), (2L, "https://a.com/y")).toDF("doc_id", "url"),
+      budgetPct = 50L).as[(String, Long, Long, Long)].head
+    assert(lone === (("a.com", 2L, 2L, 1L)))
+  }
+
+  test("licenseFold: single-tier corpus never escalates; empty is empty") {
+    import graft.operators.TextQueries
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(TextQueries.licenseFold(empty).count() === 0L)
+    val docs = Seq((1L, "x y", "s"), (2L, "x  Y", "s"), (3L, "z", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = TextQueries.licenseFold(docs, lit(1L))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(r.toSeq === Seq(("attribution", 2L, 0L, 3L, 3L)),
+      "uniform tier: two groups, zero escalations, keeper tokens 2 + 1")
+  }
+
+  test("decontaminateReport: no heldout side means nothing drops; all-heldout means no train") {
+    import graft.operators.TextQueries
+    val docs = Seq((1L, (1 to 9).map("a" + _).mkString(" "), "en"),
+      (2L, (1 to 9).map("a" + _).mkString(" "), "en")).toDF("doc_id", "text", "lang")
+    // everything train: identical docs share every shingle, but train-train
+    // overlap never drops anything
+    val allTrain = TextQueries.decontaminateReport(docs, trainPred = lit(true))
+      .as[(String, Long, Long, Long, Long)].head
+    assert(allTrain === (("en", 2L, 0L, 0L, 18L)))
+    // everything heldout: the train side is empty, so the report is too
+    assert(TextQueries.decontaminateReport(docs, trainPred = lit(false)).count() === 0L)
+  }
+
   test("modelScores scores the empty doc (one empty token) instead of crashing") {
     import graft.operators.TextQueries
     val r = TextQueries.modelScores(

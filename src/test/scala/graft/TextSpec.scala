@@ -351,9 +351,8 @@ class TextSpec extends SparkSpec {
     import spark.implicits._
     // whale.com: 8 docs but only 4 canonical urls (each page linked 2 ways);
     // three tail domains with 1 url each. budget 60% of 7 urls = 4 ->
-    // lambda: sorted (1,1,1,4): cand_1 = 4//4 = 1 valid -> tails uncapped at
-    // 1, whale keeps min(4, (4-3)//1 = 1)... the closed form picks the MIN
-    // valid candidate = 1, so whale is capped at 1 and tails keep their 1.
+    // lambda: sorted (1,1,1,4), every branch's candidate is 1 (4//4, 3//3,
+    // 2//2, 1//1) so max-valid = 1: whale is capped at 1, tails keep their 1.
     val whale = (0 until 4).flatMap { p =>
       Seq((10L + p, s"https://www.whale.com/page$p/index.html"),
         (20L + p, s"HTTP://Whale.com/page$p/?utm_source=x"))

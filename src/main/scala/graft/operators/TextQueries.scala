@@ -158,8 +158,9 @@ object TextQueries {
   private val BlockPhrases = Seq("slow", "table table", "fast key scan")
 
   /** t42 per-domain doc budget as a percent of post-dedup URLs (declared
-    * above `val all`; interpolated into the oracle). */
-  private val DomainBudgetPct = 60L
+    * above `val all`; interpolated into the oracle; shared with the
+    * [[graft.streaming.StreamDomainGovernance]] twin so both gates agree). */
+  private[graft] val DomainBudgetPct = 60L
 
   /** Greedy non-overlapping left-to-right application of merge (s1, s2) to a
     * space-separated symbol string. EXACTLY mirrors the DuckDB
@@ -2664,19 +2665,35 @@ object TextQueries {
     * }}}
     */
   def domainGovernance(urls: DataFrame, budgetPct: Long = DomainBudgetPct): DataFrame = {
-    require(budgetPct > 0 && budgetPct <= 100, s"need budgetPct in (0,100], got $budgetPct")
     val s = urls.sparkSession
     import s.implicits._
-    val host = regexp_replace(
-      lower(regexp_extract($"url", "^[A-Za-z]+://([^/?#]+)", 1)), "^www\\.", "")
-    val path = regexp_replace(regexp_replace(
-      regexp_extract($"url", "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
-      "/index\\.html$", ""), "/$", "")
-    val dom = urls
-      .select(concat(lit("https://"), host, path).as("curl"),
-        regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("domain"))
+    val dom = canonicalUrls(urls)
       .groupBy($"domain")
       .agg(count(lit(1)).as("n_docs"), countDistinct($"curl").as("n_urls"))
+    domainCapReport(dom, budgetPct)
+  }
+
+  /** t42's canonicalization projection: one (curl, domain) row per input
+    * (doc_id, url) row — the per-row half shared with the streaming twin
+    * ([[graft.streaming.StreamDomainGovernance]]), which folds these rows
+    * incrementally instead of re-aggregating the corpus. */
+  private[graft] def canonicalUrls(urls: DataFrame): DataFrame = {
+    val host = regexp_replace(
+      lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)), "^www\\.", "")
+    val path = regexp_replace(regexp_replace(
+      regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+      "/index\\.html$", ""), "/$", "")
+    urls.select(concat(lit("https://"), host, path).as("curl"),
+      regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("domain"))
+  }
+
+  /** t42's cap decision over a prepared (domain, n_docs, n_urls) table —
+    * the O(domains) half shared with the streaming twin, which recomputes
+    * it per micro-batch from its folded state. */
+  private[graft] def domainCapReport(dom: DataFrame, budgetPct: Long): DataFrame = {
+    require(budgetPct > 0 && budgetPct <= 100, s"need budgetPct in (0,100], got $budgetPct")
+    val s = dom.sparkSession
+    import s.implicits._
     // unit-weight waterfill — epochWaterfill's closed form with weight 1
     // per domain; runs on the O(domains) aggregate only
     val wAll = Window.partitionBy(lit(1))

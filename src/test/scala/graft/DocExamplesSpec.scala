@@ -741,8 +741,13 @@ class DocExamplesSpec extends SparkSpec {
                         // StreamIngest; Java-reflection artifact, gated by
                         // the t08 + t38 oracles
       "PackBudget",     // private[graft] packing constant shared with s19
-      "packShardSql"),  // private[graft] oracle-SQL mirror of packShardCol,
+      "packShardSql",   // private[graft] oracle-SQL mirror of packShardCol,
                         // embedded in the t08/t38/s19 oracles
+      "canonicalUrls",  // private[graft] t42 per-row canonicalization seam
+                        // shared with StreamDomainGovernance; gated by the
+                        // t42 oracle + the twin equivalence test
+      "domainCapReport", // private[graft] t42 O(domains) cap seam, same gates
+      "DomainBudgetPct"), // private[graft] budget constant shared with the twin
     "Multimodal" -> Set("FrameSize", "ShardBytes", "ShardGroups")) // constants
 
   test("every public operator method has a runnable doc example or a documented exclusion") {

@@ -97,6 +97,18 @@ class StreamTwinPlanSpec extends SparkSpec {
       try rows.grouped(150).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
       finally q.stop()
       assert(state.history.columns.nonEmpty)
+    },
+    "StreamDomainGovernance" -> { () =>
+      implicit val sq = spark.sqlContext
+      val ms = MemoryStream[(Long, String)]
+      val rows = (0 until 300).map(i =>
+        (i.toLong, s"https://d${i % 25}.com/p/${i % 60}"))
+      val ckpt = java.nio.file.Files.createTempDirectory("gov_gate").toString
+      val (q, state) = graft.streaming.StreamDomainGovernance.startEphemeral(
+        ms.toDF().toDF("doc_id", "url"), ckpt)
+      try rows.grouped(150).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      assert(state.report.columns.nonEmpty)
     })
 
   for ((name, drive) <- twins)

@@ -1111,6 +1111,55 @@ class StreamingSpec extends SparkSpec {
     assert(fullStream.map(_.getLong(4)).sum === 30L + 30L + 25L + 25L)
   }
 
+  test("domain governance twin: stream report == batch t42 after every prefix, across a restart") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamDomainGovernance
+    import graft.operators.TextQueries
+    // messy variants of a few pages across two whale domains + a tail —
+    // canonical dups split ACROSS batches so the fold must absorb them
+    val all = Seq(
+      (1L, "https://www.big.com/a/index.html"), (2L, "HTTP://Big.com/a/"),
+      (3L, "https://big.com/b?utm_source=x"), (4L, "https://m.big.com/c#f"),
+      (5L, "https://big.com/d"), (6L, "https://WWW.Big.com/d/"),
+      (7L, "https://whale.org/p1"), (8L, "https://whale.org/p2/index.html"),
+      (9L, "http://whale.org/p3"), (10L, "https://whale.org/p1?x=1"),
+      (11L, "https://tiny.net/x"), (12L, "https://tiny.net/x/"))
+    val root = java.nio.file.Files.createTempDirectory("gov_twin").toString
+    val ms = MemoryStream[(Long, String)]
+    val (q1, st1) = StreamDomainGovernance.start(
+      ms.toDF().toDF("doc_id", "url"), s"$root/ckpt", s"$root/state")
+    try {
+      ms.addData(all.take(5): _*); q1.processAllAvailable()
+      // any-prefix equivalence after batch 1
+      assert(st1.report.collect().toSeq ===
+        TextQueries.domainGovernance(all.take(5).toDF("doc_id", "url"))
+          .collect().toSeq)
+      ms.addData(all.slice(5, 9): _*); q1.processAllAvailable()
+      assert(st1.report.collect().toSeq ===
+        TextQueries.domainGovernance(all.take(9).toDF("doc_id", "url"))
+          .collect().toSeq)
+      // retried micro-batch id is a no-op
+      val before = st1.report.collect().toSeq
+      st1.merge(all.take(5).toDF("doc_id", "url"), 0L)
+      assert(st1.report.collect().toSeq === before)
+    } finally q1.stop()
+    // restart through the SAME front-door call (durable-by-default):
+    // folded state returns from stateDir, offsets from the checkpoint
+    val (q2, st2) = StreamDomainGovernance.start(
+      ms.toDF().toDF("doc_id", "url"), s"$root/ckpt", s"$root/state")
+    try {
+      ms.addData(all.drop(9): _*); q2.processAllAvailable()
+      assert(st2.report.collect().toSeq ===
+        TextQueries.domainGovernance(all.toDF("doc_id", "url")).collect().toSeq)
+      // the planted shape actually exercised the fold: cross-batch dups
+      // collapsed (big.com/a arrived in batch 1 twice, tiny.net/x in one
+      // batch as two variants)
+      val r = st2.report.collect().map(x => x.getString(0) -> x).toMap
+      assert(r("big.com").getLong(1) === 6L && r("big.com").getLong(2) === 4L)
+      assert(r("tiny.net").getLong(1) === 2L && r("tiny.net").getLong(2) === 1L)
+    } finally q2.stop()
+  }
+
   test("composed ingestion: durable state survives a FULL session kill — disk-only rehydration") {
     import graft.streaming.StreamIngest
     def tok(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")

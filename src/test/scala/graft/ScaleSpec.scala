@@ -111,6 +111,19 @@ class ScaleSpec extends SparkSpec {
       docCorpus(4000), docCorpus(40000))
   }
 
+  test("t44 decontamination: 10x corpus => ~10x runtime and dropped docs") {
+    // ScaleCorpus pairs share shingles only with each other, so a train
+    // doc drops iff its partner lands heldout under the 90/10 hash split —
+    // dropped docs are linear in corpus size (~2 * 0.1 * pairs), and the
+    // heldout-shingle semi-join must stay linear in corpus shingles
+    import graft.operators.TextQueries
+    import org.apache.spark.sql.functions.{lit, sum}
+    assertTrend("t44",
+      df => TextQueries.decontaminateReport(df.withColumn("lang", lit("en")))
+        .agg(sum($"n_dropped")).as[Long].head,
+      docCorpus(4000), docCorpus(40000))
+  }
+
   test("t34 content-defined chunking: 10x corpus => ~10x runtime and chunks") {
     import graft.operators.TextQueries
     assertTrend("t34",

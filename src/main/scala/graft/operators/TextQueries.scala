@@ -1529,8 +1529,9 @@ object TextQueries {
     // PaLM n-gram decontamination rule), because a leaked eval answer in
     // the training set invalidates the benchmark, not the eval doc. Same
     // linear shape as t07 with the semi-join reversed — distinct heldout
-    // shingles (the 10% side, broadcast-sized at any split ratio) probe
-    // the train side; plus the scrub economics (t39's convention): per
+    // shingles (the minority side at any split ratio; Catalyst picks
+    // broadcast vs shuffle semi-join from its size) probe the train
+    // side; plus the scrub economics (t39's convention): per
     // lang, docs and tokens dropped vs kept. In-scan shingle keys, one
     // equi-join, never all-pairs.
     QueryDef(
@@ -2782,11 +2783,12 @@ object TextQueries {
     * t44 query uses the t06 salted-hash bucket, so the split is exactly
     * the stratified-split family's.
     *
-    * Scale shape: distinct heldout shingles are the minority-split side —
-    * broadcast-sized relative to the corpus at any split ratio — and the
-    * only join is one equi-semi-join from exploded train shingle keys
-    * (in-scan ShingleHashesExpr longs, never strings); linear in corpus
-    * shingles, never all-pairs.
+    * Scale shape: distinct heldout shingles are the minority-split side
+    * (a tenth of the corpus shingles at a 90/10 split — Catalyst picks
+    * broadcast vs shuffle semi-join from its size; at 100 TB it shuffles,
+    * and the join stays one linear equi-semi-join either way) probing
+    * exploded train shingle keys (in-scan ShingleHashesExpr longs, never
+    * strings); linear in corpus shingles, never all-pairs.
     *
     * Example (run verbatim by DocExamplesSpec):
     * {{{

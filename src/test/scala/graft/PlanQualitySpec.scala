@@ -386,4 +386,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(hashEx == 1,
       s"expected exactly 1 hash exchange shared by all order-key windows, got $hashEx:\n$p")
   }
+
+  test("t42: domain aggregate is distinct-first with map-side partials (whale domains can't hot-key)") {
+    // count(DISTINCT curl) must plan as the two-phase expand: a partial
+    // aggregate keyed (domain, curl) — spread across executors by the URL,
+    // so a whale domain holding 10% of a 100 TB crawl never lands on one
+    // reducer as raw rows — then the per-domain count with its own partial
+    // phase. A regression to a single-phase domain-keyed aggregate over
+    // raw rows is the classic skew incident.
+    val p = plan("t42_domain_governance")
+    assert(p.contains("partial_count"), s"no map-side partial aggregate:\n$p")
+    val partialKeys = p.linesIterator
+      .filter(l => l.contains("HashAggregate(keys=[domain") && l.contains("curl"))
+    assert(partialKeys.nonEmpty,
+      s"expected a (domain, curl)-keyed distinct stage before the domain rollup:\n$p")
+  }
 }

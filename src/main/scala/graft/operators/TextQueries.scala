@@ -1363,7 +1363,7 @@ object TextQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cap_prev
           FROM srcs),
         cand AS (
-          SELECT *, CASE WHEN rprev > 0 AND bm > pprev
+          SELECT *, CASE WHEN rprev > 0 AND bm >= pprev
                          THEN (bm - pprev) // rprev END AS cand
           FROM base),
         lamt AS (
@@ -1465,7 +1465,7 @@ object TextQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cap_prev
           FROM dom),
         cand AS (
-          SELECT *, CASE WHEN rprev > 0 AND b > pprev
+          SELECT *, CASE WHEN rprev > 0 AND b >= pprev
                          THEN (b - pprev) // rprev END AS cand
           FROM base),
         lamt AS (
@@ -2615,7 +2615,7 @@ object TextQueries {
       .withColumn("pprev", coalesce(sum($"cap_milli" * $"s_tokens").over(wPrev), lit(0L)))
       .withColumn("rprev", $"total_s" - coalesce(sum($"s_tokens").over(wPrev), lit(0L)))
       .withColumn("cap_prev", coalesce(max($"cap_milli").over(wPrev), lit(0L)))
-      .withColumn("cand", when($"rprev" > 0L && $"bm" > $"pprev",
+      .withColumn("cand", when($"rprev" > 0L && $"bm" >= $"pprev",
         expr("(bm - pprev) div rprev")))
       .withColumn("lam_valid", max(when(
         $"cand".isNotNull && $"cand" >= $"cap_prev" && $"cand" <= $"cap_milli",
@@ -2707,7 +2707,7 @@ object TextQueries {
       .withColumn("rprev",
         count(lit(1)).over(wAll) - coalesce(count(lit(1)).over(wPrev), lit(0L)))
       .withColumn("cap_prev", coalesce(max($"n_urls").over(wPrev), lit(0L)))
-      .withColumn("cand", when($"rprev" > 0L && $"b" > $"pprev",
+      .withColumn("cand", when($"rprev" > 0L && $"b" >= $"pprev",
         expr("(b - pprev) div rprev")))
       .withColumn("lam_valid", max(when(
         $"cand".isNotNull && $"cand" >= $"cap_prev" && $"cand" <= $"n_urls",

@@ -393,6 +393,32 @@ class TextSpec extends SparkSpec {
       "no group's MAX tier is permissive - the permissive copy never wins the fold")
   }
 
+  test("t42 waterfill closed form equals the brute-force lambda on randomized domain tables") {
+    import spark.implicits._
+    // the analytic gate for the sorted-prefix closed form: against seeded
+    // random domain-size tables and budgets (including rounded-to-zero
+    // ones), total kept must equal the brute-force optimum
+    // max { sum(min(n_d, λ)) : λ integer, sum <= B } — exercises bracket
+    // edges, λ = 0, and all-capped degradation the planted cases can't
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 12) {
+      val sizes = Seq.fill(2 + rnd.nextInt(8))(1L + rnd.nextInt(20))
+      val pct = 1L + rnd.nextInt(100)
+      val total = sizes.sum
+      val b = total * pct / 100
+      val expected = (0L to sizes.max)
+        .map(l => sizes.map(math.min(_, l)).sum)
+        .filter(_ <= b).lastOption.getOrElse(0L)
+      val dom = sizes.zipWithIndex
+        .map { case (n, i) => (s"d$i.com", n * 3, n) }
+        .toDF("domain", "n_docs", "n_urls")
+      val kept = operators.TextQueries.domainCapReport(dom, pct)
+        .agg(org.apache.spark.sql.functions.sum($"kept")).as[Long].head
+      assert(kept === expected,
+        s"trial $trial: sizes=$sizes pct=$pct budget=$b kept=$kept != optimum $expected")
+    }
+  }
+
   test("t22: temperature compresses shares toward uniform and factors invert shares") {
     val rows = SparkEntry.queries("t22_temperature_mix")(spark, sf).collect()
     assert(rows.length > 1)

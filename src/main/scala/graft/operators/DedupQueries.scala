@@ -629,6 +629,45 @@ object DedupQueries {
       (s, d) => minhashNearDupPairs(s, Tables.documents(s, d)),
       oracle = Some(PairSql)),
 
+    // ----- cross-source duplication matrix (d18) -----------------------------
+    // The corpus-report table every multi-source build publishes (the
+    // Dolma/RedPajama-style source-overlap matrix): which SOURCES
+    // duplicate each other. Verified near-dup pairs come from d03's
+    // LSH + exact-verify kernels (the scale path); each pair maps to its
+    // unordered source pair via two id equi-joins against the narrow
+    // (doc_id, source) projection, and the result is bounded by
+    // O(sources^2) rows however big the corpus — the diagonal is
+    // within-source duplication, off-diagonal is cross-source
+    // contamination (the "did C4 leak into our crawl" question).
+    // max_j_milli (order-insensitive, integer) grades how close the
+    // strongest overlap is to exact mirroring.
+    QueryDef(
+      "d18_source_overlap",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val src = docs.select($"doc_id", $"source")
+        minhashNearDupPairs(s, docs)
+          .join(src.select($"doc_id".as("doc_a"), $"source".as("s1")), Seq("doc_a"))
+          .join(src.select($"doc_id".as("doc_b"), $"source".as("s2")), Seq("doc_b"))
+          .select(least($"s1", $"s2").as("source_a"),
+            greatest($"s1", $"s2").as("source_b"), $"j_milli")
+          .groupBy($"source_a", $"source_b")
+          .agg(count(lit(1)).as("n_pairs"), max($"j_milli").as("max_j_milli"))
+          .orderBy($"source_a", $"source_b")
+      },
+      oracle = Some(s"""
+        WITH p AS ($PairSql),
+        s AS (SELECT doc_id, source FROM documents)
+        SELECT least(sa.source, sb.source) AS source_a,
+               greatest(sa.source, sb.source) AS source_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(max(p.j_milli) AS BIGINT) AS max_j_milli
+        FROM p JOIN s sa ON p.doc_a = sa.doc_id
+               JOIN s sb ON p.doc_b = sb.doc_id
+        GROUP BY 1, 2
+        ORDER BY source_a, source_b""")),
+
     // ----- EXACT Jaccard join at scale: prefix filtering --------------------
     // The deterministic counterpart to d03: candidates from an equi-join on
     // rare-first prefix shingles (pigeonhole-complete for J >= 0.8) instead

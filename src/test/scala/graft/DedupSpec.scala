@@ -26,6 +26,21 @@ class DedupSpec extends SparkSpec {
     assert(pf === exact)
   }
 
+  test("d18: the source-overlap matrix lands each planted pair in its exact cell") {
+    val rows = SparkEntry.queries("d18_source_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.nonEmpty, "fixture should contain near-dup pairs")
+    // the matrix partitions d03's pair set exactly: cell counts sum to it
+    val total = SparkEntry.queries("d03_dedup_minhash_lsh")(spark, sf).count()
+    assert(rows.values.map(_._1).sum === total,
+      "matrix cells must partition the verified pair set")
+    rows.foreach { case ((a, b), (n, mj)) =>
+      assert(a <= b, s"cells must be unordered-canonical: ($a, $b)")
+      assert(n >= 1L && mj >= 800L && mj <= 1000L,
+        s"cell ($a, $b) out of contract: n=$n max_j=$mj")
+    }
+  }
+
   test("prefix filtering is complete on adversarial corpora (dup floods + chains)") {
     import spark.implicits._
     // a flood of exact duplicates (worst prefix-bucket skew), a near-dup

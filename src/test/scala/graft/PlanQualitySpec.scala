@@ -387,6 +387,17 @@ class PlanQualitySpec extends SparkSpec {
       s"expected exactly 1 hash exchange shared by all order-key windows, got $hashEx:\n$p")
   }
 
+  test("s20: both fusion sides broadcast their query-sized tables; postings aggregate in partials") {
+    // the lexical side must reach the corpus postings via a BROADCAST of
+    // the O(queries x terms) qterm table (an inverted-index probe, never a
+    // corpus-wide shuffle join on tok), and the postings/df aggregates
+    // must keep their map-side partial phase; the vector side's broadcast
+    // of the 5-query set is the s01 contract (BNLJ allowed via bnljOk)
+    val p = plan("s20_hybrid_rrf")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast qterm probe:\n$p")
+    assert(p.contains("partial_count"), s"postings aggregate lost its partial phase:\n$p")
+  }
+
   test("t42: domain aggregate is distinct-first with map-side partials (whale domains can't hot-key)") {
     // count(DISTINCT curl) must plan as the two-phase expand: a partial
     // aggregate keyed (domain, curl) — spread across executors by the URL,

@@ -162,6 +162,12 @@ object TextQueries {
     * [[graft.streaming.StreamDomainGovernance]] twin so both gates agree). */
   private[graft] val DomainBudgetPct = 60L
 
+  /** t45's fold-state radix: the greedy no-split packer's (windows, fill)
+    * state packs into one BIGINT as windows * PackFoldM + fill — sound
+    * because fill <= PackBudget << PackFoldM. Declared above `val all`
+    * (interpolated into the oracle). */
+  private val PackFoldM = 1000000L
+
   /** Greedy non-overlapping left-to-right application of merge (s1, s2) to a
     * space-separated symbol string. EXACTLY mirrors the DuckDB
     * `list_reduce` lambda in the t13 oracle: fold symbols left to right,
@@ -1566,6 +1572,48 @@ object TextQueries {
         ORDER BY t.lang"""
       }),
 
+    // ----- no-split packing + fragmentation economics (t45) ------------------
+    // t08's packer is the PRETRAINING regime (docs straddle window
+    // boundaries — waste is only shard tails); t45 is the SFT/eval regime
+    // (no-split, truncate-at-budget) where fragmentation is real and is
+    // the cost metric behind the sequence-length decision. Greedy fold per
+    // (lang, poly-shard) as one native aggregate lambda — see packNoSplit.
+    QueryDef(
+      "t45_pack_nosplit",
+      (s, d) => {
+        import s.implicits._
+        packNoSplit(Tables.documents(s, d)
+          .select($"doc_id", $"lang", packShardCol.as("shard"),
+            size(TextFns.tokens($"text")).cast("long").as("n")))
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 CAST($packShardSql AS BIGINT) AS shard,
+                 CAST(len(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n
+          FROM documents),
+        b AS (
+          SELECT doc_id, lang, shard, least(n, $PackBudget) AS n2,
+                 CASE WHEN n > $PackBudget THEN 1 ELSE 0 END AS trunc
+          FROM toks),
+        g AS (
+          SELECT lang, shard, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n2) AS BIGINT) AS packed_tokens,
+                 CAST(sum(trunc) AS BIGINT) AS truncated_docs,
+                 list_reduce(
+                   list_prepend(CAST($PackFoldM AS BIGINT), list(n2 ORDER BY doc_id)),
+                   (acc, x) -> CASE WHEN acc % $PackFoldM + x <= $PackBudget
+                                    THEN acc + x
+                                    ELSE acc - (acc % $PackFoldM) + $PackFoldM + x END) AS enc
+          FROM b GROUP BY lang, shard)
+        SELECT lang, shard, n_docs,
+               enc // $PackFoldM AS n_windows,
+               packed_tokens,
+               enc // $PackFoldM * $PackBudget - packed_tokens AS waste_tokens,
+               truncated_docs
+        FROM g
+        ORDER BY lang, shard""")),
+
     // ----- broadcast linear-model inference (hashed bag-of-words) ------------
     // The fastText/logreg quality-classifier shape at corpus scale: token ->
     // hashed feature bucket -> broadcast join against an O(B) weight table ->
@@ -2717,6 +2765,63 @@ object TextQueries {
     lam.select($"domain", $"n_docs", $"n_urls",
         least($"lam", $"n_urls").as("kept"))
       .orderBy($"domain")
+  }
+
+  /** No-split greedy packing report (t45) over a (doc_id, lang, shard, n)
+    * frame — the SFT/eval dataloader regime, where a document must live
+    * WHOLLY inside one context window (t08's pretraining packer lets docs
+    * straddle boundaries, so its waste is only shard tails; here
+    * fragmentation is real and is THE cost of the sequence-length
+    * decision): per (lang, shard), docs pack greedily in doc_id order,
+    * a window closes when the next doc doesn't fit, docs longer than the
+    * budget are truncated to it and counted. Output per (lang, shard):
+    * docs, windows, packed tokens (post-truncation), waste
+    * (windows x budget − packed), truncated docs — all integers.
+    *
+    * Scale shape: the greedy fold is inherently sequential PER SHARD but
+    * shard-parallel across the corpus (t08's sharding story — thousands of
+    * shards in production); it runs as ONE native `aggregate` lambda over
+    * each shard's ordered token-count list with the (windows, fill) state
+    * packed into a single BIGINT (windows * 10^6 + fill) — the t13
+    * discipline of defining a fold once and replaying it verbatim as
+    * DuckDB's list_reduce.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val rows = Seq((1L, "en", 0L, 300L), (2L, "en", 0L, 300L),
+    *   (3L, "en", 0L, 600L), (4L, "en", 1L, 10L))
+    *   .toDF("doc_id", "lang", "shard", "n")
+    * // shard 0: doc 2 doesn't fit after doc 1 (600 > 512 budget), doc 3
+    * // truncates to 512 and opens its own window -> 3 windows, waste 424
+    * TextQueries.packNoSplit(rows).as[(String, Long, Long, Long, Long, Long, Long)]
+    *   .collect().toSeq == Seq(("en", 0L, 3L, 3L, 1112L, 424L, 1L),
+    *                           ("en", 1L, 1L, 1L, 10L, 502L, 0L))
+    * }}}
+    */
+  def packNoSplit(rows: DataFrame, budget: Long = PackBudget): DataFrame = {
+    require(budget > 0 && budget < PackFoldM, s"need 0 < budget < $PackFoldM, got $budget")
+    val s = rows.sparkSession
+    import s.implicits._
+    val b = lit(budget)
+    val m = lit(PackFoldM)
+    val base = rows.select($"doc_id", $"lang", $"shard",
+      least($"n", b).as("n2"), ($"n" > b).cast("long").as("trunc"))
+    base.groupBy($"lang", $"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n2").as("packed_tokens"),
+        sum($"trunc").as("truncated_docs"),
+        aggregate(
+          transform(sort_array(collect_list(struct($"doc_id", $"n2"))),
+            x => x.getField("n2")),
+          m, (acc, x) =>
+            when(pmod(acc, m) + x <= b, acc + x)
+              .otherwise(acc - pmod(acc, m) + m + x)).as("enc"))
+      .select($"lang", $"shard", $"n_docs",
+        expr(s"enc div $PackFoldM").as("n_windows"),
+        $"packed_tokens",
+        (expr(s"enc div $PackFoldM") * b - $"packed_tokens").as("waste_tokens"),
+        $"truncated_docs")
+      .orderBy($"lang", $"shard")
   }
 
   /** License propagation through exact-dedup groups (t43) over a

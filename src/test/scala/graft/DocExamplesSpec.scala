@@ -119,6 +119,16 @@ class DocExamplesSpec extends SparkSpec {
     assert(f.filter($"doc_id" === 1L).select($"text").as[String].head === " Hello  World ")
   }
 
+  test("TextQueries.packNoSplit scaladoc example") {
+    import graft.operators.TextQueries
+    val rows = Seq((1L, "en", 0L, 300L), (2L, "en", 0L, 300L),
+      (3L, "en", 0L, 600L), (4L, "en", 1L, 10L))
+      .toDF("doc_id", "lang", "shard", "n")
+    assert(TextQueries.packNoSplit(rows)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq ===
+      Seq(("en", 0L, 3L, 3L, 1112L, 424L, 1L), ("en", 1L, 1L, 1L, 10L, 502L, 0L)))
+  }
+
   test("TextQueries.licenseFold scaladoc example") {
     import graft.operators.TextQueries
     import org.apache.spark.sql.functions.when

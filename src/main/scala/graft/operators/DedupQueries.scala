@@ -743,6 +743,77 @@ object DedupQueries {
           GROUP BY d.doc_id)
         SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""")),
 
+    // ----- license propagation at NEAR-DUP cluster grain (t46) ---------------
+    // t43 folds the license lattice over EXACT-dup groups; the stronger
+    // production guarantee runs the same fold over TRANSITIVE near-dup
+    // clusters (a restricted document's lightly-edited mirror must also
+    // escalate its cluster) — exactly the associativity claim t43's
+    // scaladoc makes, made executable: d08's distributed labels feed the
+    // identical max-tier / min_by-keeper aggregation, and the oracle
+    // replays closure + fold end to end. Unlike the exact grain (zero
+    // multi-source groups in the sf0.01 fixture), near-dup clusters DO mix
+    // sources here, so the escalation path is oracle-exercised too.
+    QueryDef(
+      "t46_license_cluster",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val tier = pmod(TextFns.polyHash(concat(lit("lic:"), $"source")), lit(3L))
+        val members = docs.select($"doc_id", tier.as("tier"),
+          size(TextFns.tokens($"text")).cast("long").as("n_toks"))
+        val labels = clusterLabels(docs,
+          minhashNearDupPairs(s, docs).select($"doc_a", $"doc_b"))
+        members.join(labels, Seq("doc_id"))
+          .groupBy($"cluster_id")
+          .agg(max($"tier").as("gtier"),
+            min_by($"tier", $"doc_id").as("ktier"),
+            min_by($"n_toks", $"doc_id").as("ktoks"),
+            count(lit(1)).as("n_members"))
+          .groupBy(when($"gtier" === 0L, "permissive")
+            .when($"gtier" === 1L, "attribution")
+            .otherwise("restricted").as("license"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(($"ktier" < $"gtier").cast("long")).as("n_escalated"),
+            sum($"n_members").as("n_members"),
+            sum($"ktoks").as("kept_tokens"))
+          .orderBy($"license")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE pairs AS (${PairSqlNoOrder}),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (
+          SELECT d.doc_id,
+                 least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id),
+        mem AS (
+          SELECT doc_id,
+                 CAST((${TextQueries.polyHashSqlOf("'lic:' || source")}) % 3 AS BIGINT) AS tier,
+                 CAST(len(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_toks
+          FROM documents),
+        g AS (
+          SELECT l.cluster_id, max(m.tier) AS gtier,
+                 min_by(m.tier, m.doc_id) AS ktier,
+                 min_by(m.n_toks, m.doc_id) AS ktoks,
+                 CAST(count(*) AS BIGINT) AS n_members
+          FROM mem m JOIN labels l ON m.doc_id = l.doc_id
+          GROUP BY l.cluster_id)
+        SELECT CASE gtier WHEN 0 THEN 'permissive' WHEN 1 THEN 'attribution'
+                          ELSE 'restricted' END AS license,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(CASE WHEN ktier < gtier THEN 1 ELSE 0 END) AS BIGINT) AS n_escalated,
+               CAST(sum(n_members) AS BIGINT) AS n_members,
+               CAST(sum(ktoks) AS BIGINT) AS kept_tokens
+        FROM g GROUP BY 1
+        ORDER BY license""")),
+
     // ----- keep-BEST canonical per near-dup cluster -------------------------
     // d07 keeps min doc_id per EXACT-dup group; production near-dup pipelines
     // keep the highest-QUALITY member of each transitive cluster and drop

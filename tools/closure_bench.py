@@ -20,7 +20,8 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 NAMES = ["d03_dedup_minhash_lsh", "d08_dedup_clusters", "d11_dedup_incremental",
          "d12_dedup_keep_best", "d13_dedup_jaccard_prefixfilter",
          "d16_dedup_savings", "t26_cluster_split", "t38_ingest_packed",
-         "d18_source_overlap"]  # embeds PairSql => same sf0.1 timeout family
+         "d18_source_overlap",  # embeds PairSql => same sf0.1 timeout family
+         "t46_license_cluster"]  # recursive-CTE closure + lattice fold
 
 oracles = json.load(open("/tmp/verify_out/oracle_sql.json"))
 with tempfile.TemporaryDirectory() as td:

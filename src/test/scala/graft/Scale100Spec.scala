@@ -53,6 +53,21 @@ class Scale100Spec extends SparkSpec {
       f"$name runtime beyond a linear fit: ${tS}%.2f s -> ${tL}%.2f s for 100x data")
   }
 
+  test("t44 decontamination: 100x corpus => ≲linear runtime, pinned deterministic drops") {
+    // dropped-doc counts are a pure function of the deterministic corpus
+    // and the deterministic hash split (a train doc drops iff its sole
+    // shingle-sharing partner lands heldout), so the exact values are
+    // pinned as regression constants; they scale ~100x (binomial shape of
+    // the split, not a closed form)
+    import graft.operators.TextQueries
+    import org.apache.spark.sql.functions.{lit => l, sum => s}
+    def run(df: DataFrame): Long =
+      TextQueries.decontaminateReport(df.withColumn("lang", l("en")))
+        .agg(s($"n_dropped")).as[Long].head
+    assert100x("t44", run,
+      docCorpus(4000), docCorpus(400000), 82L, 8001L)
+  }
+
   test("d03 minhash dedup: 100x corpus => linear pairs and ≲linear runtime") {
     // every 10th doc is a near-dup of its predecessor: exactly n/10 pairs
     assert100x("d03",

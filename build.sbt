@@ -13,6 +13,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench-capture protocol: the round harness keeps the last ~2000
+// chars of stdout and parses the FINAL line as JSON. Two sbt behaviors
+// break that: (a) forked run output is logged with an "[info] " prefix
+// by default, (b) sbt appends "[success] Total time ..." after main
+// returns. Fix both so `sbt "runMain graft.Bench"` ends with the bare
+// compact JSON line (tools/bench.sh bypasses sbt entirely as well).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

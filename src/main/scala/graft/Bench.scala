@@ -132,9 +132,17 @@ object Bench {
         slow ++= entry
     }
     println(s"{$head{$slow}}")
+    System.out.flush()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED (no timing recorded): ${failed.mkString(", ")}")
       sys.exit(1)
     }
+    // The compact JSON above must be the LAST stdout line the driver's tail
+    // capture sees. spark.stop() already ran, but JVM shutdown hooks (Spark's
+    // ShutdownHookManager, log4j) can still emit trailing stderr/stdout noise
+    // after main returns; halt(0) ends the forked JVM here, bytes flushed,
+    // nothing after. (No state needs the hooks: bench_last.json is written,
+    // the noop sink holds no resources.)
+    Runtime.getRuntime.halt(0)
   }
 }

@@ -850,50 +850,55 @@ object SimilarityQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
+        // postings cache released before returning (bm25Search's pattern):
+        // the O(queries x 10) fusion is localCheckpointed eagerly
         val dt = docs
           .select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
           .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-          .cache()
-        val dl = dt.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-        val dft = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
-        val qterms = dt.filter($"doc_id" < 5)
-          .select($"doc_id".as("query_id"), $"tok")
-          .join(dft, "tok")
-        val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_total"))
-        val wl = Window.partitionBy($"query_id").orderBy($"score_milli".desc, $"doc_id")
-        val lex = dt.join(broadcast(qterms), "tok")
-          .filter($"doc_id" =!= $"query_id")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .select($"query_id", $"doc_id", expr(Bm25ContribExpr).as("contrib"))
-          .groupBy($"query_id", $"doc_id")
-          .agg(expr("sum(contrib) div 1000").as("score_milli"))
-          .withColumn("lex_rank", row_number().over(wl).cast("long"))
-          .filter($"lex_rank" <= FuseR)
-          .select($"query_id", $"doc_id", $"lex_rank")
-        val e = Tables.embeddings(s, d)
-        val queries = e.filter($"vec_id" < 5)
-          .select($"vec_id".as("query_id"), $"embedding".as("q"))
-        val wv = Window.partitionBy($"query_id").orderBy($"cos_milli".desc, $"doc_id")
-        val vec = e.join(broadcast(queries), $"vec_id" =!= $"query_id")
-          .select($"query_id", $"vec_id".as("doc_id"),
-            VectorFns.cosineMilli($"q", $"embedding").as("cos_milli"))
-          .withColumn("vec_rank", row_number().over(wv).cast("long"))
-          .filter($"vec_rank" <= FuseR)
-          .select($"query_id", $"doc_id", $"vec_rank")
-        val wf = Window.partitionBy($"query_id").orderBy($"fused_micro".desc, $"doc_id")
-        lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
-          .select($"query_id", $"doc_id",
-            coalesce($"lex_rank", lit(0L)).as("lex_rank"),
-            coalesce($"vec_rank", lit(0L)).as("vec_rank"))
-          .withColumn("fused_micro",
-            when($"lex_rank" > 0L, expr(s"$RrfScale div ($RrfK + lex_rank)")).otherwise(0L)
-              + when($"vec_rank" > 0L, expr(s"$RrfScale div ($RrfK + vec_rank)")).otherwise(0L))
-          .withColumn("rank", row_number().over(wf).cast("long"))
-          .filter($"rank" <= 10L)
-          .select($"query_id", $"rank", $"doc_id", $"fused_micro",
-            $"lex_rank", $"vec_rank")
-          .orderBy($"query_id", $"rank")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val dl = dt.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+          val dft = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
+          val qterms = dt.filter($"doc_id" < 5)
+            .select($"doc_id".as("query_id"), $"tok")
+            .join(dft, "tok")
+          val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_total"))
+          val wl = Window.partitionBy($"query_id").orderBy($"score_milli".desc, $"doc_id")
+          val lex = dt.join(broadcast(qterms), "tok")
+            .filter($"doc_id" =!= $"query_id")
+            .join(dl, "doc_id")
+            .crossJoin(broadcast(stats))
+            .select($"query_id", $"doc_id", expr(Bm25ContribExpr).as("contrib"))
+            .groupBy($"query_id", $"doc_id")
+            .agg(expr("sum(contrib) div 1000").as("score_milli"))
+            .withColumn("lex_rank", row_number().over(wl).cast("long"))
+            .filter($"lex_rank" <= FuseR)
+            .select($"query_id", $"doc_id", $"lex_rank")
+          val e = Tables.embeddings(s, d)
+          val queries = e.filter($"vec_id" < 5)
+            .select($"vec_id".as("query_id"), $"embedding".as("q"))
+          val wv = Window.partitionBy($"query_id").orderBy($"cos_milli".desc, $"doc_id")
+          val vec = e.join(broadcast(queries), $"vec_id" =!= $"query_id")
+            .select($"query_id", $"vec_id".as("doc_id"),
+              VectorFns.cosineMilli($"q", $"embedding").as("cos_milli"))
+            .withColumn("vec_rank", row_number().over(wv).cast("long"))
+            .filter($"vec_rank" <= FuseR)
+            .select($"query_id", $"doc_id", $"vec_rank")
+          val wf = Window.partitionBy($"query_id").orderBy($"fused_micro".desc, $"doc_id")
+          lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+            .select($"query_id", $"doc_id",
+              coalesce($"lex_rank", lit(0L)).as("lex_rank"),
+              coalesce($"vec_rank", lit(0L)).as("vec_rank"))
+            .withColumn("fused_micro",
+              when($"lex_rank" > 0L, expr(s"$RrfScale div ($RrfK + lex_rank)")).otherwise(0L)
+                + when($"vec_rank" > 0L, expr(s"$RrfScale div ($RrfK + vec_rank)")).otherwise(0L))
+            .withColumn("rank", row_number().over(wf).cast("long"))
+            .filter($"rank" <= 10L)
+            .select($"query_id", $"rank", $"doc_id", $"fused_micro",
+              $"lex_rank", $"vec_rank")
+            .orderBy($"query_id", $"rank")
+            .localCheckpoint()
+        } finally dt.unpersist()
       },
       oracle = Some(s20OracleSql)),
 
@@ -1381,29 +1386,36 @@ object SimilarityQueries {
     require(k > 0, s"need k > 0, got $k")
     val s = docs.sparkSession
     import s.implicits._
+    // postings are read three times (dl, dft, scoring); the cache is
+    // RELEASED before returning — the O(queries x k) result is eagerly
+    // materialized via localCheckpoint so repeated calls in a long-lived
+    // session never accumulate corpus-sized postings caches
     val dt = docs
       .select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-      .cache()
-    val dl = dt.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-    val dft = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
-    val terms = queries
-      .flatMap { case (q, ts) => ts.distinct.map(q -> _) }
-      .toDF("query_id", "tok")
-    val qterms = terms.join(dft, "tok")
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_total"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"score_milli".desc, $"doc_id")
-    dt.join(broadcast(qterms), "tok")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .select($"query_id", $"doc_id", expr(Bm25ContribExpr).as("contrib"))
-      .groupBy($"query_id", $"doc_id")
-      .agg(expr("sum(contrib) div 1000").as("score_milli"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= k)
-      .select($"query_id", $"rank", $"doc_id", $"score_milli")
-      .orderBy($"query_id", $"rank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dl = dt.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      val dft = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val terms = queries
+        .flatMap { case (q, ts) => ts.distinct.map(q -> _) }
+        .toDF("query_id", "tok")
+      val qterms = terms.join(dft, "tok")
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_total"))
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"score_milli".desc, $"doc_id")
+      dt.join(broadcast(qterms), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select($"query_id", $"doc_id", expr(Bm25ContribExpr).as("contrib"))
+        .groupBy($"query_id", $"doc_id")
+        .agg(expr("sum(contrib) div 1000").as("score_milli"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= k)
+        .select($"query_id", $"rank", $"doc_id", $"score_milli")
+        .orderBy($"query_id", $"rank")
+        .localCheckpoint()
+    } finally dt.unpersist()
   }
 
   /** s01's exact brute-force top-10 (the evaluation ground truth shared

@@ -1412,8 +1412,14 @@ object TextQueries {
         val host0 = concat(sub, $"source", lit("-"),
           pmod(pmod(d7 * d7, lit(7L)), lit(3L)).cast("string"),
           lit(".com"))
-        val host = when(pmod($"doc_id", lit(11L)) === 0L, upper(host0))
+        val host1 = when(pmod($"doc_id", lit(11L)) === 0L, upper(host0))
           .otherwise(host0)
+        // userinfo + explicit-port variants: the canonicalizer must strip
+        // both, so a fetch recorded as user@host:8080 dedups with the rest
+        val host = concat(
+          when(pmod($"doc_id", lit(17L)) === 0L, "crawler@").otherwise(""),
+          host1,
+          when(pmod($"doc_id", lit(13L)) === 0L, ":8080").otherwise(""))
         val tail = when(pmod($"doc_id", lit(6L)) === 0L, "/")
           .when(pmod($"doc_id", lit(6L)) === 1L, "/index.html")
           .when(pmod($"doc_id", lit(6L)) === 2L, "?utm_source=feed")
@@ -1438,7 +1444,10 @@ object TextQueries {
           SELECT doc_id,
                  (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS'
                        WHEN doc_id % 7 = 1 THEN 'http' ELSE 'https' END)
-                 || '://' || (CASE WHEN doc_id % 11 = 0 THEN upper(h) ELSE h END)
+                 || '://'
+                 || (CASE WHEN doc_id % 17 = 0 THEN 'crawler@' ELSE '' END)
+                 || (CASE WHEN doc_id % 11 = 0 THEN upper(h) ELSE h END)
+                 || (CASE WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END)
                  || '/p/' || CAST(doc_id % 40 AS VARCHAR)
                  || (CASE WHEN doc_id % 6 = 0 THEN '/'
                           WHEN doc_id % 6 = 1 THEN '/index.html'
@@ -1447,8 +1456,9 @@ object TextQueries {
                           WHEN doc_id % 6 = 4 THEN '?x=1&utm=2' ELSE '' END) AS url
           FROM parts),
         canon AS (
-          SELECT regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
-                   '^www\\.', '') AS host,
+          SELECT regexp_replace(regexp_replace(regexp_replace(
+                   lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                   '^[^@]*@', ''), ':[0-9]+$$', ''), '^www\\.', '') AS host,
                  regexp_replace(regexp_replace(
                    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
                    '/index\\.html$$', ''), '/$$', '') AS p
@@ -2725,10 +2735,22 @@ object TextQueries {
   /** t42's canonicalization projection: one (curl, domain) row per input
     * (doc_id, url) row — the per-row half shared with the streaming twin
     * ([[graft.streaming.StreamDomainGovernance]]), which folds these rows
-    * incrementally instead of re-aggregating the corpus. */
+    * incrementally instead of re-aggregating the corpus.
+    *
+    * Host handling: userinfo (`user@`) and an explicit `:port` are
+    * stripped before grouping, so `http://u@host.com:8080/x` and
+    * `https://host.com/x` share one canonical URL. The registered domain
+    * is the LAST TWO host labels — a deliberate approximation of the
+    * public-suffix list (which is a 9k-rule moving target this
+    * zero-egress build can't ship): it is exact for `.com`-style TLDs
+    * and groups one level too coarse for multi-label suffixes
+    * (`*.co.uk` collapses into `co.uk`). Production use behind a crawl
+    * should swap this one expression for a suffix-list lookup table
+    * (a broadcast join against the PSL — the plan shape is unchanged). */
   private[graft] def canonicalUrls(urls: DataFrame): DataFrame = {
-    val host = regexp_replace(
-      lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)), "^www\\.", "")
+    val host = regexp_replace(regexp_replace(regexp_replace(
+      lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)),
+      "^[^@]*@", ""), ":[0-9]+$", ""), "^www\\.", "")
     val path = regexp_replace(regexp_replace(
       regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
       "/index\\.html$", ""), "/$", "")
@@ -2913,29 +2935,41 @@ object TextQueries {
     val s = docs.sparkSession
     import s.implicits._
     // one scan: shingle keys (in-scan ShingleHashesExpr) and the token
-    // count ride the same projection — never a self-join back for n_toks
+    // count ride the same projection — never a self-join back for n_toks.
+    // The shingle frame is read twice (heldout probe side + train side);
+    // persisting it trades one scan+shingle pass (~40% of the operator's
+    // work, measured at sf0.1) for executor storage. The cache is
+    // RELEASED before returning: the O(langs) report is materialized via
+    // localCheckpoint (the streaming folds' discipline), so repeated
+    // invocations in a long-lived driver never accumulate corpus-sized
+    // cached shingle arrays — at 100 TB that cache was this operator's
+    // biggest memory consumer, now bounded to one invocation's lifetime
+    // (MEMORY_AND_DISK: spills rather than evicts under pressure).
     val t = TextFns.tokens($"text")
     val sh = docs
       .select($"doc_id", $"lang",
         array_distinct(TextFns.shingleHashes(t)).as("gs"),
         size(t).cast("long").as("n_toks"))
       .withColumn("split", when(trainPred, "train").otherwise("heldout"))
-      .cache()
-    val heldSh = sh.filter($"split" === "heldout")
-      .select(explode($"gs").as("g")).distinct()
-    val train = sh.filter($"split" === "train")
-    val dropped = train
-      .select($"doc_id", explode($"gs").as("g"))
-      .join(heldSh, Seq("g"), "left_semi")
-      .select($"doc_id").distinct()
-    train
-      .join(dropped.withColumn("is_dropped", lit(1L)), Seq("doc_id"), "left")
-      .groupBy($"lang")
-      .agg(count(lit(1)).as("n_train"),
-        sum(coalesce($"is_dropped", lit(0L))).as("n_dropped"),
-        sum(when($"is_dropped".isNotNull, $"n_toks").otherwise(0L)).as("tokens_dropped"),
-        sum(when($"is_dropped".isNull, $"n_toks").otherwise(0L)).as("tokens_clean"))
-      .orderBy($"lang")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val heldSh = sh.filter($"split" === "heldout")
+        .select(explode($"gs").as("g")).distinct()
+      val train = sh.filter($"split" === "train")
+      val dropped = train
+        .select($"doc_id", explode($"gs").as("g"))
+        .join(heldSh, Seq("g"), "left_semi")
+        .select($"doc_id").distinct()
+      train
+        .join(dropped.withColumn("is_dropped", lit(1L)), Seq("doc_id"), "left")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_train"),
+          sum(coalesce($"is_dropped", lit(0L))).as("n_dropped"),
+          sum(when($"is_dropped".isNotNull, $"n_toks").otherwise(0L)).as("tokens_dropped"),
+          sum(when($"is_dropped".isNull, $"n_toks").otherwise(0L)).as("tokens_clean"))
+        .orderBy($"lang")
+        .localCheckpoint() // eager: O(langs) rows, computed through the cache
+    } finally sh.unpersist()
   }
 
   /** Substring-dedup scrub economics (t39) — the REMOVE step the t20 miner

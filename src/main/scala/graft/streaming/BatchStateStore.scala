@@ -38,6 +38,12 @@ private[graft] object BatchStateStore {
       latest.toUri, s.sparkContext.hadoopConfiguration)
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(latest),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // Written once, right AFTER the first marker rename ever succeeds:
+    // its absence later proves no commit completed (first-commit crash,
+    // safe to rehydrate fresh); its presence with no _latest proves
+    // marker loss over committed state (fail loudly). See committedBatch.
+    val once = new Path(dir, "_committed_once")
+    if (!fs.exists(once)) fs.create(once, true).close()
     val prefixes = tables.map(_._1 + "_")
     fs.listStatus(new Path(dir)).foreach { st =>
       val nm = st.getPath.getName
@@ -50,26 +56,23 @@ private[graft] object BatchStateStore {
   /** The committed batch id in `dir`, if any commit completed.
     *
     * Defense-in-depth: a dir that holds completed table dirs but NO
-    * marker is ambiguous — either a crash during the FIRST commit (table
-    * parquet landed, marker never created; a fresh state would be correct
-    * because the source checkpoint still redelivers that batch) or marker
-    * loss over committed state (a fresh state would silently drop batches
-    * the checkpoint will never redeliver). The two are indistinguishable
-    * here, and the second is unrecoverable data loss, so fail loudly and
-    * let the operator resolve it: if the query checkpoint shows no
-    * committed offsets, delete the orphan table dirs and restart. */
+    * marker is either a crash during the FIRST commit (table parquet
+    * landed, marker never created; a fresh state is correct because the
+    * source checkpoint still redelivers that batch) or marker loss over
+    * committed state (a fresh state would silently drop batches the
+    * checkpoint will never redeliver). The `_committed_once` sentinel —
+    * created right after the first marker rename, never removed —
+    * disambiguates: absent, the common benign case self-heals (return
+    * None, redelivery re-folds batch 0); present with no `_latest`, the
+    * unrecoverable case fails loudly and the operator resolves it. */
   def committedBatch(s: SparkSession, dir: String): Option[Long] = {
     val latest = new Path(dir, "_latest")
     val fs = fsOf(s, latest)
     if (!fs.exists(latest)) {
-      val root = new Path(dir)
-      if (fs.exists(root) &&
-          fs.listStatus(root).exists(st =>
-            st.isDirectory && st.getPath.getName.matches(".*_\\d+") &&
-              fs.exists(new Path(st.getPath, "_SUCCESS"))))
+      if (fs.exists(new Path(dir, "_committed_once")))
         throw new IllegalStateException(
-          s"state dir $dir holds committed table dirs but no _latest marker; " +
-            "refusing to rehydrate a fresh state over committed batches")
+          s"state dir $dir committed at least one batch but has no _latest " +
+            "marker; refusing to rehydrate a fresh state over committed batches")
       None
     }
     else {

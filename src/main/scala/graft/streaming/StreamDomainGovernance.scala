@@ -37,6 +37,11 @@ object StreamDomainGovernance {
     @volatile private var urls: Option[DataFrame] = None   // (curl, domain) distinct
     @volatile private var counts: Option[DataFrame] = None // (domain, n_docs)
     @volatile private var lastBatchId: Long = -1L
+    // Unpersist is deferred by ONE generation: a concurrent report that
+    // snapshotted generation N under the lock stays executable while
+    // generation N+1 commits (localCheckpointed frames cannot recompute
+    // once their blocks are dropped). Only generation N-1 is reclaimed.
+    private var retired: Seq[DataFrame] = Nil
 
     private[graft] def merge(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (batchId <= lastBatchId) return // redelivered micro-batch: no-op
@@ -50,14 +55,22 @@ object StreamDomainGovernance {
         .localCheckpoint()
       stateDir.foreach(d => BatchStateStore.commit(s, d,
         Seq("urls" -> nextUrls, "counts" -> nextCounts), batchId))
-      urls.foreach(_.unpersist()); counts.foreach(_.unpersist())
+      retired.foreach(_.unpersist())
+      retired = (urls.toSeq ++ counts.toSeq)
       urls = Some(nextUrls)
       counts = Some(nextCounts)
       lastBatchId = batchId
     }
 
-    /** The t42 cap report as of the last completed micro-batch. */
-    def report: DataFrame = (urls, counts) match {
+    /** The t42 cap report as of the last completed micro-batch.
+      *
+      * Takes the same lock [[merge]] holds: a live monitoring read that
+      * raced an active micro-batch could otherwise pair batch-N urls with
+      * batch-N+1 counts, or reference a just-unpersisted localCheckpointed
+      * frame whose blocks are already gone. The lock is only held long
+      * enough to snapshot the two frame handles and the budget plan
+      * (lazy, no job runs under the lock). */
+    def report: DataFrame = synchronized { (urls, counts) } match {
       case (Some(u), Some(c)) =>
         val dom = u.groupBy(col("domain"))
           .agg(countDistinct(col("curl")).as("n_urls"))
@@ -68,7 +81,7 @@ object StreamDomainGovernance {
     }
 
     /** The last folded micro-batch id. */
-    def lastCommittedBatch: Long = lastBatchId
+    def lastCommittedBatch: Long = synchronized { lastBatchId }
 
     private[graft] def rehydrate(savedUrls: DataFrame, savedCounts: DataFrame,
         savedBatchId: Long): Unit = synchronized {

@@ -1203,4 +1203,28 @@ class StreamingSpec extends SparkSpec {
     // the disk round-trip: survivors are A (rep 3), D (rep 25), U1, V1
     assert(st2.packed.collect().map(_.getLong(4)).sum === 30L + 30L + 25L + 25L)
   }
+
+  test("BatchStateStore disambiguates first-commit crash from marker loss") {
+    import graft.streaming.BatchStateStore
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // first-commit crash shape: table parquet landed (with _SUCCESS) but the
+    // run died before any marker — no commit ever completed, so rehydrating
+    // fresh is safe (the source checkpoint redelivers the batch): None
+    val crash = java.nio.file.Files.createTempDirectory("bss_crash").toString
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$crash/urls_0")
+    assert(BatchStateStore.committedBatch(spark, crash) === None)
+
+    // normal committed dir reads back its batch id
+    val ok = java.nio.file.Files.createTempDirectory("bss_ok").toString
+    BatchStateStore.commit(spark, ok, Seq("urls" -> Seq((1L, "a")).toDF("k", "v")), 3L)
+    assert(BatchStateStore.committedBatch(spark, ok) === Some(3L))
+
+    // marker loss over committed state: _committed_once survives, so a
+    // missing _latest is unrecoverable data loss — fail loudly
+    fs.delete(new Path(ok, "_latest"), false)
+    val e = intercept[IllegalStateException](BatchStateStore.committedBatch(spark, ok))
+    assert(e.getMessage.contains("refusing to rehydrate"))
+  }
 }

@@ -2945,31 +2945,48 @@ object TextQueries {
     // cached shingle arrays — at 100 TB that cache was this operator's
     // biggest memory consumer, now bounded to one invocation's lifetime
     // (MEMORY_AND_DISK: spills rather than evicts under pressure).
-    val t = TextFns.tokens($"text")
-    val sh = docs
-      .select($"doc_id", $"lang",
-        array_distinct(TextFns.shingleHashes(t)).as("gs"),
-        size(t).cast("long").as("n_toks"))
+    val sh = docShingles(docs)
       .withColumn("split", when(trainPred, "train").otherwise("heldout"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val heldSh = sh.filter($"split" === "heldout")
         .select(explode($"gs").as("g")).distinct()
-      val train = sh.filter($"split" === "train")
-      val dropped = train
-        .select($"doc_id", explode($"gs").as("g"))
-        .join(heldSh, Seq("g"), "left_semi")
-        .select($"doc_id").distinct()
-      train
-        .join(dropped.withColumn("is_dropped", lit(1L)), Seq("doc_id"), "left")
-        .groupBy($"lang")
-        .agg(count(lit(1)).as("n_train"),
-          sum(coalesce($"is_dropped", lit(0L))).as("n_dropped"),
-          sum(when($"is_dropped".isNotNull, $"n_toks").otherwise(0L)).as("tokens_dropped"),
-          sum(when($"is_dropped".isNull, $"n_toks").otherwise(0L)).as("tokens_clean"))
+      decontLangStats(sh.filter($"split" === "train"), heldSh)
         .orderBy($"lang")
         .localCheckpoint() // eager: O(langs) rows, computed through the cache
     } finally sh.unpersist()
+  }
+
+  /** t44's per-doc projection half: one (doc_id, lang, gs, n_toks) row per
+    * (doc_id, text, lang) input row, shingle keys and the token count on
+    * one scan — shared with the streaming twin
+    * ([[graft.streaming.StreamDecontaminate]]), which runs it per
+    * micro-batch instead of over the corpus. */
+  private[graft] def docShingles(docs: DataFrame): DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    docs.select(col("doc_id"), col("lang"),
+      array_distinct(TextFns.shingleHashes(t)).as("gs"),
+      size(t).cast("long").as("n_toks"))
+  }
+
+  /** t44's decision + economics half over TRAIN [[docShingles]] rows vs a
+    * heldout shingle-key set `heldSh` (one `g` column): per-lang train
+    * docs, dropped docs, and dropped/clean token sums — UNORDERED (the
+    * streaming twin folds these as plain sums; the batch report adds the
+    * orderBy). The drop decision is per-doc against the static heldout
+    * set only, so the per-lang sums are split-invariant monoids. */
+  private[graft] def decontLangStats(train: DataFrame, heldSh: DataFrame): DataFrame = {
+    val dropped = train
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(heldSh, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    train
+      .join(dropped.withColumn("is_dropped", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"),
+        sum(when(col("is_dropped").isNotNull, col("n_toks")).otherwise(0L)).as("tokens_dropped"),
+        sum(when(col("is_dropped").isNull, col("n_toks")).otherwise(0L)).as("tokens_clean"))
   }
 
   /** Substring-dedup scrub economics (t39) — the REMOVE step the t20 miner

@@ -757,7 +757,11 @@ class DocExamplesSpec extends SparkSpec {
                         // shared with StreamDomainGovernance; gated by the
                         // t42 oracle + the twin equivalence test
       "domainCapReport", // private[graft] t42 O(domains) cap seam, same gates
-      "DomainBudgetPct"), // private[graft] budget constant shared with the twin
+      "DomainBudgetPct", // private[graft] budget constant shared with the twin
+      "docShingles",     // private[graft] t44 per-doc projection seam shared
+                         // with StreamDecontaminate; gated by the t44 oracle
+                         // + the twin equivalence test
+      "decontLangStats"), // private[graft] t44 decision/economics seam, same gates
     "Multimodal" -> Set("FrameSize", "ShardBytes", "ShardGroups")) // constants
 
   test("every public operator method has a runnable doc example or a documented exclusion") {

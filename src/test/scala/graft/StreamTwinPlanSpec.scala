@@ -24,14 +24,25 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *     list cannot).
   *
   * StreamIngest's own mining seam keeps its dedicated semi-join gate in
-  * StreamIngestPlanSpec; this registry covers the simpler fold twins the
-  * directive names (CDC compaction, bottom-k sampling, SCD2 history). */
+  * StreamIngestPlanSpec; this registry covers EVERY other foreachBatch
+  * twin. (The StreamFsm-engine twins — StreamOccupancy, StreamEwma,
+  * StreamQuota, StreamCusum — and the transformWithState dedup twins hold
+  * their state in the streaming state store and execute no driver-side
+  * per-batch plan at all, so the collect-and-isin class cannot occur
+  * there by construction; they are gated by their stream≡batch
+  * equivalence tests instead.)
+  *
+  * Most twins may run ONLY localCheckpoint; a twin whose designed state
+  * is a driver-resident bounded sketch (StreamHeavyHitters' ≤k
+  * Misra–Gries summary) additionally folds through a 1-row `head` and a
+  * scalar `count` — bounded by k and 1 respectively, never O(batch). */
 class StreamTwinPlanSpec extends SparkSpec {
 
   import spark.implicits._
 
   private val MaxEnumLiterals = 16
   private val AllowedActions = Set("localCheckpoint")
+  private val BoundedSketchActions = AllowedActions ++ Set("head", "count")
 
   /** Run `drive`, returning every (action name, query execution) the
     * session's driver executed while it ran. */
@@ -61,12 +72,12 @@ class StreamTwinPlanSpec extends SparkSpec {
   private def ts(i: Int) =
     java.sql.Timestamp.valueOf(f"2024-03-01 ${i / 60}%02d:${i % 60}%02d:00")
 
-  /** Twin registry: name -> drive (start on a MemoryStream, feed two
-    * 150-row batches, stop). 150 distinct ids per batch means a collected
-    * id list re-entering a plan would be a 150-wide In — 9x the enum
-    * allowance. */
-  private lazy val twins: Seq[(String, () => Unit)] = Seq(
-    "StreamCdc" -> { () =>
+  /** Twin registry: name -> (allowed driver actions, drive) — start on a
+    * MemoryStream, feed two 150-row batches, stop. 150 distinct ids per
+    * batch means a collected id list re-entering a plan would be a
+    * 150-wide In — 9x the enum allowance. */
+  private lazy val twins: Seq[(String, Set[String], () => Unit)] = Seq(
+    ("StreamCdc", AllowedActions, { () =>
       implicit val sq = spark.sqlContext
       val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
       val rows = (0 until 300).map(i => (i.toLong, ts(i), (i % 40).toLong,
@@ -76,8 +87,8 @@ class StreamTwinPlanSpec extends SparkSpec {
       try rows.grouped(150).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
       finally q.stop()
       assert(state.snapshot.columns.nonEmpty)
-    },
-    "StreamSample" -> { () =>
+    }),
+    ("StreamSample", AllowedActions, { () =>
       implicit val sq = spark.sqlContext
       val ms = MemoryStream[(Long, String)]
       val rows = (0 until 300).map(i => (i.toLong, Seq("en", "de", "fr")(i % 3)))
@@ -86,8 +97,8 @@ class StreamTwinPlanSpec extends SparkSpec {
       try rows.grouped(150).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
       finally q.stop()
       assert(state.sample.columns.nonEmpty)
-    },
-    "StreamScd2" -> { () =>
+    }),
+    ("StreamScd2", AllowedActions, { () =>
       implicit val sq = spark.sqlContext
       val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
       val rows = (0 until 300).map(i => (i.toLong, ts(i), (i % 40).toLong,
@@ -97,8 +108,8 @@ class StreamTwinPlanSpec extends SparkSpec {
       try rows.grouped(150).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
       finally q.stop()
       assert(state.history.columns.nonEmpty)
-    },
-    "StreamDomainGovernance" -> { () =>
+    }),
+    ("StreamDomainGovernance", AllowedActions, { () =>
       implicit val sq = spark.sqlContext
       val ms = MemoryStream[(Long, String)]
       val rows = (0 until 300).map(i =>
@@ -109,15 +120,71 @@ class StreamTwinPlanSpec extends SparkSpec {
       try rows.grouped(150).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
       finally q.stop()
       assert(state.report.columns.nonEmpty)
-    })
+    }),
+    ("StreamDecontaminate", AllowedActions, { () =>
+      implicit val sq = spark.sqlContext
+      val ms = MemoryStream[(Long, String, String)]
+      def txt(i: Int) = (0 until 12).map(j => s"w${(i * 7 + j) % 90}").mkString(" ")
+      val rows = (0 until 300).map(i =>
+        (100L + i, txt(i), Seq("en", "de", "fr")(i % 3)))
+      val heldout = (0 until 40).map(i => (i.toLong, txt(i * 3), "en"))
+        .toDF("doc_id", "text", "lang")
+      val ckpt = java.nio.file.Files.createTempDirectory("decont_gate").toString
+      val (q, state) = graft.streaming.StreamDecontaminate.startEphemeral(
+        ms.toDF().toDF("doc_id", "text", "lang"), heldout, ckpt)
+      try rows.grouped(150).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      assert(state.report.columns.nonEmpty)
+    }),
+    ("StreamAdmission", AllowedActions, { () =>
+      implicit val sq = spark.sqlContext
+      val ms = MemoryStream[(Long, String)]
+      def txt(i: Int) = (0 until 30).map(j => s"w${(i * 11 + j) % 400}").mkString(" ")
+      val rows = (0 until 300).map(i => (i.toLong, txt(i)))
+      val (q, state) = graft.streaming.StreamAdmission.start(
+        ms.toDF().toDF("doc_id", "text"))
+      try rows.grouped(150).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      assert(state.admitted.columns.nonEmpty)
+    }),
+    ("StreamQuantiles", AllowedActions, { () =>
+      implicit val sq = spark.sqlContext
+      val ms = MemoryStream[Long]
+      val rows = (0 until 300).map(i => ((i * 37) % 1000).toLong)
+      val (q, state) = graft.streaming.StreamQuantiles.start(
+        ms.toDF().toDF("c"))
+      try rows.grouped(150).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      assert(state.quantiles(Seq(0.5)).columns.nonEmpty)
+    }),
+    ("StreamRollingDistinct", AllowedActions, { () =>
+      implicit val sq = spark.sqlContext
+      val ms = MemoryStream[(java.sql.Timestamp, Long)]
+      val rows = (0 until 300).map(i => (ts(i), (i * 13 % 170).toLong))
+      val (q, state) = graft.streaming.StreamRollingDistinct.start(
+        ms.toDF().toDF("ts", "user_id"))
+      try rows.grouped(150).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      assert(state.daySketches.columns.nonEmpty)
+    }),
+    ("StreamHeavyHitters", BoundedSketchActions, { () =>
+      implicit val sq = spark.sqlContext
+      val ms = MemoryStream[Long]
+      val rows = (0 until 300).map(i => (i % 170).toLong)
+      val (q, state) = graft.streaming.StreamHeavyHitters.start(
+        ms.toDF().toDF("key"), k = 9)
+      try rows.grouped(150).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      assert(state.total === 300L)
+    }))
 
-  for ((name, drive) <- twins)
-    test(s"$name folds collect-free: only localCheckpoint actions, no data-derived In/InSet") {
+  for ((name, allowed, drive) <- twins)
+    test(s"$name folds collect-free: only bounded driver actions, no data-derived In/InSet") {
       val acts = traced(drive())
       assert(acts.nonEmpty, "the drive must execute at least one fold action")
-      val illegal = acts.map(_._1).filterNot(AllowedActions)
+      val illegal = acts.map(_._1).filterNot(allowed)
       assert(illegal.isEmpty,
-        s"$name ran driver actions beyond the per-batch checkpoint: " +
+        s"$name ran driver actions beyond its allowance: " +
           illegal.groupBy(identity).view.mapValues(_.size).toMap)
       val ins = acts.flatMap { case (f, qe) => wideIns(qe).map(w => s"$f: $w") }
       assert(ins.isEmpty,

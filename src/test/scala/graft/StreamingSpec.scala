@@ -1204,6 +1204,69 @@ class StreamingSpec extends SparkSpec {
     assert(st2.packed.collect().map(_.getLong(4)).sum === 30L + 30L + 25L + 25L)
   }
 
+  test("decontamination twin: stream report == batch t44 after every prefix, across a restart") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamDecontaminate
+    import graft.operators.TextQueries
+    def gram(p: String) = (1 to 8).map(p + _).mkString(" ")
+    // heldout ids < 100, train ids >= 100 — so the batch oracle can replay
+    // the same split with one predicate over the union frame
+    val heldout = Seq(
+      (1L, s"${gram("g")} tail", "en"),
+      (2L, gram("k"), "de"))
+    val b1 = Seq(
+      (101L, s"lead ${gram("g")} more", "en"), // leaks g -> dropped
+      (102L, s"${gram("h")} x", "en"),         // clean -> kept
+      (103L, s"${gram("k")} y", "de"))         // leaks k -> dropped
+    val b2 = Seq(
+      (104L, gram("h"), "en"),   // shares h with TRAIN 102 only -> kept
+      (105L, "too short", "en"), // < 8 tokens: no shingles -> kept
+      (106L, gram("g"), "fr"))   // leak in a lang heldout never saw -> dropped
+    val b3 = Seq(
+      (107L, s"${gram("k")} z", "de"), // dropped
+      (108L, "a clean document entirely its own", "en"))
+    def batchReport(prefix: Seq[(Long, String, String)]) =
+      TextQueries.decontaminateReport(
+        (heldout ++ prefix).toDF("doc_id", "text", "lang"),
+        trainPred = $"doc_id" >= 100L).collect().toSeq
+    val root = java.nio.file.Files.createTempDirectory("decont_twin").toString
+    val ms = MemoryStream[(Long, String, String)]
+    val heldoutDf = heldout.toDF("doc_id", "text", "lang")
+    val (q1, st1) = StreamDecontaminate.start(
+      ms.toDF().toDF("doc_id", "text", "lang"), heldoutDf,
+      s"$root/ckpt", s"$root/state")
+    try {
+      ms.addData(b1: _*); q1.processAllAvailable()
+      assert(st1.report.collect().toSeq === batchReport(b1))
+      ms.addData(b2: _*); q1.processAllAvailable()
+      assert(st1.report.collect().toSeq === batchReport(b1 ++ b2))
+      // retried micro-batch id is a no-op
+      val before = st1.report.collect().toSeq
+      st1.merge(b1.toDF("doc_id", "text", "lang"), 0L)
+      assert(st1.report.collect().toSeq === before)
+    } finally q1.stop()
+    // restart through the SAME front-door call (durable-by-default)
+    val (q2, st2) = StreamDecontaminate.start(
+      ms.toDF().toDF("doc_id", "text", "lang"), heldoutDf,
+      s"$root/ckpt", s"$root/state")
+    try {
+      ms.addData(b3: _*); q2.processAllAvailable()
+      assert(st2.report.collect().toSeq === batchReport(b1 ++ b2 ++ b3))
+      // the planted decisions actually exercised the fold: en kept 4 of 5,
+      // de dropped both, fr dropped its only doc
+      val r = st2.report.collect().map(x => x.getString(0) -> x).toMap
+      assert(r("en").getLong(1) === 5L && r("en").getLong(2) === 1L)
+      assert(r("de").getLong(1) === 2L && r("de").getLong(2) === 2L)
+      assert(r("fr").getLong(1) === 1L && r("fr").getLong(2) === 1L)
+    } finally q2.stop()
+    // a restart against a DIFFERENT benchmark set fails loudly: past drop
+    // decisions were made against the original heldout shingles
+    val other = Seq((1L, gram("z"), "en")).toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException](
+      StreamDecontaminate.load(spark, other, s"$root/state"))
+    assert(e.getMessage.contains("different heldout set"))
+  }
+
   test("BatchStateStore disambiguates first-commit crash from marker loss") {
     import graft.streaming.BatchStateStore
     import org.apache.hadoop.fs.Path

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Rotating per-operator cache slots for operators whose plan reads one
+  * expensive intermediate (postings, shingle frames) several times.
+  *
+  * The leak this fixes: a bare `.cache()` inside an operator accrues one
+  * corpus-sized cached frame PER INVOCATION for the life of the session
+  * (the round-7 advisory). An eager localCheckpoint-then-unpersist would
+  * fix the leak but truncate the returned lineage — the plan-lint and
+  * plan-quality specs grade `fn(...)`'s full plan, and construction would
+  * silently become an action. Instead each operator persists into a named
+  * slot and the NEXT invocation of the same operator unpersists the
+  * previous generation: the returned plan stays lazy, and the operator's
+  * executor-storage footprint is bounded to its latest invocation.
+  *
+  * Concurrent invocations of ONE operator would rotate each other's cache
+  * early — harmless for correctness (Spark recomputes evicted partitions
+  * from lineage), only a perf hazard, and no driver here (Verify, Bench,
+  * the test suites) runs an operator concurrently with itself. */
+private[graft] object OpCache {
+
+  private val slots = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Persist `df` (MEMORY_AND_DISK: spills, never evicts under pressure)
+    * under `slot`, unpersisting the slot's previous generation. */
+  def persistRotating(slot: String, df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    Option(slots.put(slot, p)).foreach { prev =>
+      // a stopped owning session must not fail the new invocation
+      if (prev ne p) scala.util.Try(prev.unpersist(blocking = false))
+    }
+    p
+  }
+}

@@ -66,6 +66,10 @@ object SimilarityQueries {
   private val FuseR = 20
   private val RrfK = 60
   private val RrfScale = 1000000L
+  // s21 impact-ordered postings: each term's list pruned to its m
+  // highest-tf (tie: lowest doc_id) entries at index-build time. MUST be
+  // declared above `val all` (object init is sequential).
+  private[graft] val ImpactPostings = 32
 
   /** The BM25 per-(term, doc) contribution in exact integer arithmetic,
     * written once and rendered for either engine's integer-division
@@ -848,59 +852,37 @@ object SimilarityQueries {
     QueryDef(
       "s20_hybrid_rrf",
       (s, d) => {
-        import s.implicits._
-        val docs = Tables.documents(s, d)
-        // postings cache released before returning (bm25Search's pattern):
-        // the O(queries x 10) fusion is localCheckpointed eagerly
-        val dt = docs
-          .select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
-          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val dl = dt.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-          val dft = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
-          val qterms = dt.filter($"doc_id" < 5)
-            .select($"doc_id".as("query_id"), $"tok")
-            .join(dft, "tok")
-          val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_total"))
-          val wl = Window.partitionBy($"query_id").orderBy($"score_milli".desc, $"doc_id")
-          val lex = dt.join(broadcast(qterms), "tok")
-            .filter($"doc_id" =!= $"query_id")
-            .join(dl, "doc_id")
-            .crossJoin(broadcast(stats))
-            .select($"query_id", $"doc_id", expr(Bm25ContribExpr).as("contrib"))
-            .groupBy($"query_id", $"doc_id")
-            .agg(expr("sum(contrib) div 1000").as("score_milli"))
-            .withColumn("lex_rank", row_number().over(wl).cast("long"))
-            .filter($"lex_rank" <= FuseR)
-            .select($"query_id", $"doc_id", $"lex_rank")
-          val e = Tables.embeddings(s, d)
-          val queries = e.filter($"vec_id" < 5)
-            .select($"vec_id".as("query_id"), $"embedding".as("q"))
-          val wv = Window.partitionBy($"query_id").orderBy($"cos_milli".desc, $"doc_id")
-          val vec = e.join(broadcast(queries), $"vec_id" =!= $"query_id")
-            .select($"query_id", $"vec_id".as("doc_id"),
-              VectorFns.cosineMilli($"q", $"embedding").as("cos_milli"))
-            .withColumn("vec_rank", row_number().over(wv).cast("long"))
-            .filter($"vec_rank" <= FuseR)
-            .select($"query_id", $"doc_id", $"vec_rank")
-          val wf = Window.partitionBy($"query_id").orderBy($"fused_micro".desc, $"doc_id")
-          lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
-            .select($"query_id", $"doc_id",
-              coalesce($"lex_rank", lit(0L)).as("lex_rank"),
-              coalesce($"vec_rank", lit(0L)).as("vec_rank"))
-            .withColumn("fused_micro",
-              when($"lex_rank" > 0L, expr(s"$RrfScale div ($RrfK + lex_rank)")).otherwise(0L)
-                + when($"vec_rank" > 0L, expr(s"$RrfScale div ($RrfK + vec_rank)")).otherwise(0L))
-            .withColumn("rank", row_number().over(wf).cast("long"))
-            .filter($"rank" <= 10L)
-            .select($"query_id", $"rank", $"doc_id", $"fused_micro",
-              $"lex_rank", $"vec_rank")
-            .orderBy($"query_id", $"rank")
-            .localCheckpoint()
-        } finally dt.unpersist()
+        val dt = OpCache.persistRotating("s20.postings",
+          postings(Tables.documents(s, d)))
+        rrfFuse(lexTopR(dt, dt), vecTopRExact(Tables.embeddings(s, d)))
       },
       oracle = Some(s20OracleSql)),
+
+    // ----- hybrid retrieval over the INDEXED legs (s21) ----------------------
+    // Executes the scale claim s20 documents: "each side swaps in its
+    // indexed variant and the fusion plan is unchanged". The lexical side
+    // scores from an IMPACT-ORDERED postings index — each term's list
+    // pruned to its ImpactPostings highest-tf entries (the classic
+    // WAND-family trade: per-term serving cost O(m), not O(df); corpus
+    // stats dl/df/avgdl stay exact from the full table, only candidate
+    // generation is pruned). The vector side is s02's sign-LSH bucketed
+    // ANN (equi-join on bucket neighborhoods — never a corpus NLJ). The
+    // fusion is LITERALLY the same code path as s20 (rrfFuse);
+    // SimilaritySpec asserts the fused spine of both optimized plans is
+    // node-identical, and grades s21 against s20's exact fusion with the
+    // s17 recall harness. At 100 TB: the impact index bounds per-query
+    // lexical work by m per term, the LSH buckets bound vector work by
+    // bucket occupancy — this is the plan that serves, with s20 as its
+    // recall ground truth.
+    QueryDef(
+      "s21_hybrid_rrf_indexed",
+      (s, d) => {
+        val dt = OpCache.persistRotating("s21.postings",
+          postings(Tables.documents(s, d)))
+        rrfFuse(lexTopR(dt, impactPrunedPostings(dt)),
+          vecTopRLsh(Tables.embeddings(s, d)))
+      },
+      oracle = Some(s21OracleSql)),
 
     // ----- semantic clusters: connected components over the mutual-kNN graph
     // The SemDeDup-family capstone: label every vector with a semantic
@@ -1386,36 +1368,137 @@ object SimilarityQueries {
     require(k > 0, s"need k > 0, got $k")
     val s = docs.sparkSession
     import s.implicits._
-    // postings are read three times (dl, dft, scoring); the cache is
-    // RELEASED before returning — the O(queries x k) result is eagerly
-    // materialized via localCheckpoint so repeated calls in a long-lived
-    // session never accumulate corpus-sized postings caches
-    val dt = docs
-      .select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val dl = dt.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-      val dft = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
-      val terms = queries
-        .flatMap { case (q, ts) => ts.distinct.map(q -> _) }
-        .toDF("query_id", "tok")
-      val qterms = terms.join(dft, "tok")
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_total"))
-      val w = Window.partitionBy($"query_id")
-        .orderBy($"score_milli".desc, $"doc_id")
-      dt.join(broadcast(qterms), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .select($"query_id", $"doc_id", expr(Bm25ContribExpr).as("contrib"))
-        .groupBy($"query_id", $"doc_id")
-        .agg(expr("sum(contrib) div 1000").as("score_milli"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter($"rank" <= k)
-        .select($"query_id", $"rank", $"doc_id", $"score_milli")
-        .orderBy($"query_id", $"rank")
-        .localCheckpoint()
-    } finally dt.unpersist()
+    // postings are read three times (dl, dft, scoring); the rotating slot
+    // bounds the cached postings to the latest invocation (OpCache)
+    val dt = OpCache.persistRotating("s10.postings", postings(docs))
+    val dl = dt.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val dft = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val terms = queries
+      .flatMap { case (q, ts) => ts.distinct.map(q -> _) }
+      .toDF("query_id", "tok")
+    val qterms = terms.join(dft, "tok")
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("t_total"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"score_milli".desc, $"doc_id")
+    dt.join(broadcast(qterms), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"query_id", $"doc_id", expr(Bm25ContribExpr).as("contrib"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(expr("sum(contrib) div 1000").as("score_milli"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"doc_id", $"score_milli")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** The postings table (doc_id, tok, tf) over a (doc_id, text) frame —
+    * the one corpus-scale shuffle every lexical operator here shares. */
+  private[graft] def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+
+  /** The impact-ordered index build: each term's posting list pruned to
+    * its [[ImpactPostings]] highest-tf entries (tie: lowest doc_id). One
+    * window shuffle by term at build time; per-term serving cost becomes
+    * O(m) instead of O(df) — the WAND-family trade, with recall graded
+    * against the exact leg by SimilaritySpec's s17-harness test. */
+  private[graft] def impactPrunedPostings(dt: DataFrame): DataFrame = {
+    val wi = Window.partitionBy(col("tok")).orderBy(col("tf").desc, col("doc_id"))
+    dt.withColumn("ir", row_number().over(wi))
+      .filter(col("ir") <= ImpactPostings)
+      .select(col("doc_id"), col("tok"), col("tf"))
+  }
+
+  /** The hybrid lexical leg: exact integer BM25 of every query doc's term
+    * set (query docs = ids < 5, terms from the FULL postings frame `dt` —
+    * never a driver collect), scored against the postings in `scoringDt`,
+    * top [[FuseR]] per query. `scoringDt = dt` is the exact leg (s20);
+    * `scoringDt = impactPrunedPostings(dt)` is the indexed leg (s21) —
+    * corpus statistics (df, dl, avgdl) always come from the full table,
+    * so the two legs score identically wherever the pruned index retained
+    * the posting. */
+  private[graft] def lexTopR(dt: DataFrame, scoringDt: DataFrame): DataFrame = {
+    val dl = dt.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dft = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val qterms = dt.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("tok"))
+      .join(dft, "tok")
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_total"))
+    val wl = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_milli").desc, col("doc_id"))
+    scoringDt.join(broadcast(qterms), "tok")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), expr(Bm25ContribExpr).as("contrib"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(expr("sum(contrib) div 1000").as("score_milli"))
+      .withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .filter(col("lex_rank") <= FuseR)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+  }
+
+  /** The hybrid vector leg, exact contract: s01's brute-force cosine,
+    * top [[FuseR]] per query doc (ids < 5). */
+  private[graft] def vecTopRExact(e: DataFrame): DataFrame = {
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_milli").desc, col("doc_id"))
+    e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        VectorFns.cosineMilli(col("q"), col("embedding")).as("cos_milli"))
+      .withColumn("vec_rank", row_number().over(wv).cast("long"))
+      .filter(col("vec_rank") <= FuseR)
+      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+  }
+
+  /** The hybrid vector leg, indexed contract: s02's sign-LSH bucketed
+    * candidates (hamming<=3 neighborhood equi-join — never a corpus NLJ),
+    * exact cosine rank, top [[FuseR]] per query doc. */
+  private[graft] def vecTopRLsh(e0: DataFrame): DataFrame = {
+    val planes = VectorFns.hyperplanes(NumPlanes, Dim)
+    val neighborhood: Seq[Long] =
+      (0L until (1L << NumPlanes)).filter(java.lang.Long.bitCount(_) <= 3)
+    val e = e0.withColumn("bucket", VectorFns.signLshBucket(col("embedding"), planes))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        explode(array(neighborhood.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
+          .as("bucket"))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_milli").desc, col("doc_id"))
+    e.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        VectorFns.cosineMilli(col("q"), col("embedding")).as("cos_milli"))
+      .withColumn("vec_rank", row_number().over(wv).cast("long"))
+      .filter(col("vec_rank") <= FuseR)
+      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+  }
+
+  /** Reciprocal-rank fusion of two (query_id, doc_id, <side>_rank) top-R
+    * lists — ONE code path for the exact (s20) and indexed (s21) hybrids;
+    * SimilaritySpec asserts the fused spine of both optimized plans is
+    * node-identical, making "swap in the indexed legs, fusion unchanged"
+    * executable rather than asserted. Full-outer, never inner: a doc on
+    * one side's list only still scores (the missing side reports rank 0
+    * and contributes nothing). */
+  private[graft] def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("fused_micro").desc, col("doc_id"))
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+      .withColumn("fused_micro",
+        when(col("lex_rank") > 0L, expr(s"$RrfScale div ($RrfK + lex_rank)")).otherwise(0L)
+          + when(col("vec_rank") > 0L, expr(s"$RrfScale div ($RrfK + vec_rank)")).otherwise(0L))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= 10L)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("fused_micro"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** s01's exact brute-force top-10 (the evaluation ground truth shared
@@ -1858,11 +1941,17 @@ object SimilarityQueries {
     * so it has a full oracle: the planes are embedded as SQL literals and
     * the bucket (sign bits) + hamming<=3 candidate set + exact ranking are
     * recomputed in DuckDB. */
-  private def s02OracleSql: String = {
+  /** The sign-LSH bucket of column `e` as DuckDB SQL over the SAME literal
+    * hyperplanes Spark uses — shared by the s02 and s21 oracles. */
+  private def lshBucketSql: String = {
     val planes = VectorFns.hyperplanes(NumPlanes, Dim)
-    val bucketExpr = (0 until NumPlanes).map { i =>
+    (0 until NumPlanes).map { i =>
       s"(CASE WHEN list_dot_product(e, ${planeLit(planes(i))}) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
+  }
+
+  private def s02OracleSql: String = {
+    val bucketExpr = lshBucketSql
     s"""
         WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         b AS (SELECT vec_id, e, $bucketExpr AS bucket FROM t),
@@ -1957,6 +2046,79 @@ object SimilarityQueries {
                    (sqrt(list_dot_product(qv.qe, qv.qe)) *
                     sqrt(list_dot_product(t.e, t.e)))) AS BIGINT) AS cos_milli
           FROM qv JOIN t ON t.vec_id != qv.query_id),
+        vecr AS (
+          SELECT query_id, doc_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_milli DESC, doc_id) AS BIGINT) AS vec_rank
+          FROM vecs QUALIFY vec_rank <= $FuseR),
+        fused AS (
+          SELECT coalesce(l.query_id, v.query_id) AS query_id,
+                 coalesce(l.doc_id, v.doc_id) AS doc_id,
+                 coalesce(l.lex_rank, 0) AS lex_rank,
+                 coalesce(v.vec_rank, 0) AS vec_rank,
+                 CAST(coalesce($RrfScale // ($RrfK + l.lex_rank), 0)
+                    + coalesce($RrfScale // ($RrfK + v.vec_rank), 0) AS BIGINT) AS fused_micro
+          FROM lexr l FULL JOIN vecr v
+            ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+        ranked AS (
+          SELECT query_id, doc_id, fused_micro, lex_rank, vec_rank,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY fused_micro DESC, doc_id) AS BIGINT) AS rank
+          FROM fused)
+        SELECT query_id, rank, doc_id, fused_micro,
+               CAST(lex_rank AS BIGINT) AS lex_rank,
+               CAST(vec_rank AS BIGINT) AS vec_rank
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank"""
+
+  /** The s21 oracle: s20's fusion verbatim, with the lexical side scoring
+    * from the impact-pruned postings (stats from the full table) and the
+    * vector side from s02's LSH bucket neighborhoods. */
+  private def s21OracleSql: String = s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+          FROM documents),
+        dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+               FROM toks GROUP BY doc_id, tok),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY doc_id),
+        dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS t_total FROM dl),
+        qt AS (SELECT doc_id AS query_id, tok FROM dt WHERE doc_id < 5),
+        dti AS (
+          SELECT doc_id, tok, tf FROM (
+            SELECT doc_id, tok, tf,
+                   row_number() OVER (PARTITION BY tok
+                     ORDER BY tf DESC, doc_id) AS ir
+            FROM dt)
+          WHERE ir <= $ImpactPostings),
+        lexs AS (
+          SELECT query_id, doc_id,
+                 CAST(sum(${bm25Contrib("//")}) // 1000 AS BIGINT) AS score_milli
+          FROM dti
+          JOIN qt USING (tok)
+          JOIN dft USING (tok)
+          JOIN dl USING (doc_id)
+          CROSS JOIN st
+          WHERE doc_id != query_id
+          GROUP BY query_id, doc_id),
+        lexr AS (
+          SELECT query_id, doc_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_milli DESC, doc_id) AS BIGINT) AS lex_rank
+          FROM lexs QUALIFY lex_rank <= $FuseR),
+        t AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        b AS (SELECT vec_id, e, $lshBucketSql AS bucket FROM t),
+        qv AS (SELECT vec_id AS query_id, e AS qe, bucket AS qb
+               FROM b WHERE vec_id < 5),
+        vecs AS (
+          SELECT qv.query_id, b.vec_id AS doc_id,
+                 CAST(floor(list_dot_product(qv.qe, b.e) * 1000.0 /
+                   (sqrt(list_dot_product(qv.qe, qv.qe)) *
+                    sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) AS cos_milli
+          FROM qv JOIN b ON b.vec_id != qv.query_id
+            AND bit_count(xor(b.bucket, qv.qb)) <= 3),
         vecr AS (
           SELECT query_id, doc_id,
                  CAST(row_number() OVER (PARTITION BY query_id

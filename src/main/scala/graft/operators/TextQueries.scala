@@ -2938,23 +2938,17 @@ object TextQueries {
     // count ride the same projection — never a self-join back for n_toks.
     // The shingle frame is read twice (heldout probe side + train side);
     // persisting it trades one scan+shingle pass (~40% of the operator's
-    // work, measured at sf0.1) for executor storage. The cache is
-    // RELEASED before returning: the O(langs) report is materialized via
-    // localCheckpoint (the streaming folds' discipline), so repeated
-    // invocations in a long-lived driver never accumulate corpus-sized
-    // cached shingle arrays — at 100 TB that cache was this operator's
-    // biggest memory consumer, now bounded to one invocation's lifetime
-    // (MEMORY_AND_DISK: spills rather than evicts under pressure).
-    val sh = docShingles(docs)
-      .withColumn("split", when(trainPred, "train").otherwise("heldout"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val heldSh = sh.filter($"split" === "heldout")
-        .select(explode($"gs").as("g")).distinct()
-      decontLangStats(sh.filter($"split" === "train"), heldSh)
-        .orderBy($"lang")
-        .localCheckpoint() // eager: O(langs) rows, computed through the cache
-    } finally sh.unpersist()
+    // work, measured at sf0.1) for executor storage. A rotating slot
+    // (OpCache) bounds that storage to the LATEST invocation — at 100 TB
+    // the cached corpus-wide shingle arrays are this operator's biggest
+    // memory consumer, and a bare cache() accrued one per invocation for
+    // the life of the session (the round-7 advisory).
+    val sh = OpCache.persistRotating("t44.shingles", docShingles(docs)
+      .withColumn("split", when(trainPred, "train").otherwise("heldout")))
+    val heldSh = sh.filter($"split" === "heldout")
+      .select(explode($"gs").as("g")).distinct()
+    decontLangStats(sh.filter($"split" === "train"), heldSh)
+      .orderBy($"lang")
   }
 
   /** t44's per-doc projection half: one (doc_id, lang, gs, n_toks) row per

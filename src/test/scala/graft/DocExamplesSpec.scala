@@ -744,7 +744,13 @@ class DocExamplesSpec extends SparkSpec {
       "d06OracleSql"),  // oracle-SQL constant consumed by the s12 oracle
     "SimilarityQueries" -> Set(
       "IvfK", "KmK", "PqK", "PqM", "PqSubDim", // private[graft] codebook constants
-      "planeLit"),                             // oracle-SQL literal builder (d14/s02 oracles)
+      "planeLit",                              // oracle-SQL literal builder (d14/s02 oracles)
+      "ImpactPostings", // private[graft] s21 index-build constant
+      // private[graft] hybrid-retrieval seams shared by s20/s21 and the
+      // SimilaritySpec fusion-spine + recall-harness gates; each is
+      // exercised by BOTH hybrid oracles (s20 exact, s21 indexed)
+      "postings", "impactPrunedPostings", "lexTopR",
+      "vecTopRExact", "vecTopRLsh", "rrfFuse"),
     "TextQueries" -> Set(
       "polyHashSqlOf",  // oracle-SQL generator, embedded in a dozen oracles
       "packShardCol",   // private[graft] t08 shard column shared with

@@ -33,6 +33,10 @@ class PlanLintSpec extends SparkSpec {
     // cosine side (broadcast query set, non-equi self-exclusion) — both
     // established bnljOk patterns composed
     "s20_hybrid_rrf",
+    // s21 keeps s10's 1-row stats broadcast on the lexical leg; its
+    // vector leg is the s02 bucket EQUI-join (no corpus NLJ — that is
+    // the point of the indexed swap)
+    "s21_hybrid_rrf_indexed",
     // q103 broadcasts two 1-row frames (the global end-date and the
     // 12-cell quintile-boundary row) onto the customer profile — the
     // same stats-broadcast pattern; PlanQualitySpec gates that no window

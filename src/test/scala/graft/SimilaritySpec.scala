@@ -372,4 +372,57 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.exists(r => r._5 > 0L && r._6 === 0L), "expected a lexical-only hit")
     assert(rows.exists(r => r._6 > 0L && r._5 === 0L), "expected a vector-only hit")
   }
+
+  test("s21: the fused spine is node-identical across the exact and indexed legs") {
+    // Executes s20's scale claim — "each side swaps in its indexed variant
+    // and the fusion plan is unchanged" — on the OPTIMIZED plans: walk each
+    // fused frame from the root down to the full-outer join and compare the
+    // node sequence (name + SQL-rendered expressions, exprIds stripped).
+    // The legs below the join differ by design; everything above must not.
+    import graft.operators.SimilarityQueries._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    def spine(df: org.apache.spark.sql.DataFrame): List[String] = {
+      def down(n: LogicalPlan): List[String] = n match {
+        case j: Join => List(s"${j.nodeName}[${j.joinType}]")
+        case _ =>
+          assert(n.children.size === 1,
+            s"fusion spine must be linear above the join, got ${n.nodeName}")
+          s"${n.nodeName}(${n.expressions.map(_.sql).mkString(", ")})" ::
+            down(n.children.head)
+      }
+      down(df.queryExecution.optimizedPlan).map(_.replaceAll("#\\d+", ""))
+    }
+    val dt = postings(Tables.documents(spark, sf))
+    val exact = rrfFuse(lexTopR(dt, dt), vecTopRExact(Tables.embeddings(spark, sf)))
+    val indexed = rrfFuse(lexTopR(dt, impactPrunedPostings(dt)),
+      vecTopRLsh(Tables.embeddings(spark, sf)))
+    val (se, si) = (spine(exact), spine(indexed))
+    assert(se === si,
+      s"fusion subplan diverged between exact and indexed legs:\n$se\nvs\n$si")
+    assert(se.exists(_.startsWith("Join[FullOuter")), "spine must end at the full-outer fuse")
+    assert(se.exists(_.startsWith("Window")), "spine must carry the fused ranking window")
+  }
+
+  test("s21: indexed hybrid graded against s20's exact fusion by the s17 recall harness") {
+    // The s17 computation verbatim (semi-join of the two top-k sets),
+    // with s20's exact fusion as ground truth and s21 as the serving path.
+    val e = SparkEntry.queries("s20_hybrid_rrf")(spark, sf)
+      .select("query_id", "doc_id")
+    val s = SparkEntry.queries("s21_hybrid_rrf_indexed")(spark, sf)
+      .select("query_id", "doc_id")
+    val hit = e.join(s, Seq("query_id", "doc_id"), "left_semi")
+      .groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ks = e.groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ks.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(ks.values.forall(_ === 10L), "ground truth must be dense top-10")
+    val recalls = ks.map { case (q, k) => hit.getOrElse(q, 0L).toDouble / k }
+    val mean = recalls.sum / recalls.size
+    // the indexed legs are approximate by design (LSH hamming<=3, impact
+    // top-32 postings); on the weak-signal random fixture the s02 leg
+    // alone documents ~0.5 recall — the fused floor matches the suite's
+    // LSH convention and is far above the ~10/N random baseline
+    assert(mean >= 0.2, s"mean fused recall@10 = $mean")
+  }
 }

@@ -122,6 +122,27 @@ object TextFns {
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(array_intersect(toks, array(words.map(lit): _*))).cast("long")
 
+  /** DuckDB replay of [[langId]]'s scoring: the per-language stopword-hit
+    * counts over token-list column `tokCol`, aliased `s_<lang>` — pairs
+    * with [[langPickSql]] in every oracle that replays language-ID
+    * (t01/t05/t35/t38/d19). */
+  def langScoreSql(tokCol: String = "t"): String =
+    StopwordSets.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect($tokCol, $arr)) AS s_$l"
+    }.mkString(",\n                 ")
+
+  /** DuckDB replay of [[langIdTokens]]'s argmax: the declaration-order
+    * first-wins pick over [[langScoreSql]]'s `s_<lang>` aliases. */
+  def langPickSql: String = {
+    val langs = StopwordSets.map(_._1)
+    langs.init.zipWithIndex.foldRight(s"'${langs.last}'") {
+      case ((l, i), els) =>
+        val later = langs.drop(i + 1).map(x => s"s_$x").mkString("greatest(", ", ", ")")
+        s"CASE WHEN s_$l >= $later THEN '$l' ELSE $els END"
+    }
+  }
+
   /** Predicted language by max stopword hits with the deterministic
     * tie-break order above. */
   def langId(c: Column): Column = langIdTokens(tokens(c))

@@ -900,6 +900,41 @@ object SimilarityQueries {
       (s, d) => semanticClusters(s, Tables.embeddings(s, d)),
       oracle = Some(s11OracleSql)),
 
+    // ----- cross-lingual mirror matrix (d19) ---------------------------------
+    // s11's semantic clusters x t01's predicted language labels: a cluster
+    // whose members span languages is a TRANSLATED MIRROR — the
+    // multilingual-dedup report every multilingual corpus build publishes
+    // (semantic dedup sees through translation where every lexical
+    // method d01-d13 is blind: a document and its translation share an
+    // embedding neighborhood but no shingles). Composes two gated
+    // operators in one O(clusters x langs) aggregate; see
+    // crossLingualMirrors for the planted translated-pair fixture.
+    QueryDef(
+      "d19_crosslingual_mirrors",
+      (s, d) => {
+        import s.implicits._
+        // the corpus's language labels = its language-ID stage's output
+        // (the synthetic fixture's text is one shared vocabulary, so
+        // re-predicting here would collapse every label to 'en' and the
+        // report would be vacuously empty — the planted-fixture test
+        // drives the TextFns.langId composition instead)
+        crossLingualMirrors(s, Tables.embeddings(s, d),
+          Tables.documents(s, d).select($"doc_id", $"lang"))
+      },
+      oracle = Some(s"""
+        WITH cl AS ($s11OracleSql),
+        lang AS (SELECT doc_id, lang FROM documents),
+        byl AS (
+          SELECT cl.cluster_id, lang.lang, CAST(count(*) AS BIGINT) AS n
+          FROM cl JOIN lang ON cl.vec_id = lang.doc_id
+          GROUP BY 1, 2)
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(a.n + b.n) AS BIGINT) AS n_docs
+        FROM byl a JOIN byl b ON a.cluster_id = b.cluster_id AND a.lang < b.lang
+        GROUP BY 1, 2
+        ORDER BY lang_a, lang_b""")),
+
     // ----- contrastive hard negatives (embedding-training data mining) ------
     // Contrastive/embedding training needs, per anchor, negatives that are
     // CLOSE but not duplicates — random negatives are trivially separable
@@ -1695,6 +1730,59 @@ object SimilarityQueries {
       embeddings.select($"vec_id".as("doc_id")),
       mutual.select($"a".as("doc_a"), $"b".as("doc_b")))
     labels.select($"doc_id".as("vec_id"), $"cluster_id").orderBy($"vec_id")
+  }
+
+  /** Cross-lingual mirror report (d19): [[semanticClusters]] x the
+    * corpus's language labels (the t01 language-ID stage's output — pass
+    * any (doc_id, lang) frame; the doc example and the planted-fixture
+    * test feed [[TextFns.langId]] directly) over the shared id space,
+    * reduced to the unordered language-pair matrix of multilingual
+    * clusters — a semantic cluster whose members span languages is a
+    * translated mirror (the multilingual-dedup report every multilingual
+    * corpus build publishes; the cross-lingual face of SemDeDup — every
+    * lexical method d01-d13 is blind to translation because a document
+    * and its translation share an embedding neighborhood but no
+    * shingles). Output per (lang_a < lang_b): `n_clusters` sharing both
+    * languages and `n_docs` = the two languages' members inside those
+    * clusters (a 3-language cluster contributes to each of its 3 pairs).
+    *
+    * Scale shape: past s11's gated clusters and one label scan,
+    * everything is O(clusters x langs) — the per-(cluster, lang) count
+    * table self-joins on cluster_id (bounded by languages per cluster,
+    * never members squared), and the matrix is O(langs^2) rows however
+    * big the corpus.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val e1 = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    * val emb = Seq((1L, e1), (2L, e1.clone()), (3L, e1.map(-_)), (4L, e1.map(-_)))
+    *   .toDF("vec_id", "embedding")
+    * val docs = Seq((1L, "the of and to in"), (2L, "der die und ist zu"),
+    *   (3L, "the of and a is"), (4L, "of the is a and")).toDF("doc_id", "text")
+    * // cluster {1,2} is an en/de translated mirror; cluster {3,4} is en-only
+    * crossLingualMirrors(spark, emb,
+    *     docs.select($"doc_id", TextFns.langId($"text").as("lang")))
+    *   .as[(String, String, Long, Long)].collect().toSeq == Seq(("de", "en", 1L, 2L))
+    * }}}
+    */
+  def crossLingualMirrors(s: SparkSession, embeddings: DataFrame,
+      docLangs: DataFrame,
+      tables: Int = DedupQueries.lshTableCount,
+      planesPerTable: Int = DedupQueries.lshPlanesPerTableCount,
+      dim: Int = DedupQueries.embDim,
+      k: Int = 5): DataFrame = {
+    import s.implicits._
+    val clusters = semanticClusters(s, embeddings, tables, planesPerTable, dim, k)
+    val langs = docLangs.select($"doc_id".as("vec_id"), $"lang")
+    val byLang = clusters.join(langs, Seq("vec_id"))
+      .groupBy($"cluster_id", $"lang").agg(count(lit(1)).as("n"))
+    byLang.select($"cluster_id", $"lang".as("lang_a"), $"n".as("n_a"))
+      .join(byLang.select($"cluster_id", $"lang".as("lang_b"), $"n".as("n_b")),
+        Seq("cluster_id"))
+      .filter($"lang_a" < $"lang_b")
+      .groupBy($"lang_a", $"lang_b")
+      .agg(count(lit(1)).as("n_clusters"), sum($"n_a" + $"n_b").as("n_docs"))
+      .orderBy($"lang_a", $"lang_b")
   }
 
   /** The s09 pipeline over an arbitrary (vec_id, embedding) table. Bucket

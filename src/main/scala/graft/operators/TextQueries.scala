@@ -260,16 +260,8 @@ object TextQueries {
           .orderBy($"labeled", $"predicted")
       },
       oracle = Some {
-        val scoreExprs = TextFns.StopwordSets.map { case (l, ws) =>
-          val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-          s"len(list_intersect(t, $arr)) AS s_$l"
-        }.mkString(",\n                 ")
-        val langs = TextFns.StopwordSets.map(_._1)
-        val pick = langs.init.zipWithIndex.foldRight(s"'${langs.last}'") {
-          case ((l, i), els) =>
-            val later = langs.drop(i + 1).map(x => s"s_$x").mkString("greatest(", ", ", ")")
-            s"CASE WHEN s_$l >= $later THEN '$l' ELSE $els END"
-        }
+        val scoreExprs = TextFns.langScoreSql()
+        val pick = TextFns.langPickSql
         s"""
         WITH toks AS (
           SELECT lang AS labeled,
@@ -346,16 +338,8 @@ object TextQueries {
           .orderBy($"doc_id")
       },
       oracle = Some {
-        val scoreExprs = TextFns.StopwordSets.map { case (l, ws) =>
-          val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-          s"len(list_intersect(t, $arr)) AS s_$l"
-        }.mkString(",\n                 ")
-        val langs = TextFns.StopwordSets.map(_._1)
-        val pick = langs.init.zipWithIndex.foldRight(s"'${langs.last}'") {
-          case ((l, i), els) =>
-            val later = langs.drop(i + 1).map(x => s"s_$x").mkString("greatest(", ", ", ")")
-            s"CASE WHEN s_$l >= $later THEN '$l' ELSE $els END"
-        }
+        val scoreExprs = TextFns.langScoreSql()
+        val pick = TextFns.langPickSql
         s"""
         WITH toks AS (
           SELECT doc_id,
@@ -578,16 +562,8 @@ object TextQueries {
       "t38_ingest_packed",
       (s, d) => graft.streaming.StreamIngest.ingestBatch(Tables.documents(s, d)),
       oracle = Some {
-        val scoreExprs = TextFns.StopwordSets.map { case (l, ws) =>
-          val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-          s"len(list_intersect(t, $arr)) AS s_$l"
-        }.mkString(",\n                 ")
-        val langs = TextFns.StopwordSets.map(_._1)
-        val pick = langs.init.zipWithIndex.foldRight(s"'${langs.last}'") {
-          case ((l, i), els) =>
-            val later = langs.drop(i + 1).map(x => s"s_$x").mkString("greatest(", ", ", ")")
-            s"CASE WHEN s_$l >= $later THEN '$l' ELSE $els END"
-        }
+        val scoreExprs = TextFns.langScoreSql()
+        val pick = TextFns.langPickSql
         s"""
         WITH toks AS (
           SELECT doc_id,
@@ -2208,16 +2184,8 @@ object TextQueries {
       "t35_code_switch",
       (s, d) => codeSwitchReport(Tables.documents(s, d)),
       oracle = Some {
-        val scoreExprs = TextFns.StopwordSets.map { case (l, ws) =>
-          val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-          s"len(list_intersect(ct, $arr)) AS s_$l"
-        }.mkString(",\n                 ")
-        val langs = TextFns.StopwordSets.map(_._1)
-        val pick = langs.init.zipWithIndex.foldRight(s"'${langs.last}'") {
-          case ((l, i), els) =>
-            val later = langs.drop(i + 1).map(x => s"s_$x").mkString("greatest(", ", ", ")")
-            s"CASE WHEN s_$l >= $later THEN '$l' ELSE $els END"
-        }
+        val scoreExprs = TextFns.langScoreSql("ct")
+        val pick = TextFns.langPickSql
         s"""
         WITH toks AS (
           SELECT doc_id, lang,

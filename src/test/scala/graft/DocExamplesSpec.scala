@@ -603,6 +603,24 @@ class DocExamplesSpec extends SparkSpec {
       Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)))
   }
 
+  test("SimilarityQueries.crossLingualMirrors scaladoc example") {
+    // the planted translated-pair fixture (round-7 directive 6): docs 1/2
+    // share an embedding neighborhood (cluster {1,2}) but predict en vs de
+    // via TextFns.langId — a translated mirror; cluster {3,4} is en-only
+    // and must NOT appear in the matrix
+    import graft.operators.SimilarityQueries
+    import graft.functions.TextFns
+    val e1 = Array.tabulate(DedupQueries.embDim)(i => if (i == 0) 1f else 0f)
+    val emb = Seq((1L, e1), (2L, e1.clone()), (3L, e1.map(-_)), (4L, e1.map(-_)))
+      .toDF("vec_id", "embedding")
+    val docs = Seq((1L, "the of and to in"), (2L, "der die und ist zu"),
+      (3L, "the of and a is"), (4L, "of the is a and")).toDF("doc_id", "text")
+    assert(SimilarityQueries.crossLingualMirrors(spark, emb,
+        docs.select($"doc_id", TextFns.langId($"text").as("lang")))
+      .as[(String, String, Long, Long)].collect().toSeq ===
+      Seq(("de", "en", 1L, 2L)))
+  }
+
   test("SimilarityQueries.hardNegatives scaladoc example") {
     import graft.operators.SimilarityQueries
     val e1 = Array.tabulate(DedupQueries.embDim)(i => if (i == 0) 1f else 0f)

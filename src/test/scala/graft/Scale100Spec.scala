@@ -87,18 +87,33 @@ class Scale100Spec extends SparkSpec {
     assert100x("d06", run, vecCorpus(2000), vecCorpus(200000), 3000L, 300000L)
   }
 
-  test("d08 cluster labels: 100x graph => exact components and ≲linear runtime") {
+  test("d08 cluster labels: 100x graph => exact components, ≲linear runtime, FIXED rounds") {
     // chains of 8 consecutive ids at constant diameter: component count is
     // exactly n/8 and pointer-jumping rounds stay fixed while n grows 100x
+    val frontiers = scala.collection.mutable.Map[Long, Seq[Long]]()
     def graph(n: Int): DataFrame = spark.range(n).toDF("doc_id")
     def run(docs: DataFrame): Long = {
       val ids = docs.select($"doc_id")
       val edges = ids.filter($"doc_id" % 8 =!= 7)
         .select($"doc_id".as("doc_a"), ($"doc_id" + 1).as("doc_b"))
-      DedupQueries.clusterLabels(docs, edges)
+      val k = DedupQueries.clusterLabels(docs, edges)
         .select($"cluster_id").distinct().count()
+      frontiers(k) = DedupQueries.lastClusterFrontier.get()
+      k
     }
     assert100x("d08", run, graph(40000), graph(4000000), 5000L, 500000L)
+    // the third decade of round telemetry (rounds-track-diameter, measured
+    // — sf1_probe.json holds the sf0.1->sf1 pair, this is the 100x point):
+    // identical chain diameter => identical round count, and each round's
+    // changed-label frontier is EXACTLY 100x (the graph is 100 disjoint
+    // copies and label propagation is deterministic dataflow)
+    val (fS, fL) = (frontiers(5000L), frontiers(500000L))
+    info(s"d08 rounds: 1x -> ${fS.length} ${fS.mkString("[", ",", "]")}, " +
+      s"100x -> ${fL.length} ${fL.mkString("[", ",", "]")}")
+    assert(fL.length === fS.length,
+      s"pointer-jumping rounds must track DIAMETER, not data size: $fS vs $fL")
+    assert(fL === fS.map(_ * 100L),
+      s"per-round frontier must scale exactly with the 100x data: $fS vs $fL")
   }
 
   test("s09 kNN graph: 100x corpus => linear edges and ≲linear runtime") {
@@ -110,18 +125,30 @@ class Scale100Spec extends SparkSpec {
     assert100x("s09", run, vecCorpus(2000), vecCorpus(200000), 6000L, 600000L)
   }
 
-  test("s11 semantic clusters: 100x corpus => exact labels and ≲linear runtime") {
+  test("s11 semantic clusters: 100x corpus => exact labels, ≲linear runtime, FIXED rounds") {
     // mutual-kNN over the same geometry: one label per vector, and the
     // distinct-label count is exactly the n/4 construction clusters
+    val frontiers = scala.collection.mutable.Map[Long, Seq[Long]]()
     def run(df: DataFrame): Long = {
       val labels = graft.operators.SimilarityQueries
         .semanticClusters(spark, df, tables = 8, planesPerTable = 40)
       val n = labels.count()
       val k = labels.select($"cluster_id").distinct().count()
-      n * 1000000L + k // pack both invariants into one asserted number
+      val packed = n * 1000000L + k // pack both invariants into one asserted number
+      frontiers(packed) = DedupQueries.lastClusterFrontier.get()
+      packed
     }
-    assert100x("s11", run, vecCorpus(2000), vecCorpus(200000),
-      2000L * 1000000L + 500L, 200000L * 1000000L + 50000L)
+    val (pS, pL) = (2000L * 1000000L + 500L, 200000L * 1000000L + 50000L)
+    assert100x("s11", run, vecCorpus(2000), vecCorpus(200000), pS, pL)
+    // third-decade round telemetry: constant 4-vector cluster diameter =>
+    // identical propagation rounds at 1x and 100x, frontier exactly 100x
+    val (fS, fL) = (frontiers(pS), frontiers(pL))
+    info(s"s11 rounds: 1x -> ${fS.length} ${fS.mkString("[", ",", "]")}, " +
+      s"100x -> ${fL.length} ${fL.mkString("[", ",", "]")}")
+    assert(fL.length === fS.length,
+      s"label-propagation rounds must track DIAMETER, not data size: $fS vs $fL")
+    assert(fL === fS.map(_ * 100L),
+      s"per-round frontier must scale exactly with the 100x data: $fS vs $fL")
   }
 
   // ----- the iterative graph family (q48/q54/q55) ---------------------------

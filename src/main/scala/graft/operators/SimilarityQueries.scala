@@ -1428,7 +1428,15 @@ object SimilarityQueries {
   }
 
   /** The postings table (doc_id, tok, tf) over a (doc_id, text) frame —
-    * the one corpus-scale shuffle every lexical operator here shares. */
+    * the one corpus-scale shuffle every lexical operator here shares.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * postings(Seq((1L, "spark joins spark")).toDF("doc_id", "text"))
+    *   .as[(Long, String, Long)].collect().toSet ==
+    *   Set((1L, "spark", 2L), (1L, "joins", 1L))
+    * }}}
+    */
   private[graft] def postings(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -1437,7 +1445,16 @@ object SimilarityQueries {
     * its [[ImpactPostings]] highest-tf entries (tie: lowest doc_id). One
     * window shuffle by term at build time; per-term serving cost becomes
     * O(m) instead of O(df) — the WAND-family trade, with recall graded
-    * against the exact leg by SimilaritySpec's s17-harness test. */
+    * against the exact leg by SimilaritySpec's s17-harness test.
+    *
+    * Example (run verbatim by DocExamplesSpec — 40 docs of one term, only
+    * the 32 highest-tf postings survive the index build):
+    * {{{
+    * val dt = (1L to 40L).map(i => (i, "hot", i)).toDF("doc_id", "tok", "tf")
+    * impactPrunedPostings(dt).count() == 32
+    * impactPrunedPostings(dt).agg(min($"tf")).as[Long].head == 9L
+    * }}}
+    */
   private[graft] def impactPrunedPostings(dt: DataFrame): DataFrame = {
     val wi = Window.partitionBy(col("tok")).orderBy(col("tf").desc, col("doc_id"))
     dt.withColumn("ir", row_number().over(wi))
@@ -1518,7 +1535,18 @@ object SimilarityQueries {
     * node-identical, making "swap in the indexed legs, fusion unchanged"
     * executable rather than asserted. Full-outer, never inner: a doc on
     * one side's list only still scores (the missing side reports rank 0
-    * and contributes nothing). */
+    * and contributes nothing).
+    *
+    * Example (run verbatim by DocExamplesSpec — doc 7 on both lists wins,
+    * single-modality docs 8 and 9 survive the full-outer fuse):
+    * {{{
+    * val lex = Seq((1L, 7L, 1L), (1L, 8L, 2L)).toDF("query_id", "doc_id", "lex_rank")
+    * val vec = Seq((1L, 7L, 2L), (1L, 9L, 1L)).toDF("query_id", "doc_id", "vec_rank")
+    * rrfFuse(lex, vec).select($"rank", $"doc_id", $"fused_micro")
+    *   .as[(Long, Long, Long)].collect().toSeq ==
+    *   Seq((1L, 7L, 16393L + 16129L), (2L, 9L, 16393L), (3L, 8L, 16129L))
+    * }}}
+    */
   private[graft] def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
     val wf = Window.partitionBy(col("query_id"))
       .orderBy(col("fused_micro").desc, col("doc_id"))

@@ -3,7 +3,7 @@ package graft
 import graft.dsl.{Interpreter, SP}
 import graft.functions.{TextFns, VectorFns}
 import graft.operators.{DedupQueries, SkewJoin}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{lit, min}
 
 /** Docs-as-tests, the Spark analogue of the reference's
   * doc-test-per-public-API policy (reference CONTRIBUTING.md:28-31: every
@@ -603,6 +603,31 @@ class DocExamplesSpec extends SparkSpec {
       Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)))
   }
 
+  test("SimilarityQueries.postings scaladoc example") {
+    import graft.operators.SimilarityQueries
+    assert(SimilarityQueries.postings(Seq((1L, "spark joins spark")).toDF("doc_id", "text"))
+      .as[(Long, String, Long)].collect().toSet ===
+      Set((1L, "spark", 2L), (1L, "joins", 1L)))
+  }
+
+  test("SimilarityQueries.impactPrunedPostings scaladoc example") {
+    import graft.operators.SimilarityQueries
+    val dt = (1L to 40L).map(i => (i, "hot", i)).toDF("doc_id", "tok", "tf")
+    assert(SimilarityQueries.impactPrunedPostings(dt).count() === 32L)
+    assert(SimilarityQueries.impactPrunedPostings(dt)
+      .agg(min($"tf")).as[Long].head === 9L)
+  }
+
+  test("SimilarityQueries.rrfFuse scaladoc example") {
+    import graft.operators.SimilarityQueries
+    val lex = Seq((1L, 7L, 1L), (1L, 8L, 2L)).toDF("query_id", "doc_id", "lex_rank")
+    val vec = Seq((1L, 7L, 2L), (1L, 9L, 1L)).toDF("query_id", "doc_id", "vec_rank")
+    assert(SimilarityQueries.rrfFuse(lex, vec)
+      .select($"rank", $"doc_id", $"fused_micro")
+      .as[(Long, Long, Long)].collect().toSeq ===
+      Seq((1L, 7L, 16393L + 16129L), (2L, 9L, 16393L), (3L, 8L, 16129L)))
+  }
+
   test("SimilarityQueries.crossLingualMirrors scaladoc example") {
     // the planted translated-pair fixture (round-7 directive 6): docs 1/2
     // share an embedding neighborhood (cluster {1,2}) but predict en vs de
@@ -764,11 +789,11 @@ class DocExamplesSpec extends SparkSpec {
       "IvfK", "KmK", "PqK", "PqM", "PqSubDim", // private[graft] codebook constants
       "planeLit",                              // oracle-SQL literal builder (d14/s02 oracles)
       "ImpactPostings", // private[graft] s21 index-build constant
-      // private[graft] hybrid-retrieval seams shared by s20/s21 and the
-      // SimilaritySpec fusion-spine + recall-harness gates; each is
-      // exercised by BOTH hybrid oracles (s20 exact, s21 indexed)
-      "postings", "impactPrunedPostings", "lexTopR",
-      "vecTopRExact", "vecTopRLsh", "rrfFuse"),
+      // private[graft] hybrid-retrieval leg seams shared by s20/s21 and
+      // the SimilaritySpec fusion-spine + recall-harness gates; each is
+      // exercised by BOTH hybrid oracles (s20 exact, s21 indexed) —
+      // postings/impactPrunedPostings/rrfFuse have doc examples below
+      "lexTopR", "vecTopRExact", "vecTopRLsh"),
     "TextQueries" -> Set(
       "polyHashSqlOf",  // oracle-SQL generator, embedded in a dozen oracles
       "packShardCol",   // private[graft] t08 shard column shared with

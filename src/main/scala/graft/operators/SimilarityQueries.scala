@@ -571,7 +571,7 @@ object SimilarityQueries {
       (s, d) => {
         import s.implicits._
         val bc = s.sparkContext.broadcast(VectorFns.hyperplanes(ProjDim, Dim))
-        val proj = Tables.embeddings(s, d)
+        val projRaw = Tables.embeddings(s, d)
           .select($"vec_id", $"embedding").as[(Long, Array[Float])]
           .mapPartitions { it =>
             val ps = bc.value
@@ -585,7 +585,8 @@ object SimilarityQueries {
               }
               (id, emb, p)
             }
-          }.toDF("vec_id", "embedding", "p").cache()
+          }.toDF("vec_id", "embedding", "p")
+        val proj = OpCache.persistRotating("s05.proj", projRaw)
         val queries = proj.filter($"vec_id" < 5)
           .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"p".as("qp"))
         val wCoarse = Window.partitionBy($"query_id").orderBy($"cm".desc, $"vec_id")
@@ -1749,8 +1750,9 @@ object SimilarityQueries {
       dim: Int = DedupQueries.embDim,
       k: Int = 5): DataFrame = {
     import s.implicits._
-    val dir = knnGraph(s, embeddings, tables, planesPerTable, dim, k)
-      .select($"vec_id".as("a"), $"nbr_id".as("b")).cache()
+    val dir = OpCache.persistRotating("s11.dir",
+      knnGraph(s, embeddings, tables, planesPerTable, dim, k)
+        .select($"vec_id".as("a"), $"nbr_id".as("b")))
     val mutual = dir
       .join(dir.select($"b".as("a"), $"a".as("b")), Seq("a", "b"), "left_semi")
       .filter($"a" < $"b")
@@ -1832,15 +1834,17 @@ object SimilarityQueries {
       k: Int = 5): DataFrame = {
     import s.implicits._
     val planes = VectorFns.hyperplanes(tables * planesPerTable, dim)
-    val vecs = embeddings.select($"vec_id", $"embedding").cache()
+    val vecs = OpCache.persistRotating("s09.vecs",
+      embeddings.select($"vec_id", $"embedding"))
     // Signature-prefix bucket rows + minimal-shared-table filter: each
     // directed candidate pair is emitted exactly once, replacing the
     // round-3 global `distinct` Exchange (see DedupQueries.minSharedTable).
-    val buckets = vecs.as[(Long, Array[Float])]
-      .flatMap { case (id, emb) =>
-        val bks = DedupQueries.lshBucketsOf(emb, tables, planesPerTable, planes)
-        (0 until tables).iterator.map(t => (id, t, bks(t), bks.take(t).toSeq))
-      }.toDF("vec_id", "tbl", "bucket", "sig").cache()
+    val buckets = OpCache.persistRotating("s09.buckets",
+      vecs.as[(Long, Array[Float])]
+        .flatMap { case (id, emb) =>
+          val bks = DedupQueries.lshBucketsOf(emb, tables, planesPerTable, planes)
+          (0 until tables).iterator.map(t => (id, t, bks(t), bks.take(t).toSeq))
+        }.toDF("vec_id", "tbl", "bucket", "sig"))
     val cand = buckets.select($"tbl", $"bucket", $"vec_id".as("src"), $"sig".as("sig_a"))
       .join(buckets.select($"tbl", $"bucket", $"vec_id".as("nbr"), $"sig".as("sig_b")), Seq("tbl", "bucket"))
       .filter($"src" =!= $"nbr" && DedupQueries.minSharedTable)

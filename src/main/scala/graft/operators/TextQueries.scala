@@ -1616,6 +1616,96 @@ object TextQueries {
       (s, d) => modelScores(Tables.documents(s, d)),
       oracle = Some(modelScoresOracle)),
 
+    // ----- heuristic-vs-model gate agreement (t48) ---------------------------
+    // The calibration report a pipeline runs BEFORE swapping t02's
+    // heuristic quality gate for t21's model gate (the FineWeb/DCLM
+    // ablation discipline): per lang, the 2x2 confusion between the two
+    // decisions, raw agreement, and Cohen's kappa — agreement corrected
+    // for chance, the standard inter-rater statistic (kappa ~ 0 here, as
+    // it should be: the synthetic LCG model is independent of the
+    // heuristic by construction, and a HIGH kappa on real data is what
+    // licenses the swap). Composes two gated operators; past the two
+    // per-doc gate scans everything is one per-lang aggregate, and kappa
+    // is computed from the O(langs) count table in double arithmetic
+    // (identical expression text on both engines, and products of
+    // per-lang counts would overflow BIGINT at 100 TB grain).
+    QueryDef(
+      "t48_gate_agreement",
+      (s, d) => {
+        import s.implicits._
+        val t = TextFns.tokens($"text")
+        val h = Tables.documents(s, d).select($"doc_id", $"lang",
+          (size(t) >= 20 &&
+            floor(size(array_distinct(t)) * lit(1000.0) / size(t)) >= 200)
+            .cast("long").as("hpass"))
+        val m = modelScores(Tables.documents(s, d))
+          .select($"doc_id", $"pass".as("mpass"))
+        h.join(m, Seq("doc_id"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"),
+            sum($"hpass" * $"mpass").as("a"),
+            sum($"hpass" * (lit(1L) - $"mpass")).as("b"),
+            sum((lit(1L) - $"hpass") * $"mpass").as("c"))
+          .withColumn("dd", $"n" - $"a" - $"b" - $"c")
+          .select($"lang", $"n".as("n_docs"),
+            $"a".as("both_pass"), $"dd".as("both_fail"),
+            $"b".as("only_heuristic"), $"c".as("only_model"),
+            expr("(1000 * (a + dd)) div n").as("agree_milli"),
+            expr("""CASE WHEN cast(n as double)*n
+                         - (cast(a+b as double)*(a+c) + cast(n-(a+b) as double)*(n-(a+c))) = 0
+                    THEN 0
+                    ELSE CAST(floor((cast(n as double)*(a+dd)
+                         - (cast(a+b as double)*(a+c) + cast(n-(a+b) as double)*(n-(a+c)))) * 1000.0
+                         / (cast(n as double)*n
+                         - (cast(a+b as double)*(a+c) + cast(n-(a+b) as double)*(n-(a+c))))) AS BIGINT)
+                    END""").as("kappa_milli"))
+          .orderBy($"lang")
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        h AS (
+          SELECT doc_id, lang,
+                 CAST(len(t) >= 20 AND
+                      floor(len(list_distinct(t)) * 1000.0 / len(t)) >= 200 AS BIGINT) AS hpass
+          FROM toks),
+        tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        f AS (
+          SELECT doc_id,
+                 CAST((${polyHashSqlOf("tok")}) % $ModelBuckets AS BIGINT) AS bucket
+          FROM tk),
+        sc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(((bucket * 1103515245 + 12345) % 2003) - 1001) AS BIGINT) AS w_sum
+          FROM f GROUP BY doc_id),
+        m AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN floor(w_sum * 1000.0 / n_tokens) >= 0
+                      THEN 1 ELSE 0 END AS BIGINT) AS mpass
+          FROM sc),
+        g AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(hpass * mpass) AS BIGINT) AS a,
+                 CAST(sum(hpass * (1 - mpass)) AS BIGINT) AS b,
+                 CAST(sum((1 - hpass) * mpass) AS BIGINT) AS c
+          FROM h JOIN m USING (doc_id) GROUP BY lang),
+        x AS (SELECT lang, n, a, b, c, n - a - b - c AS dd FROM g)
+        SELECT lang, n AS n_docs, a AS both_pass, dd AS both_fail,
+               b AS only_heuristic, c AS only_model,
+               (1000 * (a + dd)) // n AS agree_milli,
+               CASE WHEN cast(n as double)*n
+                         - (cast(a+b as double)*(a+c) + cast(n-(a+b) as double)*(n-(a+c))) = 0
+                    THEN 0
+                    ELSE CAST(floor((cast(n as double)*(a+dd)
+                         - (cast(a+b as double)*(a+c) + cast(n-(a+b) as double)*(n-(a+c)))) * 1000.0
+                         / (cast(n as double)*n
+                         - (cast(a+b as double)*(a+c) + cast(n-(a+b) as double)*(n-(a+c))))) AS BIGINT)
+                    END AS kappa_milli
+        FROM x
+        ORDER BY lang""")),
+
     // ----- temperature-scaled mixture rebalancing ---------------------------
     // Multilingual/multi-source temperature sampling (the mT5/XLM-R recipe):
     // target share of source s ∝ tokens(s)^(1/T). T=2 makes the exponent a

@@ -550,6 +550,51 @@ class TextSpec extends SparkSpec {
     assert(red(2L) === "perfectly clean prose with no personal data at all")
   }
 
+  test("t48: gate agreement equals the composition of t02 and t21's own decisions") {
+    // the cross-query identity the oracle can't see: t48's confusion
+    // counts must be exactly what joining the two gated operators'
+    // OUTPUTS yields — the composition is honest, not a re-derivation
+    // that could drift from either gate
+    val h = SparkEntry.queries("t02_quality_score")(spark, sf)
+      .select($"doc_id", $"passes_quality".as("hpass"))
+    val m = SparkEntry.queries("t21_model_score")(spark, sf)
+      .select($"doc_id", $"lang", $"pass".as("mpass"))
+    val want = m.join(h, Seq("doc_id"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum($"hpass" * $"mpass").as("a"),
+        sum($"hpass" * (lit(1L) - $"mpass")).as("b"),
+        sum((lit(1L) - $"hpass") * $"mpass").as("c"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val got = SparkEntry.queries("t48_gate_agreement")(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet === want.keySet)
+    got.foreach { r =>
+      val (n, a, b, c) = want(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+        ((n, a, n - a - b - c, b, c)),
+        s"confusion drifted for lang ${r.getString(0)}")
+      assert(r.getLong(6) === 1000L * (a + (n - a - b - c)) / n)
+      assert(r.getLong(7) >= -1000L && r.getLong(7) <= 1000L,
+        s"kappa out of range for ${r.getString(0)}: ${r.getLong(7)}")
+    }
+  }
+
+  test("t48: kappa is 1000 on perfect agreement and ~0 on independent gates") {
+    // planted check of the kappa formula itself through the same
+    // aggregate shape (computed here from a literal confusion table)
+    def kappa(n: Long, a: Long, b: Long, c: Long): Long = {
+      val d = n - a - b - c
+      val (h1, m1) = (a + b, a + c)
+      val pe = h1.toDouble * m1 + (n - h1).toDouble * (n - m1)
+      val den = n.toDouble * n - pe
+      if (den == 0) 0L else math.floor((n.toDouble * (a + d) - pe) * 1000.0 / den).toLong
+    }
+    assert(kappa(100, 40, 0, 0) === 1000L)  // perfect agreement
+    assert(kappa(100, 25, 25, 25) === 0L)   // exactly chance-level
+    assert(kappa(100, 0, 50, 50) === -1000L) // perfect disagreement
+  }
+
   test("t34 cdcChunks: empty text yields exactly one empty chunk") {
     import spark.implicits._
     val one = Seq((9L, "")).toDF("doc_id", "text")

@@ -405,4 +405,55 @@ class EdgeCaseSpec extends SparkSpec {
     val single = spark.createDataset(Seq.fill(100)(42L)).repartition(3)
     assert(single.select(mg1.toColumn).head() === Map(42L -> 100L))
   }
+
+  test("decontaminateReport degenerate shapes: no heldout, no train, empty corpus") {
+    def docs(rows: (Long, String, String)*) = rows.toDF("doc_id", "text", "lang")
+    val txt = (1 to 25).map("w" + _).mkString(" ")
+    // every doc train: nothing can leak, zero drops, every token clean
+    val allTrain = TextQueries.decontaminateReport(
+      docs((1L, txt, "en"), (2L, txt + " extra", "en")), trainPred = lit(true))
+    assert(allTrain.as[(String, Long, Long, Long, Long)].collect().toSeq ===
+      Seq(("en", 2L, 0L, 0L, 51L)))
+    // every doc heldout: no train side at all -> empty report, not a crash
+    assert(TextQueries.decontaminateReport(
+      docs((1L, txt, "en")), trainPred = lit(false)).count() === 0L)
+    assert(TextQueries.decontaminateReport(
+      docs(), trainPred = lit(true)).count() === 0L)
+    // sub-shingle train docs (< 8 tokens) carry no keys and are never dropped
+    val short = TextQueries.decontaminateReport(
+      docs((1L, txt, "en"), (2L, "tiny doc", "en")),
+      trainPred = $"doc_id" === 2L)
+    assert(short.as[(String, Long, Long, Long, Long)].collect().toSeq ===
+      Seq(("en", 1L, 0L, 0L, 2L)))
+  }
+
+  test("crossLingualMirrors: empty inputs and monolingual corpora report nothing") {
+    val noLangs = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    assert(SimilarityQueries.crossLingualMirrors(spark, noVecs, noLangs).count() === 0L)
+    // a corpus whose clusters are all one language has no mirror pairs
+    val langs = (0L until 8L).map(i => (i, "en")).toDF("doc_id", "lang")
+    assert(SimilarityQueries.crossLingualMirrors(spark, fewVecs, langs).count() === 0L)
+  }
+
+  test("rrfFuse: one-sided and empty lists survive the full-outer fuse") {
+    val noRanks = Seq.empty[(Long, Long, Long)]
+    val lex = Seq((1L, 7L, 1L)).toDF("query_id", "doc_id", "lex_rank")
+    val noVec = noRanks.toDF("query_id", "doc_id", "vec_rank")
+    // vector side empty: the lexical hit still scores with vec_rank 0
+    val oneSided = SimilarityQueries.rrfFuse(lex, noVec)
+      .select($"doc_id", $"lex_rank", $"vec_rank", $"fused_micro")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(oneSided === Seq((7L, 1L, 0L, 1000000L / 61L)))
+    // both sides empty: empty result, not a crash
+    assert(SimilarityQueries.rrfFuse(
+      noRanks.toDF("query_id", "doc_id", "lex_rank"), noVec).count() === 0L)
+  }
+
+  test("impactPrunedPostings: lists at or under the cap pass through whole") {
+    val dt = Seq((1L, "a", 3L), (2L, "a", 2L), (1L, "b", 1L)).toDF("doc_id", "tok", "tf")
+    assert(SimilarityQueries.impactPrunedPostings(dt).collect().toSet ===
+      dt.collect().toSet)
+    assert(SimilarityQueries.impactPrunedPostings(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "tok", "tf")).count() === 0L)
+  }
 }

@@ -1686,7 +1686,7 @@ object SimilarityQueries {
     */
   def hardNegatives(s: SparkSession, embeddings: DataFrame,
       tables: Int = DedupQueries.lshTableCount,
-      planesPerTable: Int = DedupQueries.lshPlanesPerTableCount,
+      planesPerTable: Int = DedupQueries.AutoPlanes,
       dim: Int = DedupQueries.embDim,
       k: Int = 5, n: Int = 3, minCosMilli: Long = 400L,
       positives: Option[DataFrame] = None): DataFrame = {
@@ -1746,7 +1746,7 @@ object SimilarityQueries {
     */
   def semanticClusters(s: SparkSession, embeddings: DataFrame,
       tables: Int = DedupQueries.lshTableCount,
-      planesPerTable: Int = DedupQueries.lshPlanesPerTableCount,
+      planesPerTable: Int = DedupQueries.AutoPlanes,
       dim: Int = DedupQueries.embDim,
       k: Int = 5): DataFrame = {
     import s.implicits._
@@ -1798,7 +1798,7 @@ object SimilarityQueries {
   def crossLingualMirrors(s: SparkSession, embeddings: DataFrame,
       docLangs: DataFrame,
       tables: Int = DedupQueries.lshTableCount,
-      planesPerTable: Int = DedupQueries.lshPlanesPerTableCount,
+      planesPerTable: Int = DedupQueries.AutoPlanes,
       dim: Int = DedupQueries.embDim,
       k: Int = 5): DataFrame = {
     import s.implicits._
@@ -1816,9 +1816,13 @@ object SimilarityQueries {
   }
 
   /** The s09 pipeline over an arbitrary (vec_id, embedding) table. Bucket
-    * geometry defaults to d06's fixture tuning; real corpora follow the
-    * same K ~ 2*log2(n) - 10 contract as [[DedupQueries.embeddingLshPairs]]
-    * (ScaleSpec drives this at K=14 over 2k/20k synthetic vectors).
+    * geometry defaults to AUTO: K is derived from the corpus count by
+    * [[DedupQueries.autoPlanesPerTable]] — the executable form of the
+    * K ~ 2*log2(n) tuning contract shared with
+    * [[DedupQueries.embeddingLshPairs]] (at the 500-vector fixture the
+    * derived K equals d06's fixture tuning, so sf0.01 oracles are
+    * unchanged; ScaleSpec drives both an explicit K=14 and the auto
+    * geometry over 2k/20k synthetic vectors).
     *
     * Example (run verbatim by DocExamplesSpec):
     * {{{
@@ -1829,20 +1833,25 @@ object SimilarityQueries {
     */
   def knnGraph(s: SparkSession, embeddings: DataFrame,
       tables: Int = DedupQueries.lshTableCount,
-      planesPerTable: Int = DedupQueries.lshPlanesPerTableCount,
+      planesPerTable: Int = DedupQueries.AutoPlanes,
       dim: Int = DedupQueries.embDim,
       k: Int = 5): DataFrame = {
     import s.implicits._
-    val planes = VectorFns.hyperplanes(tables * planesPerTable, dim)
     val vecs = OpCache.persistRotating("s09.vecs",
       embeddings.select($"vec_id", $"embedding"))
+    // AutoPlanes (the default): the count doubles as the cache warm-up,
+    // and the derived K is the fixture K at fixture scale — see
+    // DedupQueries.autoPlanesPerTable for the contract and its anchor.
+    val ppt = if (planesPerTable == DedupQueries.AutoPlanes)
+      DedupQueries.autoPlanesPerTable(vecs.count()) else planesPerTable
+    val planes = VectorFns.hyperplanes(tables * ppt, dim)
     // Signature-prefix bucket rows + minimal-shared-table filter: each
     // directed candidate pair is emitted exactly once, replacing the
     // round-3 global `distinct` Exchange (see DedupQueries.minSharedTable).
     val buckets = OpCache.persistRotating("s09.buckets",
       vecs.as[(Long, Array[Float])]
         .flatMap { case (id, emb) =>
-          val bks = DedupQueries.lshBucketsOf(emb, tables, planesPerTable, planes)
+          val bks = DedupQueries.lshBucketsOf(emb, tables, ppt, planes)
           (0 until tables).iterator.map(t => (id, t, bks(t), bks.take(t).toSeq))
         }.toDF("vec_id", "tbl", "bucket", "sig"))
     val cand = buckets.select($"tbl", $"bucket", $"vec_id".as("src"), $"sig".as("sig_a"))

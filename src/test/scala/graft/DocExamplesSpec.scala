@@ -538,6 +538,12 @@ class DocExamplesSpec extends SparkSpec {
     assert(pairs.head.getLong(2) >= 999L)
   }
 
+  test("DedupQueries.autoPlanesPerTable scaladoc example") {
+    assert(DedupQueries.autoPlanesPerTable(500) === DedupQueries.lshPlanesPerTableCount)
+    assert(DedupQueries.autoPlanesPerTable(5000) === 13)
+    assert(DedupQueries.autoPlanesPerTable(50000) === 19)
+  }
+
   test("SimilarityQueries.ivfSearch scaladoc example") {
     import graft.operators.SimilarityQueries
     val dim = DedupQueries.embDim
@@ -781,6 +787,8 @@ class DocExamplesSpec extends SparkSpec {
     "DedupQueries" -> Set(
       "numBands", "embDim", "lshTableCount", "lshPlanesPerTableCount", // constant accessors
       "minSharedTable", // private[operators]; Java-reflection artifact
+      "AutoPlanes",     // sentinel constant; behavior exemplified by the
+                        // autoPlanesPerTable doc example + ScaleSpec
       "lastClusterFrontier", // private[graft] telemetry holder (per-round
                         // frontier of the last clusterLabels call); gated
                         // by ObservationJobsSpec, not an operator

@@ -322,6 +322,24 @@ class ScaleSpec extends SparkSpec {
       vecCorpus(2000), vecCorpus(20000))
   }
 
+  test("auto-K geometry: the default EXECUTES the tuning contract at 10x growth") {
+    // The round-8 verdict's one superlinear trend (s11 3.35x, d19 3.71x
+    // per decade at the sf1 probe) was the kNN family running at FIXTURE
+    // K while the corpus grew. The default is now AutoPlanes: K derived
+    // from the corpus count. This test drives the same 2k/20k corpora as
+    // the explicit-K trends above but with the DEFAULT geometry, asserting
+    // (a) the derived K actually grows across the decade, and (b) runtime
+    // and pair trends stay near-linear under the derived geometry.
+    assert(DedupQueries.autoPlanesPerTable(2000) === 10)
+    assert(DedupQueries.autoPlanesPerTable(20000) === 17)
+    assertTrend("d06-auto",
+      df => DedupQueries.embeddingLshPairs(spark, df, minCosMilli = 850L).count(),
+      vecCorpus(2000), vecCorpus(20000))
+    assertTrend("s09-auto",
+      df => graft.operators.SimilarityQueries.knnGraph(spark, df).count(),
+      vecCorpus(2000), vecCorpus(20000))
+  }
+
   test("q48 pagerank: 10x graph => ~10x runtime, one rank per node") {
     // ring + one pseudo-random out-edge per node: |E| = 2|V| exactly, so
     // the 10 fixed iterations must each cost linear work; the output is

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.{TextFns, VectorFns}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -936,6 +936,23 @@ object SimilarityQueries {
         GROUP BY 1, 2
         ORDER BY lang_a, lang_b""")),
 
+    // ----- semantic eval decontamination (s22) -------------------------------
+    // The embedding-space face of t44: a paraphrased benchmark item shares
+    // no 8-token shingle with its source (t44 is blind to it) but still
+    // lands in the heldout item's embedding neighborhood. Train docs whose
+    // embedding clears the cosine bar against ANY heldout embedding are
+    // dropped; same split, same per-lang report shape as t44, so the two
+    // gates compose into one scrub-economics view. Candidates from a
+    // BIPARTITE sign-LSH bucket join (train rows vs heldout rows on
+    // (table, bucket), first-shared-table exactly-once) — K follows the
+    // heldout count, so collisions per train doc stay bounded at any
+    // corpus size. See semanticDecontaminateReport.
+    QueryDef(
+      "s22_semantic_decontaminate",
+      (s, d) => semanticDecontaminateReport(s,
+        Tables.documents(s, d), Tables.embeddings(s, d)),
+      oracle = Some(s22OracleSql)),
+
     // ----- contrastive hard negatives (embedding-training data mining) ------
     // Contrastive/embedding training needs, per anchor, negatives that are
     // CLOSE but not duplicates — random negatives are trivially separable
@@ -1813,6 +1830,157 @@ object SimilarityQueries {
       .groupBy($"lang_a", $"lang_b")
       .agg(count(lit(1)).as("n_clusters"), sum($"n_a" + $"n_b").as("n_docs"))
       .orderBy($"lang_a", $"lang_b")
+  }
+
+  /** Semantic eval decontamination (s22) — the embedding-space face of
+    * t44's lexical rule, closing the contamination story it starts: a
+    * PARAPHRASED benchmark item shares no 8-token shingle with its source,
+    * so the n-gram gate (t44) is blind to it, but it still lands in the
+    * heldout item's embedding neighborhood (the SemDeDup observation
+    * applied to eval integrity). Any TRAIN document whose embedding
+    * clears `minCosMilli` against ANY heldout embedding is dropped from
+    * training (the train side pays, exactly as in t44). Output: t44's
+    * per-lang report shape — (lang, n_train, n_dropped, tokens_dropped,
+    * tokens_clean) — so the two gates compose into one economics view.
+    * The split defaults to the t06 salted-hash bucket: the SAME docs are
+    * train for both gates.
+    *
+    * Scale shape: candidates come from a BIPARTITE sign-LSH bucket join —
+    * train bucket rows against heldout bucket rows on (table, bucket),
+    * first-shared-table filtered so each (train, held) pair verifies
+    * once. Random collisions per train doc are L*held/2^K, so K follows
+    * the heldout count (`AutoPlanes` derives it via
+    * [[DedupQueries.autoPlanesPerTable]] over the HELDOUT side — the
+    * static, size-known side; at the fixture's ~50 heldout vectors this
+    * floors to the fixture K=6, at a 10^5-item benchmark suite K=21
+    * bounds collisions per train doc below 1). Train docs without an
+    * embedding are counted but never droppable; heldout embeddings probe,
+    * never pay.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val e1 = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    * val docs = Seq((1L, "a b c d", "en"), (2L, "e f g h", "en"),
+    *   (3L, "q r s t", "en")).toDF("doc_id", "text", "lang")
+    * val emb = Seq((1L, e1), (2L, e1.map(-_)), (3L, e1.clone()))
+    *   .toDF("vec_id", "embedding")
+    * // held = doc 3; train doc 1 mirrors it (cos 1.0) -> dropped;
+    * // train doc 2 is antipodal -> kept
+    * semanticDecontaminateReport(spark, docs, emb, trainPred = $"doc_id" < 3L)
+    *   .as[(String, Long, Long, Long, Long)].head == (("en", 2L, 1L, 4L, 4L))
+    * }}}
+    */
+  def semanticDecontaminateReport(s: SparkSession, docs: DataFrame,
+      embeddings: DataFrame,
+      trainPred: Column = TextQueries.trainSplitPred,
+      minCosMilli: Long = 400L,
+      tables: Int = DedupQueries.lshTableCount,
+      planesPerTable: Int = DedupQueries.AutoPlanes,
+      dim: Int = DedupQueries.embDim): DataFrame = {
+    import s.implicits._
+    val meta = docs.select($"doc_id", $"lang",
+      size(TextFns.tokens($"text")).cast("long").as("n_toks"),
+      trainPred.as("is_train"))
+    val vecs = embeddings.select($"vec_id".as("doc_id"), $"embedding")
+    val held = meta.filter(!$"is_train").join(vecs, Seq("doc_id"))
+      .select($"doc_id", $"embedding")
+    // geometry follows the heldout count (see scaladoc); derived once,
+    // before any bucket row exists, so both sides bucket identically
+    val ppt = if (planesPerTable == DedupQueries.AutoPlanes)
+      DedupQueries.autoPlanesPerTable(held.count()) else planesPerTable
+    val planes = VectorFns.hyperplanes(tables * ppt, dim)
+    val heldBk = semBucketRows(held, tables, ppt, planes)
+      .select($"id".as("held_id"), $"tbl", $"bucket", $"sig".as("sig_b"))
+      .join(held.select($"doc_id".as("held_id"), $"embedding".as("eb")), Seq("held_id"))
+    semDecontStats(meta.filter($"is_train").join(vecs, Seq("doc_id"), "left"),
+        heldBk, tables, ppt, planes, minCosMilli)
+      .orderBy($"lang")
+  }
+
+  /** s22's per-vector sign-LSH bucket rows: one (id, tbl, bucket, sig) row
+    * per table, `sig` the bucket-signature PREFIX (tables before `tbl`)
+    * that lets [[DedupQueries.minSharedTable]] keep each colliding pair
+    * exactly once — the d06/s09 kernel over an arbitrary (id, embedding)
+    * frame, shared with the streaming twin so both compute identical
+    * buckets. */
+  private[graft] def semBucketRows(vecs: DataFrame, tables: Int, ppt: Int,
+      planes: Array[Array[Double]]): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    vecs.as[(Long, Array[Float])].flatMap { case (id, emb) =>
+      val bks = DedupQueries.lshBucketsOf(emb, tables, ppt, planes)
+      (0 until tables).iterator.map(t => (id, t, bks(t), bks.take(t).toSeq))
+    }.toDF("id", "tbl", "bucket", "sig")
+  }
+
+  /** s22's decision + economics half over TRAIN (doc_id, lang, n_toks,
+    * embedding-nullable) rows vs a static heldout bucket frame `heldBk`
+    * (held_id, tbl, bucket, sig_b, eb): per-lang sums, UNORDERED — the
+    * same split-invariant monoid as t44's
+    * ([[graft.streaming.StreamSemanticDecontaminate]] folds these per
+    * micro-batch; the batch report adds the orderBy). Each doc's drop
+    * decision is against the static heldout set only, so the sums are
+    * order- and split-independent. */
+  private[graft] def semDecontStats(train: DataFrame, heldBk: DataFrame,
+      tables: Int, ppt: Int, planes: Array[Array[Double]],
+      minCosMilli: Long): DataFrame = {
+    val s = train.sparkSession
+    import s.implicits._
+    val withVec = train.filter($"embedding".isNotNull)
+      .select($"doc_id", $"embedding")
+    val trainBk = semBucketRows(withVec, tables, ppt, planes)
+      .select($"id".as("doc_id"), $"tbl", $"bucket", $"sig".as("sig_a"))
+    val dropped = trainBk.join(heldBk, Seq("tbl", "bucket"))
+      .filter(DedupQueries.minSharedTable)
+      .select($"doc_id", $"eb")
+      .join(withVec.select($"doc_id", $"embedding".as("ea")), Seq("doc_id"))
+      .filter(VectorFns.cosineMilli($"ea", $"eb") >= minCosMilli)
+      .select($"doc_id").distinct()
+    train
+      .join(dropped.withColumn("is_dropped", lit(1L)), Seq("doc_id"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce($"is_dropped", lit(0L))).as("n_dropped"),
+        sum(when($"is_dropped".isNotNull, $"n_toks").otherwise(0L)).as("tokens_dropped"),
+        sum(when($"is_dropped".isNull, $"n_toks").otherwise(0L)).as("tokens_clean"))
+  }
+
+  /** The s22 oracle: literal-plane per-table buckets on BOTH split sides
+    * (the d06/s09 replay), bipartite any-shared-bucket candidates, exact
+    * cosine verify, t44's report tail. */
+  private def s22OracleSql: String = {
+    val tables = DedupQueries.lshTableCount
+    val ppt = DedupQueries.lshPlanesPerTableCount
+    val planes = VectorFns.hyperplanes(tables * ppt, DedupQueries.embDim)
+    def bucket(t: Int): String = (0 until ppt).map { k =>
+      s"(CASE WHEN list_dot_product(e, ${planeLit(planes(t * ppt + k))}) >= 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+    val bcols = (0 until tables).map(t => s"(${bucket(t)}) AS b$t").mkString(",\n               ")
+    val cond = (0 until tables).map(t => s"t.b$t = h.b$t").mkString(" OR ")
+    s"""
+        WITH meta AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_toks,
+                 (${TextQueries.trainSplitPredSql}) AS is_train
+          FROM documents),
+        bk AS (SELECT vec_id, e,
+               $bcols
+               FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
+        train AS (SELECT m.doc_id, b.* FROM meta m JOIN bk b ON m.doc_id = b.vec_id WHERE m.is_train),
+        held AS (SELECT b.* FROM meta m JOIN bk b ON m.doc_id = b.vec_id WHERE NOT m.is_train),
+        dropped AS (
+          SELECT DISTINCT t.doc_id
+          FROM train t JOIN held h ON ($cond)
+          WHERE floor(list_dot_product(t.e, h.e) * 1000.0 /
+            (sqrt(list_dot_product(t.e, t.e)) * sqrt(list_dot_product(h.e, h.e)))) >= 400),
+        tr AS (SELECT doc_id, lang, n_toks FROM meta WHERE is_train)
+        SELECT tr.lang, CAST(count(*) AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN tr.n_toks ELSE 0 END) AS BIGINT) AS tokens_dropped,
+               CAST(sum(CASE WHEN d.doc_id IS NULL THEN tr.n_toks ELSE 0 END) AS BIGINT) AS tokens_clean
+        FROM tr LEFT JOIN dropped d ON tr.doc_id = d.doc_id
+        GROUP BY tr.lang
+        ORDER BY tr.lang"""
   }
 
   /** The s09 pipeline over an arbitrary (vec_id, embedding) table. Bucket

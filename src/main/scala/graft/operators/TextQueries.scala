@@ -135,6 +135,13 @@ object TextQueries {
                  * $ScrambleA + $ScrambleB) % $HashP"""
 
   private def splitBucket: Column = pmod(saltedDocHash("split:"), lit(100L))
+  /** The t06 salted-hash train/heldout split predicate (reads `doc_id`),
+    * shared with [[SimilarityQueries.semanticDecontaminateReport]] so the
+    * lexical (t44) and semantic (s22) decontamination gates agree on
+    * which documents are train. */
+  private[operators] def trainSplitPred: Column = splitBucket < TrainPct
+  /** DuckDB mirror of [[trainSplitPred]], embedded in the s22 oracle. */
+  private[operators] def trainSplitPredSql: String = s"($splitBucketSql) < $TrainPct"
   private def packShard: Column = pmod(saltedDocHash("shard:"), lit(PackShards.toLong))
   /** t08's shard column shared with [[graft.streaming.StreamIngest]] so the
     * composed ingestion pipeline packs with the SAME oracle-replicable

@@ -35,8 +35,10 @@ object StreamDecontaminate {
   final class DecontState(s: SparkSession, stateDir: Option[String],
       private[graft] val heldSh: DataFrame) {
 
-    // the heldout set is static, so its fingerprint is computed once
-    private val heldFp = heldFingerprint(heldSh).localCheckpoint()
+    // the heldout set is static, so its fingerprint is computed once —
+    // lazily, so ephemeral states (stateDir = None) that never persist it
+    // never pay the localCheckpoint job (the round-8 advisory)
+    private lazy val heldFp = heldFingerprint(heldSh).localCheckpoint()
 
     @volatile private var stats: Option[DataFrame] = None // per-lang sums, unordered
     @volatile private var lastBatchId: Long = -1L

@@ -544,6 +544,19 @@ class DocExamplesSpec extends SparkSpec {
     assert(DedupQueries.autoPlanesPerTable(50000) === 19)
   }
 
+  test("SimilarityQueries.semanticDecontaminateReport scaladoc example") {
+    import graft.operators.SimilarityQueries.semanticDecontaminateReport
+    val e1 = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    val docs = Seq((1L, "a b c d", "en"), (2L, "e f g h", "en"),
+      (3L, "q r s t", "en")).toDF("doc_id", "text", "lang")
+    val emb = Seq((1L, e1), (2L, e1.map(-_)), (3L, e1.clone()))
+      .toDF("vec_id", "embedding")
+    // held = doc 3; train doc 1 mirrors it (cos 1.0) -> dropped;
+    // train doc 2 is antipodal -> kept
+    assert(semanticDecontaminateReport(spark, docs, emb, trainPred = $"doc_id" < 3L)
+      .as[(String, Long, Long, Long, Long)].head == (("en", 2L, 1L, 4L, 4L)))
+  }
+
   test("SimilarityQueries.ivfSearch scaladoc example") {
     import graft.operators.SimilarityQueries
     val dim = DedupQueries.embDim
@@ -801,7 +814,10 @@ class DocExamplesSpec extends SparkSpec {
       // the SimilaritySpec fusion-spine + recall-harness gates; each is
       // exercised by BOTH hybrid oracles (s20 exact, s21 indexed) —
       // postings/impactPrunedPostings/rrfFuse have doc examples below
-      "lexTopR", "vecTopRExact", "vecTopRLsh"),
+      "lexTopR", "vecTopRExact", "vecTopRLsh",
+      // private[graft] s22 kernels shared with StreamSemanticDecontaminate;
+      // gated by the s22 oracle + the twin equivalence test
+      "semBucketRows", "semDecontStats"),
     "TextQueries" -> Set(
       "polyHashSqlOf",  // oracle-SQL generator, embedded in a dozen oracles
       "packShardCol",   // private[graft] t08 shard column shared with
@@ -818,7 +834,10 @@ class DocExamplesSpec extends SparkSpec {
       "docShingles",     // private[graft] t44 per-doc projection seam shared
                          // with StreamDecontaminate; gated by the t44 oracle
                          // + the twin equivalence test
-      "decontLangStats"), // private[graft] t44 decision/economics seam, same gates
+      "decontLangStats",  // private[graft] t44 decision/economics seam, same gates
+      "trainSplitPred",   // private[operators] t06 split seam shared with s22;
+                          // gated by the t06/t44/s22 oracles
+      "trainSplitPredSql"), // its DuckDB mirror, embedded in the s22 oracle
     "Multimodal" -> Set("FrameSize", "ShardBytes", "ShardGroups")) // constants
 
   test("every public operator method has a runnable doc example or a documented exclusion") {

@@ -43,6 +43,11 @@ class StreamTwinPlanSpec extends SparkSpec {
   private val MaxEnumLiterals = 16
   private val AllowedActions = Set("localCheckpoint")
   private val BoundedSketchActions = AllowedActions ++ Set("head", "count")
+  /** StreamSemanticDecontaminate's construction derives its LSH geometry
+    * from the STATIC heldout set — one scalar `count` at state build,
+    * never per batch (the drive below spans one construction + two
+    * batches, so a per-batch count would trace twice and fail). */
+  private val StaticGeometryActions = AllowedActions ++ Set("count")
 
   /** Run `drive`, returning every (action name, query execution) the
     * session's driver executed while it ran. */
@@ -136,6 +141,21 @@ class StreamTwinPlanSpec extends SparkSpec {
       finally q.stop()
       assert(state.report.columns.nonEmpty)
     }),
+    ("StreamSemanticDecontaminate", StaticGeometryActions, { () =>
+      implicit val sq = spark.sqlContext
+      val ms = MemoryStream[(Long, String, String, Array[Float])]
+      def vv(i: Int) = Array.tabulate(64)(j => ((i * 31 + j) % 7 - 3).toFloat)
+      val rows = (0 until 300).map(i =>
+        (100L + i, s"doc number $i", Seq("en", "de", "fr")(i % 3), vv(i)))
+      val heldout = (0 until 40).map(i => (i.toLong, s"held $i", "en", vv(i * 3)))
+        .toDF("doc_id", "text", "lang", "embedding")
+      val ckpt = java.nio.file.Files.createTempDirectory("semdecont_gate").toString
+      val (q, state) = graft.streaming.StreamSemanticDecontaminate.startEphemeral(
+        ms.toDF().toDF("doc_id", "text", "lang", "embedding"), heldout, ckpt)
+      try rows.grouped(150).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      assert(state.report.columns.nonEmpty)
+    }),
     ("StreamAdmission", AllowedActions, { () =>
       implicit val sq = spark.sqlContext
       val ms = MemoryStream[(Long, String)]
@@ -186,6 +206,11 @@ class StreamTwinPlanSpec extends SparkSpec {
       assert(illegal.isEmpty,
         s"$name ran driver actions beyond its allowance: " +
           illegal.groupBy(identity).view.mapValues(_.size).toMap)
+      // the static-geometry allowance is construction-only: the drive spans
+      // one state build + two batches, so a per-batch count would trace >1
+      if (allowed == StaticGeometryActions)
+        assert(acts.count(_._1 == "count") <= 1,
+          s"$name must derive geometry once at construction, not per batch")
       val ins = acts.flatMap { case (f, qe) => wideIns(qe).map(w => s"$f: $w") }
       assert(ins.isEmpty,
         s"$name bakes a data-derived literal list into a plan: ${ins.mkString(", ")}")

@@ -1267,6 +1267,74 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("different heldout set"))
   }
 
+  test("semantic decontamination twin: stream report == batch s22 after every prefix, across a restart") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamSemanticDecontaminate
+    import graft.operators.SimilarityQueries
+    def v(hot: Int): Array[Float] = Array.tabulate(64)(i => if (i == hot) 1f else 0f)
+    // heldout ids < 100, train ids >= 100 — the batch twin replays the
+    // same split with one predicate over the union frames. Exact mirrors
+    // (cos 1000) share EVERY bucket, so the drop is deterministic;
+    // orthogonal one-hots (cos 0) may collide in a bucket but the exact
+    // verify kills them deterministically.
+    val heldout = Seq((1L, "held one", "en", v(0)), (2L, "held two", "de", v(1)))
+    val b1: Seq[(Long, String, String, Array[Float])] = Seq(
+      (101L, "mirror of one", "en", v(0)),     // mirrors held 1 -> dropped
+      (102L, "clean doc here", "en", v(5)),    // orthogonal -> kept
+      (103L, "der spiegel", "de", v(1)))       // mirrors held 2 -> dropped
+    val b2: Seq[(Long, String, String, Array[Float])] = Seq(
+      (104L, "another clean", "en", v(6)),     // kept
+      (105L, "kein vektor", "en", null),       // no embedding: kept, counted
+      (106L, "miroir", "fr", v(0)))            // mirror in a lang heldout never saw -> dropped
+    val b3: Seq[(Long, String, String, Array[Float])] = Seq(
+      (107L, "noch ein spiegel", "de", v(1)),  // dropped
+      (108L, "clean again entirely", "en", v(7)))
+    def batchReport(prefix: Seq[(Long, String, String, Array[Float])]) = {
+      val all = heldout ++ prefix
+      SimilarityQueries.semanticDecontaminateReport(spark,
+        all.map(t => (t._1, t._2, t._3)).toDF("doc_id", "text", "lang"),
+        all.filter(_._4 != null).map(t => (t._1, t._4)).toDF("vec_id", "embedding"),
+        trainPred = $"doc_id" >= 100L).collect().toSeq
+    }
+    val root = java.nio.file.Files.createTempDirectory("semdecont_twin").toString
+    val ms = MemoryStream[(Long, String, String, Array[Float])]
+    val heldoutDf = heldout.toDF("doc_id", "text", "lang", "embedding")
+    val (q1, st1) = StreamSemanticDecontaminate.start(
+      ms.toDF().toDF("doc_id", "text", "lang", "embedding"), heldoutDf,
+      s"$root/ckpt", s"$root/state")
+    try {
+      ms.addData(b1: _*); q1.processAllAvailable()
+      assert(st1.report.collect().toSeq === batchReport(b1))
+      ms.addData(b2: _*); q1.processAllAvailable()
+      assert(st1.report.collect().toSeq === batchReport(b1 ++ b2))
+      // retried micro-batch id is a no-op
+      val before = st1.report.collect().toSeq
+      st1.merge(b1.toDF("doc_id", "text", "lang", "embedding"), 0L)
+      assert(st1.report.collect().toSeq === before)
+    } finally q1.stop()
+    // restart through the SAME front-door call (durable-by-default)
+    val (q2, st2) = StreamSemanticDecontaminate.start(
+      ms.toDF().toDF("doc_id", "text", "lang", "embedding"), heldoutDf,
+      s"$root/ckpt", s"$root/state")
+    try {
+      ms.addData(b3: _*); q2.processAllAvailable()
+      assert(st2.report.collect().toSeq === batchReport(b1 ++ b2 ++ b3))
+      // the planted decisions exercised the fold: en kept 4 of 5 (the
+      // null-embedding doc counted, never droppable), de dropped both,
+      // fr dropped its only doc
+      val r = st2.report.collect().map(x => x.getString(0) -> x).toMap
+      assert(r("en").getLong(1) === 5L && r("en").getLong(2) === 1L)
+      assert(r("de").getLong(1) === 2L && r("de").getLong(2) === 2L)
+      assert(r("fr").getLong(1) === 1L && r("fr").getLong(2) === 1L)
+    } finally q2.stop()
+    // a restart against a DIFFERENT benchmark set fails loudly: past drop
+    // decisions were made against the original heldout embeddings
+    val other = Seq((1L, "other", "en", v(3))).toDF("doc_id", "text", "lang", "embedding")
+    val e = intercept[IllegalArgumentException](
+      StreamSemanticDecontaminate.load(spark, other, s"$root/state"))
+    assert(e.getMessage.contains("different heldout set"))
+  }
+
   test("BatchStateStore disambiguates first-commit crash from marker loss") {
     import graft.streaming.BatchStateStore
     import org.apache.hadoop.fs.Path

@@ -28,6 +28,17 @@ private[graft] object BatchStateStore {
     val fs = fsOf(s, new Path(dir))
     val latest = new Path(dir, "_latest")
     val tmp = new Path(dir, "_latest.tmp")
+    // Written once, right BEFORE the first marker rename: its absence
+    // later proves no commit ever reached the rename (first-commit crash,
+    // safe to rehydrate fresh); its presence with no _latest marks
+    // possible marker loss over committed state (fail loudly). Sentinel-
+    // before-rename makes the one crash window FAIL-SAFE: a crash between
+    // the sentinel write and the first rename turns into a loud false
+    // positive on recoverable state (the operator resolves it) rather
+    // than the sentinel-after-rename ordering's silent fresh rehydrate
+    // over a committed batch (the round-8 advisory). See committedBatch.
+    val once = new Path(dir, "_committed_once")
+    if (!fs.exists(once)) fs.create(once, true).close()
     val out = fs.create(tmp, true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
     // Atomic OVERWRITE rename (FileContext, not FileSystem.rename): a
@@ -38,12 +49,6 @@ private[graft] object BatchStateStore {
       latest.toUri, s.sparkContext.hadoopConfiguration)
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(latest),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // Written once, right AFTER the first marker rename ever succeeds:
-    // its absence later proves no commit completed (first-commit crash,
-    // safe to rehydrate fresh); its presence with no _latest proves
-    // marker loss over committed state (fail loudly). See committedBatch.
-    val once = new Path(dir, "_committed_once")
-    if (!fs.exists(once)) fs.create(once, true).close()
     val prefixes = tables.map(_._1 + "_")
     fs.listStatus(new Path(dir)).foreach { st =>
       val nm = st.getPath.getName
@@ -61,10 +66,13 @@ private[graft] object BatchStateStore {
     * source checkpoint still redelivers that batch) or marker loss over
     * committed state (a fresh state would silently drop batches the
     * checkpoint will never redeliver). The `_committed_once` sentinel —
-    * created right after the first marker rename, never removed —
+    * created right before the first marker rename, never removed —
     * disambiguates: absent, the common benign case self-heals (return
     * None, redelivery re-folds batch 0); present with no `_latest`, the
-    * unrecoverable case fails loudly and the operator resolves it. */
+    * possibly-unrecoverable case fails loudly and the operator resolves
+    * it (a crash between the sentinel write and the first rename also
+    * lands here — a deliberate loud false positive on recoverable
+    * state, never a silent loss). */
   def committedBatch(s: SparkSession, dir: String): Option[Long] = {
     val latest = new Path(dir, "_latest")
     val fs = fsOf(s, latest)

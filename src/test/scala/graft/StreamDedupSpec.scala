@@ -208,4 +208,45 @@ class StreamDedupSpec extends SparkSpec {
       assert(got.toSet === want)
     }
   }
+
+  test("cluster-label twin: stream labels == batch d08 after every prefix, across a restart") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamClusterLabels
+    val docs = (0L to 20L).toDF("doc_id")
+    // the planted merge story exercises every incremental case: within-
+    // batch chains (b1), a CROSS-BATCH component merge (b2 glues two
+    // existing components), and a later, SMALLER id taking over as the
+    // canonical root of an already-merged component (b3)
+    val b1 = Seq((5L, 6L), (10L, 11L), (7L, 8L))
+    val b2 = Seq((6L, 10L))           // merges {5,6} with {10,11} -> root 5
+    val b3 = Seq((2L, 11L), (1L, 2L)) // root 5 dethroned -> root 1
+    def batchLabels(prefix: Seq[(Long, Long)]) =
+      DedupQueries.clusterLabels(docs, prefix.toDF("doc_a", "doc_b")).collect().toSeq
+    val root = java.nio.file.Files.createTempDirectory("clabels_twin").toString
+    val ms = MemoryStream[(Long, Long)]
+    val (q1, st1) = StreamClusterLabels.start(
+      ms.toDF().toDF("doc_a", "doc_b"), s"$root/ckpt", s"$root/state")
+    try {
+      ms.addData(b1: _*); q1.processAllAvailable()
+      assert(st1.labelsFor(docs).collect().toSeq === batchLabels(b1))
+      ms.addData(b2: _*); q1.processAllAvailable()
+      assert(st1.labelsFor(docs).collect().toSeq === batchLabels(b1 ++ b2))
+      // redelivered micro-batch id is a no-op
+      val before = st1.labelsFor(docs).collect().toSeq
+      st1.merge(b1.toDF("doc_a", "doc_b"), 0L)
+      assert(st1.labelsFor(docs).collect().toSeq === before)
+      // state is O(touched entities), not O(universe): 6 ids have pairs
+      assert(st1.snapshot.count() === 6L)
+    } finally q1.stop()
+    // restart through the SAME front-door call (durable-by-default)
+    val (q2, st2) = StreamClusterLabels.start(
+      ms.toDF().toDF("doc_a", "doc_b"), s"$root/ckpt", s"$root/state")
+    try {
+      ms.addData(b3: _*); q2.processAllAvailable()
+      assert(st2.labelsFor(docs).collect().toSeq === batchLabels(b1 ++ b2 ++ b3))
+      val m = st2.labelsFor(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Seq(1L, 2L, 5L, 6L, 10L, 11L).forall(m(_) == 1L))
+      assert(m(7L) === 7L && m(8L) === 7L && m(0L) === 0L) // untouched: self
+    } finally q2.stop()
+  }
 }

@@ -141,6 +141,19 @@ class StreamTwinPlanSpec extends SparkSpec {
       finally q.stop()
       assert(state.report.columns.nonEmpty)
     }),
+    ("StreamClusterLabels", AllowedActions, { () =>
+      implicit val sq = spark.sqlContext
+      val ms = MemoryStream[(Long, Long)]
+      // 300 chain pairs over 170 ids: components merge across batches
+      val rows = (0 until 300).map(i => ((i * 13 % 170).toLong, (i * 7 % 170).toLong))
+        .filter { case (a, b) => a != b }
+      val ckpt = java.nio.file.Files.createTempDirectory("clabels_gate").toString
+      val (q, state) = graft.streaming.StreamClusterLabels.startEphemeral(
+        ms.toDF().toDF("doc_a", "doc_b"), ckpt)
+      try rows.grouped(150).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      assert(state.snapshot.columns.nonEmpty)
+    }),
     ("StreamSemanticDecontaminate", StaticGeometryActions, { () =>
       implicit val sq = spark.sqlContext
       val ms = MemoryStream[(Long, String, String, Array[Float])]

@@ -19,6 +19,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Bench-owned scratch root: halt(0) below skips the JVM shutdown hooks
+    // Spark registers for temp-dir deletion, so repeated runs would litter
+    // /tmp/spark-* (the round-8 advisory). Pointing spark.local.dir at a
+    // per-pid dir we delete explicitly before halting keeps the exit path
+    // hook-free AND litter-free.
+    val localDir = s"/tmp/graft-bench-local-${ProcessHandle.current().pid()}"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,6 +32,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", localDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: session init, codegen JIT, parquet footers
@@ -142,7 +149,13 @@ object Bench {
     // ShutdownHookManager, log4j) can still emit trailing stderr/stdout noise
     // after main returns; halt(0) ends the forked JVM here, bytes flushed,
     // nothing after. (No state needs the hooks: bench_last.json is written,
-    // the noop sink holds no resources.)
+    // the noop sink holds no resources — and the scratch dir the skipped
+    // hooks would have deleted is removed explicitly here.)
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(localDir))
     Runtime.getRuntime.halt(0)
   }
 }

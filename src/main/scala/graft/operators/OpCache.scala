@@ -16,21 +16,34 @@ import org.apache.spark.storage.StorageLevel
   * previous generation: the returned plan stays lazy, and the operator's
   * executor-storage footprint is bounded to its latest invocation.
   *
-  * Concurrent invocations of ONE operator would rotate each other's cache
-  * early — harmless for correctness (Spark recomputes evicted partitions
-  * from lineage), only a perf hazard, and no driver here (Verify, Bench,
-  * the test suites) runs an operator concurrently with itself. */
+  * Slots are scoped PER SESSION (the round-8 advisory): the registry key
+  * includes the owning SparkSession's identity, so two sessions — or the
+  * session-per-suite test harness — invoking the same operator never
+  * unpersist each other's live frames. Rotations log at INFO so an
+  * unexpected mid-consumption eviction is diagnosable. Concurrent
+  * invocations of ONE operator in ONE session still rotate each other's
+  * cache early — harmless for correctness (Spark recomputes evicted
+  * partitions from lineage), only a perf hazard, and no driver here
+  * (Verify, Bench, the test suites) runs an operator concurrently with
+  * itself in one session. */
 private[graft] object OpCache {
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.OpCache")
 
   private val slots = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Persist `df` (MEMORY_AND_DISK: spills, never evicts under pressure)
-    * under `slot`, unpersisting the slot's previous generation. */
+    * under `slot` in `df`'s session, unpersisting the slot's previous
+    * generation from THAT session only. */
   def persistRotating(slot: String, df: DataFrame): DataFrame = {
+    val key = s"${System.identityHashCode(df.sparkSession).toHexString}:$slot"
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    Option(slots.put(slot, p)).foreach { prev =>
-      // a stopped owning session must not fail the new invocation
-      if (prev ne p) scala.util.Try(prev.unpersist(blocking = false))
+    Option(slots.put(key, p)).foreach { prev =>
+      if (prev ne p) {
+        log.info(s"rotating cache slot '$slot': unpersisting the previous generation")
+        // a stopped owning session must not fail the new invocation
+        scala.util.Try(prev.unpersist(blocking = false))
+      }
     }
     p
   }

@@ -412,4 +412,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(partialKeys.nonEmpty,
       s"expected a (domain, curl)-keyed distinct stage before the domain rollup:\n$p")
   }
+
+  test("OpCache slots are session-scoped: another session's rotation never evicts a live frame") {
+    // the round-8 advisory: the slot registry was process-global, so two
+    // sessions (or concurrently running suites) invoking the same operator
+    // silently unpersisted each other's frames mid-consumption — correct
+    // answers via lineage recompute, invisible perf cliff
+    import graft.operators.OpCache
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val s2 = spark.newSession()
+    val a = OpCache.persistRotating("opcache.scope.test", Seq(1L, 2L).toDF("x"))
+    a.count()
+    assert(a.storageLevel !== StorageLevel.NONE)
+    // same slot, DIFFERENT session: must not evict a
+    val b = OpCache.persistRotating("opcache.scope.test",
+      { import s2.implicits._; Seq(3L).toDF("x") })
+    b.count()
+    assert(a.storageLevel !== StorageLevel.NONE,
+      "a second session's rotation evicted the first session's live frame")
+    assert(b.storageLevel !== StorageLevel.NONE)
+    // same slot, SAME session: rotates the previous generation out
+    val c = OpCache.persistRotating("opcache.scope.test", Seq(4L).toDF("x"))
+    c.count()
+    assert(a.storageLevel === StorageLevel.NONE,
+      "same-session rotation must unpersist the previous generation")
+    Seq(b, c).foreach(_.unpersist())
+  }
 }

@@ -1955,16 +1955,11 @@ object ExtraRelationalQueries {
     // ----- skyline / Pareto frontier (q87) ----------------------------------
     // The multi-criteria optimum set: parts where no other part is both
     // cheaper (min observed unit price) and better-selling (total
-    // quantity). 2-D dominance needs no pairwise join: sort the O(parts)
-    // aggregate by (price asc, qty desc), and a point is on the frontier
-    // iff its qty strictly exceeds the running max over everything sorted
-    // before it — one window, one pass. Of coincident points the sort-first
-    // (smallest partkey) is kept; dominance is strict in at least one
-    // dimension. Scale: the window runs over the per-part aggregate, never
-    // facts; for frontier sets too big for one task, skyline is
-    // merge-idempotent (skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)))
-    // so partition-local frontiers prune first — the classic distributed
-    // skyline recipe.
+    // quantity). 2-D dominance needs no pairwise join — see [[skyline]];
+    // the window runs over the O(parts) aggregate, never facts, and for
+    // frontier sets too big for one task the merge-idempotence law
+    // (executed by SketchSpec) lets partition-local frontiers prune first
+    // — the classic distributed skyline recipe.
     QueryDef(
       "q87_skyline_pareto",
       (s, d) => {
@@ -1973,13 +1968,7 @@ object ExtraRelationalQueries {
           .groupBy($"l_partkey")
           .agg(min(floor($"l_extendedprice" * 100 / $"l_quantity").cast("long")).as("unit_c"),
             sum($"l_quantity".cast("long")).as("qty"))
-        val w = Window.orderBy($"unit_c".asc, $"qty".desc, $"l_partkey")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        pts
-          .withColumn("best_qty_before", max($"qty").over(w))
-          .filter($"best_qty_before".isNull || $"qty" > $"best_qty_before")
-          .select($"l_partkey", $"unit_c", $"qty")
-          .orderBy($"unit_c", $"l_partkey")
+        skyline(pts).orderBy($"unit_c", $"l_partkey")
       },
       oracle = Some("""
         WITH pts AS (
@@ -2849,6 +2838,41 @@ object ExtraRelationalQueries {
       }
       .toDF("f", "w", "raw_milli", "iso_milli")
       .orderBy(col("f"))
+  }
+
+  /** 2-D skyline / Pareto frontier (q87's kernel) over any
+    * `(l_partkey, unit_c, qty)` points frame: the rows no other row
+    * dominates (lower-or-equal `unit_c` AND higher-or-equal `qty`, strict
+    * in at least one). No pairwise join: sort by (unit_c asc, qty desc,
+    * key), and a point is on the frontier iff its qty strictly exceeds
+    * the running max over everything sorted before it — one window, one
+    * pass over the aggregate. Of coincident points the smallest key is
+    * kept. UNORDERED (q87 adds the orderBy).
+    *
+    * MERGE-IDEMPOTENT: skyline(A ∪ B) == skyline(skyline(A) ∪ skyline(B))
+    * — a locally dominated point is globally dominated by the same
+    * surviving dominator, so partition-local frontiers can prune before
+    * the global pass (the distributed recipe for frontier sets too big
+    * for one task). SketchSpec EXECUTES this law: per-partition skylines,
+    * merged, re-skylined, asserted equal to the one-pass form.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * val pts = Seq((1L, 10L, 5L), (2L, 20L, 9L), (3L, 15L, 5L), (4L, 10L, 5L))
+    *   .toDF("l_partkey", "unit_c", "qty")
+    * // 1 frontier (cheapest at qty 5; coincident 4 loses the key tie);
+    * // 2 frontier (more qty at higher price); 3 dominated by 1
+    * skyline(pts).orderBy($"l_partkey").as[(Long, Long, Long)]
+    *   .collect().toSeq == Seq((1L, 10L, 5L), (2L, 20L, 9L))
+    * }}}
+    */
+  def skyline(pts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.orderBy(col("unit_c").asc, col("qty").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts
+      .withColumn("best_qty_before", max(col("qty")).over(w))
+      .filter(col("best_qty_before").isNull || col("qty") > col("best_qty_before"))
+      .select(col("l_partkey"), col("unit_c"), col("qty"))
   }
 
   /** Two-sample Kolmogorov-Smirnov statistic (q88), exposed as a library

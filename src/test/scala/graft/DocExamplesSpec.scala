@@ -538,6 +538,14 @@ class DocExamplesSpec extends SparkSpec {
     assert(pairs.head.getLong(2) >= 999L)
   }
 
+  test("ExtraRelationalQueries.skyline scaladoc example") {
+    import graft.operators.ExtraRelationalQueries.skyline
+    val pts = Seq((1L, 10L, 5L), (2L, 20L, 9L), (3L, 15L, 5L), (4L, 10L, 5L))
+      .toDF("l_partkey", "unit_c", "qty")
+    assert(skyline(pts).orderBy($"l_partkey").as[(Long, Long, Long)]
+      .collect().toSeq === Seq((1L, 10L, 5L), (2L, 20L, 9L)))
+  }
+
   test("DedupQueries.autoPlanesPerTable scaladoc example") {
     assert(DedupQueries.autoPlanesPerTable(500) === DedupQueries.lshPlanesPerTableCount)
     assert(DedupQueries.autoPlanesPerTable(5000) === 13)

@@ -425,4 +425,41 @@ class SimilaritySpec extends SparkSpec {
     // LSH convention and is far above the ~10/N random baseline
     assert(mean >= 0.2, s"mean fused recall@10 = $mean")
   }
+
+  test("d19 on predicted labels: the query path runs on t01 output end-to-end (mixed-vocabulary fixture)") {
+    // The benchmarked d19 consumes the documents table's labeled lang
+    // because the synthetic fixture's shared vocabulary would collapse
+    // every langId prediction to 'en'. This fixture gives each language
+    // its own stopword vocabulary, so the PREDICTED labels reproduce the
+    // ground truth exactly and the d19 query path itself runs on the
+    // language-ID stage's output — asserted equal to the labeled run.
+    import graft.operators.SimilarityQueries
+    import graft.functions.TextFns
+    import spark.implicits._
+    def v(hot: Int) = Array.tabulate(64)(i => if (i == hot) 1f else 0f)
+    val en = "the a of and to is in"
+    val de = "der die das und ist ein zu"
+    val es = "el la y que los" // la is also fr; 5 es hits >= every later lang
+    val fr = "le et les un est"
+    val docs = Seq(
+      (1L, en, "en"), (2L, de, "de"), (3L, es, "es"),
+      (4L, s"$en extra words", "en"), (5L, fr, "fr"),
+      (6L, s"$en one", "en"), (7L, s"$en two", "en"), (8L, s"$fr seul", "fr"))
+      .toDF("doc_id", "text", "lang")
+    // mirror clusters: {1 en, 2 de, 3 es}, {4 en, 5 fr}; {6,7} en-only; 8 isolated
+    val emb = Seq((1L, v(0)), (2L, v(0)), (3L, v(0)), (4L, v(1)), (5L, v(1)),
+      (6L, v(2)), (7L, v(2)), (8L, v(3))).toDF("vec_id", "embedding")
+    val predicted = docs.select($"doc_id", TextFns.langId($"text").as("lang"))
+    // the prediction is non-vacuous: it reproduces every ground-truth label
+    assert(predicted.join(docs.select($"doc_id", $"lang".as("want")), Seq("doc_id"))
+      .filter($"lang" =!= $"want").count() === 0L)
+    val onPredicted = SimilarityQueries.crossLingualMirrors(spark, emb, predicted)
+      .collect().toSeq
+    val onLabeled = SimilarityQueries.crossLingualMirrors(spark, emb,
+      docs.select($"doc_id", $"lang")).collect().toSeq
+    assert(onPredicted === onLabeled)
+    assert(onPredicted.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))) ===
+      Seq(("de", "en", 1L, 2L), ("de", "es", 1L, 2L), ("en", "es", 1L, 2L),
+        ("en", "fr", 1L, 2L)))
+  }
 }

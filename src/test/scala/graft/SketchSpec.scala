@@ -263,6 +263,27 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q87 skyline merge law: per-partition frontiers merged and re-skylined equal the one-pass frontier") {
+    // skyline(A ∪ B) == skyline(skyline(A) ∪ skyline(B)) — the claim that
+    // makes the >1-task distributed recipe valid, executed: slice the
+    // point set 4 ways, take each slice's local frontier, merge, re-run.
+    import operators.ExtraRelationalQueries.skyline
+    val pts = Tables.lineitem(spark, sf).groupBy($"l_partkey")
+      .agg(min(floor($"l_extendedprice" * 100 / $"l_quantity").cast("long")).as("unit_c"),
+        sum($"l_quantity".cast("long")).as("qty"))
+      .cache()
+    val onePass = skyline(pts).orderBy($"l_partkey").collect().toSeq
+    val slices = (0 until 4).map(i => skyline(pts.filter(pmod($"l_partkey", lit(4)) === i)))
+    val merged = skyline(slices.reduce(_ unionByName _))
+      .orderBy($"l_partkey").collect().toSeq
+    assert(merged === onePass)
+    // the local pass must actually prune, or the law is vacuous here
+    val localTotal = slices.map(_.count()).sum
+    assert(localTotal < pts.count(), "local frontiers pruned nothing")
+    assert(localTotal >= onePass.size.toLong)
+    pts.unpersist()
+  }
+
   test("ksReport: identical samples give D=0, disjoint supports give D=1000") {
     import operators.ExtraRelationalQueries.ksReport
     val same = Seq((1L, 5L, 5L), (2L, 3L, 3L), (9L, 2L, 2L)).toDF("v", "c1", "c2")

@@ -1767,16 +1767,30 @@ object SimilarityQueries {
       dim: Int = DedupQueries.embDim,
       k: Int = 5): DataFrame = {
     import s.implicits._
+    val labels = DedupQueries.clusterLabels(
+      embeddings.select($"vec_id".as("doc_id")),
+      mutualKnnPairs(s, embeddings, tables, planesPerTable, dim, k))
+    labels.select($"doc_id".as("vec_id"), $"cluster_id").orderBy($"vec_id")
+  }
+
+  /** s11's edge half: the MUTUAL kNN pair set (a—b kept iff each is in
+    * the other's top-k; a < b) as (doc_a, doc_b) rows — the exact pair
+    * feed [[graft.streaming.StreamClusterLabels]] folds incrementally, so
+    * stream-maintained labels and batch [[semanticClusters]] agree by
+    * construction (StreamDedupSpec executes the composition). */
+  private[graft] def mutualKnnPairs(s: SparkSession, embeddings: DataFrame,
+      tables: Int = DedupQueries.lshTableCount,
+      planesPerTable: Int = DedupQueries.AutoPlanes,
+      dim: Int = DedupQueries.embDim,
+      k: Int = 5): DataFrame = {
+    import s.implicits._
     val dir = OpCache.persistRotating("s11.dir",
       knnGraph(s, embeddings, tables, planesPerTable, dim, k)
         .select($"vec_id".as("a"), $"nbr_id".as("b")))
-    val mutual = dir
+    dir
       .join(dir.select($"b".as("a"), $"a".as("b")), Seq("a", "b"), "left_semi")
       .filter($"a" < $"b")
-    val labels = DedupQueries.clusterLabels(
-      embeddings.select($"vec_id".as("doc_id")),
-      mutual.select($"a".as("doc_a"), $"b".as("doc_b")))
-    labels.select($"doc_id".as("vec_id"), $"cluster_id").orderBy($"vec_id")
+      .select($"a".as("doc_a"), $"b".as("doc_b"))
   }
 
   /** Cross-lingual mirror report (d19): [[semanticClusters]] x the
@@ -1817,9 +1831,19 @@ object SimilarityQueries {
       tables: Int = DedupQueries.lshTableCount,
       planesPerTable: Int = DedupQueries.AutoPlanes,
       dim: Int = DedupQueries.embDim,
-      k: Int = 5): DataFrame = {
+      k: Int = 5): DataFrame =
+    mirrorMatrix(semanticClusters(s, embeddings, tables, planesPerTable, dim, k),
+      docLangs)
+
+  /** d19's aggregation tail over an ARBITRARY (vec_id, cluster_id) label
+    * frame — factored out so the report can also run on LIVE labels
+    * ([[graft.streaming.StreamClusterLabels]].labelsFor) instead of a
+    * nightly closure (StreamDedupSpec executes that composition:
+    * mirrorMatrix over stream-maintained labels == [[crossLingualMirrors]]
+    * row for row). O(clusters x langs) past the label frame. */
+  private[graft] def mirrorMatrix(clusters: DataFrame, docLangs: DataFrame): DataFrame = {
+    val s = clusters.sparkSession
     import s.implicits._
-    val clusters = semanticClusters(s, embeddings, tables, planesPerTable, dim, k)
     val langs = docLangs.select($"doc_id".as("vec_id"), $"lang")
     val byLang = clusters.join(langs, Seq("vec_id"))
       .groupBy($"cluster_id", $"lang").agg(count(lit(1)).as("n"))

@@ -825,7 +825,11 @@ class DocExamplesSpec extends SparkSpec {
       "lexTopR", "vecTopRExact", "vecTopRLsh",
       // private[graft] s22 kernels shared with StreamSemanticDecontaminate;
       // gated by the s22 oracle + the twin equivalence test
-      "semBucketRows", "semDecontStats"),
+      "semBucketRows", "semDecontStats",
+      // private[graft] s11/d19 seams shared with StreamClusterLabels'
+      // live-report composition; gated by the s11/d19 oracles + the
+      // StreamDedupSpec composition test
+      "mutualKnnPairs", "mirrorMatrix"),
     "TextQueries" -> Set(
       "polyHashSqlOf",  // oracle-SQL generator, embedded in a dozen oracles
       "packShardCol",   // private[graft] t08 shard column shared with

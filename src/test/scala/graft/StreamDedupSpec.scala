@@ -249,4 +249,36 @@ class StreamDedupSpec extends SparkSpec {
       assert(m(7L) === 7L && m(8L) === 7L && m(0L) === 0L) // untouched: self
     } finally q2.stop()
   }
+
+  test("cluster-grain report on LIVE stream labels: d19 mirror matrix over labelsFor == batch d19") {
+    // The motivating claim, executed end to end on the real sf0.01
+    // fixture: feed s11's own mutual-kNN pair set through the incremental
+    // twin in three chunks, then run d19's aggregation tail on the LIVE
+    // labels — it must equal the nightly-closure crossLingualMirrors
+    // report row for row.
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamClusterLabels
+    import graft.operators.SimilarityQueries
+    val emb = Tables.embeddings(spark, sf)
+    val langs = Tables.documents(spark, sf).select($"doc_id", $"lang")
+    val pairs = SimilarityQueries.mutualKnnPairs(spark, emb)
+      .as[(Long, Long)].collect().toSeq
+    assert(pairs.size > 100, s"fixture mutual-kNN pair set too small (${pairs.size}) — vacuous")
+    val ms = MemoryStream[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("clabels_d19").toString
+    val (q, st) = StreamClusterLabels.startEphemeral(
+      ms.toDF().toDF("doc_a", "doc_b"), ckpt)
+    try {
+      pairs.grouped(math.max(pairs.size / 3, 1)).foreach { c =>
+        ms.addData(c: _*); q.processAllAvailable()
+      }
+      val live = st.labelsFor(emb.select($"vec_id".as("doc_id")))
+        .select($"doc_id".as("vec_id"), $"cluster_id")
+      val onLive = SimilarityQueries.mirrorMatrix(live, langs).collect().toSeq
+      val batch = SimilarityQueries.crossLingualMirrors(spark, emb, langs)
+        .collect().toSeq
+      assert(onLive === batch)
+      assert(batch.nonEmpty, "fixture mirror matrix empty — comparison vacuous")
+    } finally q.stop()
+  }
 }

@@ -1530,8 +1530,18 @@ object DedupQueries {
     * collision" is one zip_with/exists pass over at most L-1 elements —
     * negligible next to the Exchange it replaces. The join key already
     * guarantees collision AT `tbl`, so each colliding pair survives from
-    * exactly one (tbl, bucket) group. */
-  private[operators] def minSharedTable: org.apache.spark.sql.Column =
+    * exactly one (tbl, bucket) group.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * // empty prefixes = table 0 (keep); equal element = collided earlier
+    * // (drop); differing prefixes = first collision here (keep)
+    * Seq((Seq[Long](), Seq[Long]()), (Seq(7L), Seq(7L)), (Seq(7L), Seq(9L)))
+    *   .toDF("sig_a", "sig_b").select(minSharedTable.as("keep"))
+    *   .as[Boolean].collect().toSeq == Seq(true, false, true)
+    * }}}
+    */
+  private[graft] def minSharedTable: org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.expr(
       "NOT exists(zip_with(sig_a, sig_b, (x, y) -> x = y), c -> c)")
 

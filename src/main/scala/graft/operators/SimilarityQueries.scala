@@ -260,7 +260,16 @@ object SimilarityQueries {
     * list_dot_product reproduces the JVM's sequential accumulation bit for
     * bit — which is what makes the LSH bucket assignment (sign of the dot)
     * and therefore the whole approximate result set oracle-checkable. */
-  private[operators] def planeLit(row: Array[Double]): String =
+  /** DuckDB list literal of one hyperplane row — the seam every
+    * literal-plane oracle (d06/d14/s02/s09/s22) replays the fixed-seed
+    * geometry through.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * planeLit(Array(1.0, -0.5)) == "[1.0,-0.5]"
+    * }}}
+    */
+  private[graft] def planeLit(row: Array[Double]): String =
     row.map(_.toString).mkString("[", ",", "]")
 
   // ----- IVF with a LEARNED codebook: distributed Lloyd's k-means ----------

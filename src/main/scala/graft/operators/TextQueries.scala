@@ -2811,7 +2811,14 @@ object TextQueries {
     * and groups one level too coarse for multi-label suffixes
     * (`*.co.uk` collapses into `co.uk`). Production use behind a crawl
     * should swap this one expression for a suffix-list lookup table
-    * (a broadcast join against the PSL — the plan shape is unchanged). */
+    * (a broadcast join against the PSL — the plan shape is unchanged).
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * canonicalUrls(Seq("http://crawler@www.example.com:8080/a/index.html").toDF("url"))
+    *   .as[(String, String)].head == (("https://example.com/a", "example.com"))
+    * }}}
+    */
   private[graft] def canonicalUrls(urls: DataFrame): DataFrame = {
     val host = regexp_replace(regexp_replace(regexp_replace(
       lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)),

@@ -546,6 +546,23 @@ class DocExamplesSpec extends SparkSpec {
       .collect().toSeq === Seq((1L, 10L, 5L), (2L, 20L, 9L)))
   }
 
+  test("TextQueries.canonicalUrls scaladoc example") {
+    import graft.operators.TextQueries
+    assert(TextQueries.canonicalUrls(
+      Seq("http://crawler@www.example.com:8080/a/index.html").toDF("url"))
+      .as[(String, String)].head === (("https://example.com/a", "example.com")))
+  }
+
+  test("DedupQueries.minSharedTable scaladoc example") {
+    assert(Seq((Seq[Long](), Seq[Long]()), (Seq(7L), Seq(7L)), (Seq(7L), Seq(9L)))
+      .toDF("sig_a", "sig_b").select(DedupQueries.minSharedTable.as("keep"))
+      .as[Boolean].collect().toSeq === Seq(true, false, true))
+  }
+
+  test("SimilarityQueries.planeLit scaladoc example") {
+    assert(graft.operators.SimilarityQueries.planeLit(Array(1.0, -0.5)) === "[1.0,-0.5]")
+  }
+
   test("DedupQueries.autoPlanesPerTable scaladoc example") {
     assert(DedupQueries.autoPlanesPerTable(500) === DedupQueries.lshPlanesPerTableCount)
     assert(DedupQueries.autoPlanesPerTable(5000) === 13)
@@ -807,7 +824,6 @@ class DocExamplesSpec extends SparkSpec {
   private val excluded: Map[String, Set[String]] = Map(
     "DedupQueries" -> Set(
       "numBands", "embDim", "lshTableCount", "lshPlanesPerTableCount", // constant accessors
-      "minSharedTable", // private[operators]; Java-reflection artifact
       "AutoPlanes",     // sentinel constant; behavior exemplified by the
                         // autoPlanesPerTable doc example + ScaleSpec
       "lastClusterFrontier", // private[graft] telemetry holder (per-round
@@ -816,7 +832,6 @@ class DocExamplesSpec extends SparkSpec {
       "d06OracleSql"),  // oracle-SQL constant consumed by the s12 oracle
     "SimilarityQueries" -> Set(
       "IvfK", "KmK", "PqK", "PqM", "PqSubDim", // private[graft] codebook constants
-      "planeLit",                              // oracle-SQL literal builder (d14/s02 oracles)
       "ImpactPostings", // private[graft] s21 index-build constant
       // private[graft] hybrid-retrieval leg seams shared by s20/s21 and
       // the SimilaritySpec fusion-spine + recall-harness gates; each is
@@ -838,10 +853,8 @@ class DocExamplesSpec extends SparkSpec {
       "PackBudget",     // private[graft] packing constant shared with s19
       "packShardSql",   // private[graft] oracle-SQL mirror of packShardCol,
                         // embedded in the t08/t38/s19 oracles
-      "canonicalUrls",  // private[graft] t42 per-row canonicalization seam
-                        // shared with StreamDomainGovernance; gated by the
-                        // t42 oracle + the twin equivalence test
-      "domainCapReport", // private[graft] t42 O(domains) cap seam, same gates
+      "domainCapReport", // private[graft] t42 O(domains) cap seam, gated by
+                         // the t42 oracle + the twin equivalence test
       "DomainBudgetPct", // private[graft] budget constant shared with the twin
       "docShingles",     // private[graft] t44 per-doc projection seam shared
                          // with StreamDecontaminate; gated by the t44 oracle

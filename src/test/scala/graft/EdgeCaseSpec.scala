@@ -456,4 +456,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(SimilarityQueries.impactPrunedPostings(
       Seq.empty[(Long, String, Long)].toDF("doc_id", "tok", "tf")).count() === 0L)
   }
+
+  test("s22 semanticDecontaminateReport: empty corpora, all-heldout, and vector-less train degrade gracefully") {
+    import org.apache.spark.sql.functions.lit
+    val noLangDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(SimilarityQueries.semanticDecontaminateReport(spark, noLangDocs, noVecs)
+      .count() === 0L)
+    val docs = Seq((1L, "a b", "en"), (2L, "c d", "en")).toDF("doc_id", "text", "lang")
+    val e1 = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    val emb = Seq((1L, e1), (2L, e1.clone())).toDF("vec_id", "embedding")
+    // everything heldout: no train rows, empty report
+    assert(SimilarityQueries.semanticDecontaminateReport(spark, docs, emb,
+      trainPred = lit(false)).count() === 0L)
+    // everything train: nothing to probe against, zero drops, tokens clean
+    val allTrain = SimilarityQueries.semanticDecontaminateReport(spark, docs, emb,
+      trainPred = lit(true)).as[(String, Long, Long, Long, Long)].head()
+    assert(allTrain === (("en", 2L, 0L, 0L, 4L)))
+    // train docs without embeddings are counted, never droppable
+    val noVecTrain = SimilarityQueries.semanticDecontaminateReport(spark, docs, noVecs,
+      trainPred = col("doc_id") === 1L).as[(String, Long, Long, Long, Long)].head()
+    assert(noVecTrain === (("en", 1L, 0L, 0L, 2L)))
+  }
+
+  test("StreamClusterLabels state: empty batches and self-pairs are no-ops, labelsFor defaults to self") {
+    import graft.streaming.StreamClusterLabels
+    val st = new StreamClusterLabels.ClusterState(spark, None)
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    st.merge(noPairs, 0L)
+    assert(st.snapshot.count() === 0L)
+    // a self-pair links nothing: root edge filtered, entity still tracked
+    st.merge(Seq((5L, 5L)).toDF("doc_a", "doc_b"), 1L)
+    assert(st.labelsFor(Seq(5L, 6L).toDF("doc_id")).as[(Long, Long)]
+      .collect().toSeq === Seq((5L, 5L), (6L, 6L)))
+  }
 }

@@ -250,6 +250,36 @@ class StreamDedupSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("full ingestion loop: docs stream -> TWS pair mining -> live cluster labels == batch d03+d08") {
+    // ONE streaming query composes the whole incremental dedup story:
+    // documents stream in, StreamDedup's transformWithState miner emits
+    // verified near-dup pairs exactly-once, and StreamClusterLabels folds
+    // them into live union-find labels — asserted equal to the nightly
+    // batch composition (d03 pairs -> d08 closure) over the same corpus.
+    withRocksDb {
+      implicit val sq = spark.sqlContext
+      import graft.streaming.StreamClusterLabels
+      val docsAll = Tables.documents(spark, sf)
+        .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+      val ms = MemoryStream[(Long, String)]
+      val pairFeed = StreamDedup.nearDupPairsStream(ms.toDF().toDF("doc_id", "text"))
+        .toDF().select($"doc_a", $"doc_b")
+      val ckpt = java.nio.file.Files.createTempDirectory("ingest_loop").toString
+      val (q, st) = StreamClusterLabels.startEphemeral(pairFeed, ckpt)
+      try {
+        Seq(docsAll.take(100), docsAll.slice(100, 150), docsAll.drop(150))
+          .foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+        val universe = Tables.documents(spark, sf).select($"doc_id")
+        val live = st.labelsFor(universe).collect().toSeq
+        val batch = DedupQueries.clusterLabels(universe,
+          DedupQueries.minhashNearDupPairs(spark, Tables.documents(spark, sf))
+            .select($"doc_a", $"doc_b")).collect().toSeq
+        assert(st.snapshot.count() > 0, "no pairs reached the label fold — vacuous")
+        assert(live === batch)
+      } finally q.stop()
+    }
+  }
+
   test("cluster-grain report on LIVE stream labels: d19 mirror matrix over labelsFor == batch d19") {
     // The motivating claim, executed end to end on the real sf0.01
     // fixture: feed s11's own mutual-kNN pair set through the incremental

@@ -73,7 +73,7 @@ object StreamDedup {
   /** A verified semantic near-dup pair, `vec_a < vec_b`, cosine in milli. */
   final case class EmbNearDupPair(vec_a: Long, vec_b: Long, cos_milli: Long)
 
-  private final case class StoredVec(vecId: Long, emb: Seq[Float], buckets: Seq[Long])
+  private[streaming] final case class StoredVec(vecId: Long, emb: Seq[Float], buckets: Seq[Long])
 
   /** Streaming sign-LSH embedding near-dup pairs over a (streaming or
     * batch) DataFrame with `vec_id` and `embedding` columns — the semantic
@@ -108,7 +108,7 @@ object StreamDedup {
   /** A verified perceptual near-dup pair, `asset_a < asset_b`. */
   final case class MediaNearDupPair(asset_a: Long, asset_b: Long, hamming: Long)
 
-  private final case class StoredHash(assetId: Long, chunks: Seq[Int])
+  private[streaming] final case class StoredHash(assetId: Long, chunks: Seq[Int])
 
   /** Streaming perceptual near-dup pairs over (streaming or batch) media
     * assets — the third modality twin beside the lexical and semantic

@@ -68,7 +68,7 @@ object StreamIngestTws {
   final case class BandedCk(band: Int, bh: Long, ck: String, sh: Seq[String],
       kind: String, repId: Long, lang: String, nTokens: Long)
 
-  private final case class StoredCk(ck: String, sig: Seq[Long], sh: Seq[String])
+  private[streaming] final case class StoredCk(ck: String, sig: Seq[Long], sh: Seq[String])
 
   private final class AdmissionProc extends StatefulProcessor[String, DocIn, IngestEvent] {
     @transient private var group: ValueState[(Long, Boolean)] = _

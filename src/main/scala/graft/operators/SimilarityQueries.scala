@@ -962,6 +962,20 @@ object SimilarityQueries {
         Tables.documents(s, d), Tables.embeddings(s, d)),
       oracle = Some(s22OracleSql)),
 
+    // ----- decontamination APPLY step (s23) -----------------------------------
+    // The materialized end state of the eval-integrity story (d10's
+    // capstone pattern): the cleaned training corpus after BOTH gates —
+    // t44's lexical shingle rule and s22's semantic cosine rule — have
+    // dropped their casualties. One row per kept train doc; the frame a
+    // pipeline feeds to packing after eval hygiene. Oracle composes the
+    // two gates' existing CTE chains in one statement, so the union +
+    // anti-join is hash-verified end to end.
+    QueryDef(
+      "s23_decontaminated_corpus",
+      (s, d) => decontaminatedCorpus(s,
+        Tables.documents(s, d), Tables.embeddings(s, d)),
+      oracle = Some(s23OracleSql)),
+
     // ----- contrastive hard negatives (embedding-training data mining) ------
     // Contrastive/embedding training needs, per anchor, negatives that are
     // CLOSE but not duplicates — random negatives are trivially separable
@@ -1954,6 +1968,25 @@ object SimilarityQueries {
     * micro-batch; the batch report adds the orderBy). Each doc's drop
     * decision is against the static heldout set only, so the sums are
     * order- and split-independent. */
+  /** s22's drop decision over (doc_id, embedding) TRAIN rows vs a heldout
+    * bucket frame: the distinct doc_ids whose embedding clears the cosine
+    * bar against any heldout embedding — shared by the s22 report and the
+    * s23 apply step. */
+  private[graft] def semDroppedIds(withVec: DataFrame, heldBk: DataFrame,
+      tables: Int, ppt: Int, planes: Array[Array[Double]],
+      minCosMilli: Long): DataFrame = {
+    val s = withVec.sparkSession
+    import s.implicits._
+    val trainBk = semBucketRows(withVec, tables, ppt, planes)
+      .select($"id".as("doc_id"), $"tbl", $"bucket", $"sig".as("sig_a"))
+    trainBk.join(heldBk, Seq("tbl", "bucket"))
+      .filter(DedupQueries.minSharedTable)
+      .select($"doc_id", $"eb")
+      .join(withVec.select($"doc_id", $"embedding".as("ea")), Seq("doc_id"))
+      .filter(VectorFns.cosineMilli($"ea", $"eb") >= minCosMilli)
+      .select($"doc_id").distinct()
+  }
+
   private[graft] def semDecontStats(train: DataFrame, heldBk: DataFrame,
       tables: Int, ppt: Int, planes: Array[Array[Double]],
       minCosMilli: Long): DataFrame = {
@@ -1961,14 +1994,7 @@ object SimilarityQueries {
     import s.implicits._
     val withVec = train.filter($"embedding".isNotNull)
       .select($"doc_id", $"embedding")
-    val trainBk = semBucketRows(withVec, tables, ppt, planes)
-      .select($"id".as("doc_id"), $"tbl", $"bucket", $"sig".as("sig_a"))
-    val dropped = trainBk.join(heldBk, Seq("tbl", "bucket"))
-      .filter(DedupQueries.minSharedTable)
-      .select($"doc_id", $"eb")
-      .join(withVec.select($"doc_id", $"embedding".as("ea")), Seq("doc_id"))
-      .filter(VectorFns.cosineMilli($"ea", $"eb") >= minCosMilli)
-      .select($"doc_id").distinct()
+    val dropped = semDroppedIds(withVec, heldBk, tables, ppt, planes, minCosMilli)
     train
       .join(dropped.withColumn("is_dropped", lit(1L)), Seq("doc_id"), "left")
       .groupBy($"lang")
@@ -1978,10 +2004,11 @@ object SimilarityQueries {
         sum(when($"is_dropped".isNull, $"n_toks").otherwise(0L)).as("tokens_clean"))
   }
 
-  /** The s22 oracle: literal-plane per-table buckets on BOTH split sides
-    * (the d06/s09 replay), bipartite any-shared-bucket candidates, exact
-    * cosine verify, t44's report tail. */
-  private def s22OracleSql: String = {
+  /** Literal-plane bucket SQL for the fixture geometry, shared by the
+    * s22/s23 oracles: the per-table bucket column list (aliased b0..bL-1
+    * over a DOUBLE[] column `e`) and the any-shared-bucket join condition
+    * between row aliases `a` and `b`. */
+  private def fixtureBucketSql(a: String, b: String): (String, String) = {
     val tables = DedupQueries.lshTableCount
     val ppt = DedupQueries.lshPlanesPerTableCount
     val planes = VectorFns.hyperplanes(tables * ppt, DedupQueries.embDim)
@@ -1989,7 +2016,15 @@ object SimilarityQueries {
       s"(CASE WHEN list_dot_product(e, ${planeLit(planes(t * ppt + k))}) >= 0 THEN ${1L << k} ELSE 0 END)"
     }.mkString(" + ")
     val bcols = (0 until tables).map(t => s"(${bucket(t)}) AS b$t").mkString(",\n               ")
-    val cond = (0 until tables).map(t => s"t.b$t = h.b$t").mkString(" OR ")
+    val cond = (0 until tables).map(t => s"$a.b$t = $b.b$t").mkString(" OR ")
+    (bcols, cond)
+  }
+
+  /** The s22 oracle: literal-plane per-table buckets on BOTH split sides
+    * (the d06/s09 replay), bipartite any-shared-bucket candidates, exact
+    * cosine verify, t44's report tail. */
+  private def s22OracleSql: String = {
+    val (bcols, cond) = fixtureBucketSql("t", "h")
     s"""
         WITH meta AS (
           SELECT doc_id, lang,
@@ -2014,6 +2049,100 @@ object SimilarityQueries {
         FROM tr LEFT JOIN dropped d ON tr.doc_id = d.doc_id
         GROUP BY tr.lang
         ORDER BY tr.lang"""
+  }
+
+  /** The decontamination APPLY step (s23) — the materialized end state
+    * the two gates imply, t49-style capstone of the eval-integrity story:
+    * the cleaned TRAINING CORPUS after both the lexical rule (t44: any
+    * train doc sharing an 8-token shingle with the heldout set) and the
+    * semantic rule (s22: any train doc whose embedding clears the cosine
+    * bar against any heldout embedding) have dropped their casualties.
+    * One row per KEPT train doc — (doc_id, lang, n_toks) — the frame a
+    * pipeline feeds to packing (t08/t45) after eval hygiene. Both gates
+    * read the SAME t06 salted-hash split, so this is exactly t44's and
+    * s22's decisions applied — the composed oracle replays both gates'
+    * CTE chains in one statement (hash-verifying the identity end to
+    * end), and SimilaritySpec pins the per-lang kept counts against the
+    * two reports' inclusion-exclusion bounds.
+    *
+    * Scale shape: the union of two already-linear dropped-id sets
+    * (lexical: one equi-semi-join of exploded train shingles against the
+    * heldout minority; semantic: the bipartite bucket join with
+    * heldout-count-derived K) anti-joined back onto the train frame —
+    * no new shuffle class beyond the gates themselves.
+    *
+    * Example (run verbatim by DocExamplesSpec):
+    * {{{
+    * def gram(p: String) = (1 to 8).map(p + _).mkString(" ")
+    * val e = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    * val docs = Seq(
+    *   (1L, "clean text one", "en"),           // train: embedding mirrors held -> dropped (semantic)
+    *   (2L, s"lead ${gram("g")}", "en"),       // train: leaks shingle g -> dropped (lexical)
+    *   (3L, "clean text two", "en"),           // train: clean both ways -> KEPT
+    *   (9L, s"${gram("g")} tail", "en"))       // heldout
+    *   .toDF("doc_id", "text", "lang")
+    * val emb = Seq((1L, e.clone()), (2L, e.map(-_)), (3L, e.map(-_)), (9L, e))
+    *   .toDF("vec_id", "embedding")
+    * decontaminatedCorpus(spark, docs, emb, trainPred = $"doc_id" < 9L)
+    *   .as[(Long, String, Long)].collect().toSeq == Seq((3L, "en", 3L))
+    * }}}
+    */
+  def decontaminatedCorpus(s: SparkSession, docs: DataFrame,
+      embeddings: DataFrame,
+      trainPred: Column = TextQueries.trainSplitPred,
+      minCosMilli: Long = 400L,
+      tables: Int = DedupQueries.lshTableCount,
+      planesPerTable: Int = DedupQueries.AutoPlanes,
+      dim: Int = DedupQueries.embDim): DataFrame = {
+    import s.implicits._
+    // one scan: shingle keys + token counts + the split, read by both gates
+    val sh = OpCache.persistRotating("s23.shingles",
+      TextQueries.docShingles(docs).withColumn("is_train", trainPred))
+    val trainSh = sh.filter($"is_train")
+    val heldSh = sh.filter(!$"is_train")
+      .select(explode($"gs").as("g")).distinct()
+    val lexDropped = TextQueries.lexDroppedIds(trainSh, heldSh)
+    // semantic gate: identical geometry derivation to semanticDecontaminateReport
+    val vecs = embeddings.select($"vec_id".as("doc_id"), $"embedding")
+    val held = sh.filter(!$"is_train").select($"doc_id").join(vecs, Seq("doc_id"))
+    val ppt = if (planesPerTable == DedupQueries.AutoPlanes)
+      DedupQueries.autoPlanesPerTable(held.count()) else planesPerTable
+    val planes = VectorFns.hyperplanes(tables * ppt, dim)
+    val heldBk = semBucketRows(held, tables, ppt, planes)
+      .select($"id".as("held_id"), $"tbl", $"bucket", $"sig".as("sig_b"))
+      .join(held.select($"doc_id".as("held_id"), $"embedding".as("eb")), Seq("held_id"))
+    val semDropped = semDroppedIds(
+      trainSh.select($"doc_id").join(vecs, Seq("doc_id")),
+      heldBk, tables, ppt, planes, minCosMilli)
+    trainSh
+      .join(lexDropped.unionByName(semDropped).distinct(), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"n_toks")
+      .orderBy($"doc_id")
+  }
+
+  /** The s23 oracle: t44's shingle/split CTE chain (via
+    * [[TextQueries.lexDroppedSqlCtes]]) composed with s22's literal-plane
+    * bucket CTEs, dropped sets unioned, anti-joined back onto the train
+    * frame. */
+  private def s23OracleSql: String = {
+    val (bcols, cond) = fixtureBucketSql("t", "h")
+    s"""
+        WITH ${TextQueries.lexDroppedSqlCtes},
+        bk AS (SELECT vec_id, e,
+               $bcols
+               FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
+        vtrain AS (SELECT m.doc_id, b.* FROM trainsh m JOIN bk b ON m.doc_id = b.vec_id),
+        vheld AS (SELECT b.* FROM sh m JOIN bk b ON m.doc_id = b.vec_id WHERE m.split = 'heldout'),
+        semdrop AS (
+          SELECT DISTINCT t.doc_id
+          FROM vtrain t JOIN vheld h ON ($cond)
+          WHERE floor(list_dot_product(t.e, h.e) * 1000.0 /
+            (sqrt(list_dot_product(t.e, t.e)) * sqrt(list_dot_product(h.e, h.e)))) >= 400),
+        dropped AS (SELECT doc_id FROM lexdrop UNION SELECT doc_id FROM semdrop)
+        SELECT tr.doc_id, tr.lang, tr.n_toks
+        FROM trainsh tr LEFT JOIN dropped d ON tr.doc_id = d.doc_id
+        WHERE d.doc_id IS NULL
+        ORDER BY tr.doc_id"""
   }
 
   /** The s09 pipeline over an arbitrary (vec_id, embedding) table. Bucket

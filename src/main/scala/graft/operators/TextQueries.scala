@@ -3035,6 +3035,42 @@ object TextQueries {
       size(t).cast("long").as("n_toks"))
   }
 
+  /** t44's drop decision over TRAIN [[docShingles]] rows vs a heldout
+    * shingle-key set `heldSh` (one `g` column): the distinct doc_ids of
+    * train docs sharing any 8-token shingle with the heldout set — shared
+    * by the t44 report and the s23 apply step. */
+  private[graft] def lexDroppedIds(train: DataFrame, heldSh: DataFrame): DataFrame =
+    train
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(heldSh, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+
+  /** The t44 oracle's shingle/split CTE chain (toks -> sh -> heldsh ->
+    * trainsh -> lexdrop), exposed as a WITH-body fragment so the s23
+    * apply-step oracle can compose the lexical gate with s22's semantic
+    * CTEs in one statement. `trainsh` carries (doc_id, lang, n_toks, s);
+    * `lexdrop` the dropped doc_ids. */
+  private[graft] def lexDroppedSqlCtes: String = {
+    val gram = (0 to 7).map(k => s"t[i+$k]").mkString(", ")
+    s"""toks AS (
+          SELECT doc_id, lang,
+                 CASE WHEN $splitBucketSql < $TrainPct
+                      THEN 'train' ELSE 'heldout' END AS split,
+                 string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, lang, split, CAST(len(t) AS BIGINT) AS n_toks,
+                 list_distinct(list_transform(generate_series(1, greatest(len(t) - 7, 1)),
+                   i -> concat_ws(' ', $gram))) AS s
+          FROM toks),
+        heldsh AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE split = 'heldout'),
+        trainsh AS (SELECT doc_id, lang, n_toks, s FROM sh WHERE split = 'train'),
+        lexdrop AS (
+          SELECT DISTINCT tr.doc_id
+          FROM (SELECT doc_id, unnest(s) AS g FROM trainsh) tr
+          JOIN heldsh USING (g))"""
+  }
+
   /** t44's decision + economics half over TRAIN [[docShingles]] rows vs a
     * heldout shingle-key set `heldSh` (one `g` column): per-lang train
     * docs, dropped docs, and dropped/clean token sums — UNORDERED (the
@@ -3042,10 +3078,7 @@ object TextQueries {
     * orderBy). The drop decision is per-doc against the static heldout
     * set only, so the per-lang sums are split-invariant monoids. */
   private[graft] def decontLangStats(train: DataFrame, heldSh: DataFrame): DataFrame = {
-    val dropped = train
-      .select(col("doc_id"), explode(col("gs")).as("g"))
-      .join(heldSh, Seq("g"), "left_semi")
-      .select(col("doc_id")).distinct()
+    val dropped = lexDroppedIds(train, heldSh)
     train
       .join(dropped.withColumn("is_dropped", lit(1L)), Seq("doc_id"), "left")
       .groupBy(col("lang"))

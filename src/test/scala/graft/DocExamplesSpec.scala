@@ -582,6 +582,24 @@ class DocExamplesSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].head == (("en", 2L, 1L, 4L, 4L)))
   }
 
+  test("SimilarityQueries.decontaminatedCorpus scaladoc example") {
+    import graft.operators.SimilarityQueries.decontaminatedCorpus
+    def gram(p: String) = (1 to 8).map(p + _).mkString(" ")
+    val e = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    val docs = Seq(
+      (1L, "clean text one", "en"),
+      (2L, s"lead ${gram("g")}", "en"),
+      (3L, "clean text two", "en"),
+      (9L, s"${gram("g")} tail", "en"))
+      .toDF("doc_id", "text", "lang")
+    val emb = Seq((1L, e.clone()), (2L, e.map(-_)), (3L, e.map(-_)), (9L, e))
+      .toDF("vec_id", "embedding")
+    // 1 dropped semantically (mirror), 2 dropped lexically (shared shingle),
+    // 3 kept — clean on both gates
+    assert(decontaminatedCorpus(spark, docs, emb, trainPred = $"doc_id" < 9L)
+      .as[(Long, String, Long)].collect().toSeq === Seq((3L, "en", 3L)))
+  }
+
   test("SimilarityQueries.ivfSearch scaladoc example") {
     import graft.operators.SimilarityQueries
     val dim = DedupQueries.embDim
@@ -840,7 +858,7 @@ class DocExamplesSpec extends SparkSpec {
       "lexTopR", "vecTopRExact", "vecTopRLsh",
       // private[graft] s22 kernels shared with StreamSemanticDecontaminate;
       // gated by the s22 oracle + the twin equivalence test
-      "semBucketRows", "semDecontStats",
+      "semBucketRows", "semDecontStats", "semDroppedIds",
       // private[graft] s11/d19 seams shared with StreamClusterLabels'
       // live-report composition; gated by the s11/d19 oracles + the
       // StreamDedupSpec composition test
@@ -859,6 +877,9 @@ class DocExamplesSpec extends SparkSpec {
       "docShingles",     // private[graft] t44 per-doc projection seam shared
                          // with StreamDecontaminate; gated by the t44 oracle
                          // + the twin equivalence test
+      "lexDroppedIds",   // private[graft] t44/s23 drop-decision seam, gated
+                         // by the t44 + s23 oracles
+      "lexDroppedSqlCtes", // its DuckDB CTE mirror, embedded in the s23 oracle
       "decontLangStats",  // private[graft] t44 decision/economics seam, same gates
       "trainSplitPred",   // private[operators] t06 split seam shared with s22;
                           // gated by the t06/t44/s22 oracles

@@ -426,6 +426,33 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.2, s"mean fused recall@10 = $mean")
   }
 
+  test("s23 kept counts sit inside t44's and s22's inclusion-exclusion bounds per lang") {
+    // the apply step must agree with the two reports it composes: per
+    // lang, kept >= n_train - (lex_dropped + sem_dropped) (drops may
+    // overlap) and kept <= n_train - max(lex_dropped, sem_dropped)
+    import graft.operators.{SimilarityQueries, TextQueries}
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val lex = TextQueries.decontaminateReport(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sem = SimilarityQueries.semanticDecontaminateReport(spark, docs, emb)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val kept = SimilarityQueries.decontaminatedCorpus(spark, docs, emb)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lex.keySet === sem.keySet)
+    assert((lex.values.map(_._2).sum + sem.values.map(_._2).sum) > 0,
+      "no gate dropped anything — bounds vacuous")
+    for (l <- lex.keySet) {
+      val (nTrain, dLex) = lex(l)
+      val dSem = sem(l)._2
+      assert(sem(l)._1 === nTrain, s"gates disagree on n_train for $l")
+      val k = kept.getOrElse(l, 0L)
+      assert(k >= nTrain - dLex - dSem && k <= nTrain - math.max(dLex, dSem),
+        s"lang $l: kept=$k outside [${nTrain - dLex - dSem}, ${nTrain - math.max(dLex, dSem)}]")
+    }
+  }
+
   test("d19 on predicted labels: the query path runs on t01 output end-to-end (mixed-vocabulary fixture)") {
     // The benchmarked d19 consumes the documents table's labeled lang
     // because the synthetic fixture's shared vocabulary would collapse

@@ -478,6 +478,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(noVecTrain === (("en", 1L, 0L, 0L, 2L)))
   }
 
+  test("s23 decontaminatedCorpus: empty corpora and all-heldout splits degrade gracefully") {
+    import org.apache.spark.sql.functions.lit
+    val noLangDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(SimilarityQueries.decontaminatedCorpus(spark, noLangDocs, noVecs).count() === 0L)
+    val docs = Seq((1L, "a b", "en"), (2L, "c d", "en")).toDF("doc_id", "text", "lang")
+    val e1 = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    val emb = Seq((1L, e1), (2L, e1.clone())).toDF("vec_id", "embedding")
+    // everything heldout: nothing to keep
+    assert(SimilarityQueries.decontaminatedCorpus(spark, docs, emb,
+      trainPred = lit(false)).count() === 0L)
+    // everything train: nothing probes, everything kept
+    assert(SimilarityQueries.decontaminatedCorpus(spark, docs, emb,
+      trainPred = lit(true)).as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "en", 2L), (2L, "en", 2L)))
+  }
+
   test("StreamClusterLabels state: empty batches and self-pairs are no-ops, labelsFor defaults to self") {
     import graft.streaming.StreamClusterLabels
     val st = new StreamClusterLabels.ClusterState(spark, None)

@@ -48,6 +48,11 @@ class StreamTwinPlanSpec extends SparkSpec {
     * never per batch (the drive below spans one construction + two
     * batches, so a per-batch count would trace twice and fail). */
   private val StaticGeometryActions = AllowedActions ++ Set("count")
+  /** StreamDecontaminateApply is a SINK gate: its designed per-batch
+    * action is the idempotent parquet write of the kept slice (traced as
+    * `command`, plus the construction-time geometry count) — still no
+    * collect class. */
+  private val SinkGateActions = StaticGeometryActions ++ Set("command")
 
   /** Run `drive`, returning every (action name, query execution) the
     * session's driver executed while it ran. */
@@ -169,6 +174,24 @@ class StreamTwinPlanSpec extends SparkSpec {
       finally q.stop()
       assert(state.report.columns.nonEmpty)
     }),
+    ("StreamDecontaminateApply", SinkGateActions, { () =>
+      implicit val sq = spark.sqlContext
+      val ms = MemoryStream[(Long, String, String, Array[Float])]
+      def vv(i: Int) = Array.tabulate(64)(j => ((i * 31 + j) % 7 - 3).toFloat)
+      def txt(i: Int) = (0 until 12).map(j => s"w${(i * 7 + j) % 90}").mkString(" ")
+      val rows = (0 until 300).map(i =>
+        (100L + i, txt(i), Seq("en", "de", "fr")(i % 3), vv(i)))
+      val heldout = (0 until 40).map(i => (i.toLong, txt(i * 3), "en", vv(i * 3)))
+        .toDF("doc_id", "text", "lang", "embedding")
+      val work = java.nio.file.Files.createTempDirectory("apply_gate").toString
+      val q = graft.streaming.StreamDecontaminateApply.start(
+        ms.toDF().toDF("doc_id", "text", "lang", "embedding"), heldout,
+        s"$work/ckpt", s"$work/out")
+      try rows.grouped(150).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      finally q.stop()
+      assert(graft.streaming.StreamDecontaminateApply.kept(spark, s"$work/out")
+        .columns.nonEmpty)
+    }),
     ("StreamAdmission", AllowedActions, { () =>
       implicit val sq = spark.sqlContext
       val ms = MemoryStream[(Long, String)]
@@ -221,7 +244,7 @@ class StreamTwinPlanSpec extends SparkSpec {
           illegal.groupBy(identity).view.mapValues(_.size).toMap)
       // the static-geometry allowance is construction-only: the drive spans
       // one state build + two batches, so a per-batch count would trace >1
-      if (allowed == StaticGeometryActions)
+      if (allowed == StaticGeometryActions || allowed == SinkGateActions)
         assert(acts.count(_._1 == "count") <= 1,
           s"$name must derive geometry once at construction, not per batch")
       val ins = acts.flatMap { case (f, qe) => wideIns(qe).map(w => s"$f: $w") }

@@ -1335,6 +1335,52 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("different heldout set"))
   }
 
+  test("decontamination apply gate: emitted kept corpus == batch s23 after every prefix, across a restart") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.StreamDecontaminateApply
+    import graft.operators.SimilarityQueries
+    def gram(p: String) = (1 to 8).map(p + _).mkString(" ")
+    def v(hot: Int): Array[Float] = Array.tabulate(64)(i => if (i == hot) 1f else 0f)
+    // heldout ids < 100, train ids >= 100 (the decont-twin convention)
+    val heldout = Seq((1L, s"${gram("g")} tail", "en", v(0)))
+    val b1: Seq[(Long, String, String, Array[Float])] = Seq(
+      (101L, "mirror embedding", "en", v(0)),  // semantic casualty
+      (102L, s"lead ${gram("g")}", "en", v(5)), // lexical casualty
+      (103L, "clean one", "en", v(6)))          // kept
+    val b2: Seq[(Long, String, String, Array[Float])] = Seq(
+      (104L, "clean two", "de", v(7)),          // kept
+      (105L, "kein vektor", "en", null))        // no embedding, clean text: kept
+    def batchKept(prefix: Seq[(Long, String, String, Array[Float])]) = {
+      val all = heldout ++ prefix
+      SimilarityQueries.decontaminatedCorpus(spark,
+        all.map(t => (t._1, t._2, t._3)).toDF("doc_id", "text", "lang"),
+        all.filter(_._4 != null).map(t => (t._1, t._4)).toDF("vec_id", "embedding"),
+        trainPred = $"doc_id" >= 100L).collect().toSeq
+    }
+    val root = java.nio.file.Files.createTempDirectory("decont_apply").toString
+    val ms = MemoryStream[(Long, String, String, Array[Float])]
+    val heldoutDf = heldout.toDF("doc_id", "text", "lang", "embedding")
+    def kept() = StreamDecontaminateApply.kept(spark, s"$root/out")
+      .orderBy("doc_id").collect().toSeq
+    val q1 = StreamDecontaminateApply.start(
+      ms.toDF().toDF("doc_id", "text", "lang", "embedding"), heldoutDf,
+      s"$root/ckpt", s"$root/out")
+    try {
+      ms.addData(b1: _*); q1.processAllAvailable()
+      assert(kept() === batchKept(b1))
+    } finally q1.stop()
+    // restart through the SAME call; the source checkpoint resumes
+    val q2 = StreamDecontaminateApply.start(
+      ms.toDF().toDF("doc_id", "text", "lang", "embedding"), heldoutDf,
+      s"$root/ckpt", s"$root/out")
+    try {
+      ms.addData(b2: _*); q2.processAllAvailable()
+      assert(kept() === batchKept(b1 ++ b2))
+      // the planted casualties actually fell: 101/102 out, 103/104/105 in
+      assert(kept().map(_.getLong(0)) === Seq(103L, 104L, 105L))
+    } finally q2.stop()
+  }
+
   test("BatchStateStore disambiguates first-commit crash from marker loss") {
     import graft.streaming.BatchStateStore
     import org.apache.hadoop.fs.Path

@@ -29,6 +29,18 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Cached/checkpointed frames otherwise keep the raw
+      // spark.sql.shuffle.partitions width forever: every per-iteration scan
+      // of a small cached support table (pagerank's edge weights, the
+      // closure family's edge/label frames, OpCache slots) then pays one
+      // task per configured shuffle partition regardless of size. Letting
+      // AQE re-plan the cached plan's output partitioning sizes those scans
+      // by bytes — the same size-adaptive rule the rest of the plan already
+      // follows, at ANY scale (guide §2: derive partitioning from input
+      // size, not a constant). Measured on the iterative family at sf0.1:
+      // q48 9.9->3.9 s (884->47 tasks), d19 9.4->4.5 s, s11 7.4->4.2 s,
+      // q54 4.3->2.4 s; no query regressed outside noise.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -40,6 +40,20 @@ object DedupQueries {
     * and restarts; scale specs probing one explicit K) pass a literal. */
   val AutoPlanes: Int = 0
 
+  /** Size gate for the iterative graph kernels' single-task fold paths
+    * ([[clusterLabels]]; [[graft.operators.EventQueries.bfsLevels]] and
+    * `pageRank` share the constant): an edge set at or below this count
+    * (~4M edges = ~64 MiB of (long, long) rows, the order of a large
+    * broadcast side) is folded by ONE executor task in memory instead of
+    * running per-round distributed joins. The choice is input-size-adaptive
+    * exactly like a broadcast join's: above the gate, the O(log diameter)
+    * shuffle rounds run unchanged — at 100 TB a billion-edge near-dup
+    * graph takes the distributed path, while the many real pipelines whose
+    * mined pair set is small skip tens of scheduler round-trips per query.
+    * Tests that exercise the distributed loop itself pass a negative gate
+    * to force it. */
+  val LocalFoldMaxEdges: Long = 4L << 20
+
   /** The K-tuning contract, executable. Random (non-neighbor) pairs collide
     * in a K-bit bucket with probability ~L/2^K, so candidates grow as
     * n^2 * L / 2^K unless K grows with log2(n) — this is the rule of thumb
@@ -451,29 +465,37 @@ object DedupQueries {
 
   /** Connected-components cluster labels over an arbitrary near-dup pair
     * set: every doc gets the min doc_id of its transitive cluster
-    * (singletons label themselves). Min-label propagation WITH pointer
-    * jumping: each round a node takes the min over (its label, its
-    * neighbors' labels) and then compresses one pointer hop
-    * (label := label(label)) — labels are always doc_ids within the same
-    * component, so jumping is sound, and the component minimum reaches
-    * every node in O(log diameter) rounds instead of O(diameter). Each
-    * round is two shuffle joins + an agg that scale with executors, ONE
-    * Spark job (the convergence count rides the checkpoint job as an
-    * Observation side-metric); the driver only reads metrics (no data
-    * collect). If the cap is ever
-    * hit without convergence the query FAILS rather than silently emitting
-    * wrong labels (templated corpora produce arbitrarily long near-dup
-    * chains; a silent cap would mislabel them). */
+    * (singletons label themselves). Two size-gated execution paths with
+    * identical results (LocalFoldSpec asserts equality on randomized
+    * graphs):
+    *
+    *  - at or below [[LocalFoldMaxEdges]] mined pairs, ONE executor task
+    *    folds the whole component structure with union-find (no rounds,
+    *    no per-round shuffles — the broadcast-join trade applied to the
+    *    closure);
+    *  - above it, min-label propagation WITH pointer jumping: each round a
+    *    node takes the min over (its label, its neighbors' labels) and
+    *    then compresses one pointer hop (label := label(label)) — labels
+    *    are always doc_ids within the same component, so jumping is sound,
+    *    and the component minimum reaches every node in O(log diameter)
+    *    rounds instead of O(diameter). Each round is two shuffle joins +
+    *    an agg that scale with executors, ONE Spark job (the convergence
+    *    count rides the checkpoint job as an Observation side-metric);
+    *    the driver only reads metrics (no data collect). If the cap is
+    *    ever hit without convergence the query FAILS rather than silently
+    *    emitting wrong labels (templated corpora produce arbitrarily long
+    *    near-dup chains; a silent cap would mislabel them). */
   /** Per-round frontier telemetry of the MOST RECENT [[clusterLabels]]
     * call on this driver: element i = how many labels changed in round
     * i + 1 (the Observation side-metric each round already collects;
     * recording it costs nothing extra), final element always 0 — the
-    * converged round. Length = rounds run. This is THE capacity-planning
-    * number for the iterative dedup family at 100 TB: rounds grow with
-    * log(component diameter), not with data size, and a frontier that
-    * stops shrinking flags a templated-corpus long chain before the
-    * maxRounds failure does. Driver-side like the loop itself; written
-    * once per call, after convergence. */
+    * converged round. Length = DISTRIBUTED rounds run (Nil when the
+    * local-fold path handled the call: zero rounds). This is THE
+    * capacity-planning number for the iterative dedup family at 100 TB:
+    * rounds grow with log(component diameter), not with data size, and a
+    * frontier that stops shrinking flags a templated-corpus long chain
+    * before the maxRounds failure does. Driver-side like the loop itself;
+    * written once per call, after convergence. */
   private[graft] val lastClusterFrontier =
     new java.util.concurrent.atomic.AtomicReference[Seq[Long]](Nil)
 
@@ -486,15 +508,79 @@ object DedupQueries {
     *   Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
     * }}}
     */
-  def clusterLabels(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 32): DataFrame = {
+  def clusterLabels(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 32,
+      localFoldMaxEdges: Long = LocalFoldMaxEdges): DataFrame = {
     val s = docs.sparkSession
+    import s.implicits._
+    // One materialization of the mined pair set feeds BOTH paths below (the
+    // distributed loop previously materialized it into its edge cache
+    // anyway), and the size gate rides it as an Observation side-metric —
+    // no standalone count action (the ObservationJobsSpec discipline).
+    val pObs = new org.apache.spark.sql.Observation()
+    val p = pairs.select($"doc_a", $"doc_b")
+      .observe(pObs, count(lit(1)).as("n")).localCheckpoint()
+    val nEdges = pObs.get.getOrElse("n", null) match {
+      case n: java.lang.Long => n.longValue()
+      case _ => 0L
+    }
+    val labels =
+      if (localFoldMaxEdges >= 0L && nEdges <= localFoldMaxEdges) {
+        lastClusterFrontier.set(Nil) // zero distributed rounds ran
+        localFoldLabels(p)
+      } else distributedLabels(p, maxRounds)
+    // isolated nodes re-enter with their own id as the label
+    docs.select($"doc_id").join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** The below-gate path of [[clusterLabels]]: union-find over the WHOLE
+    * checkpointed pair set in ONE executor task (path compression + union
+    * by MIN root, so every tree root is its component's minimum doc_id —
+    * the same label the distributed rounds converge to). No per-round
+    * shuffles, no rounds at all: the entire component structure folds in
+    * one pass, exactly like a broadcast join folds a small build side into
+    * one local hash table. Emits labels for touched nodes only; the caller
+    * joins isolated docs back. */
+  private def localFoldLabels(p: DataFrame): DataFrame = {
+    val s = p.sparkSession
+    import s.implicits._
+    p.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent.update(c, r); c = n }
+        r
+      }
+      it.foreach { case (a, b) =>
+        if (!parent.contains(a)) parent.update(a, a)
+        if (!parent.contains(b)) parent.update(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        if (ra < rb) parent.update(rb, ra)
+        else if (rb < ra) parent.update(ra, rb)
+      }
+      val ks = parent.keys.toArray // snapshot: find() mutates values below
+      ks.iterator.map(k => (k, find(k)))
+    }.toDF("doc_id", "cluster_id")
+  }
+
+  /** The above-gate path of [[clusterLabels]]: the O(log diameter)
+    * distributed min-label rounds with pointer jumping, over an already
+    * checkpointed pair frame. Returns labels for touched nodes only. */
+  private def distributedLabels(pairs: DataFrame, maxRounds: Int): DataFrame = {
+    val s = pairs.sparkSession
     import s.implicits._
     // (A shuffle-free partition-local union-find contraction pre-pass was
     // measured here and reverted: with hash-shuffled pair sets, adjacent
     // edges almost never share a partition, so local contraction merges
     // nothing — a 20k-node chain scattered over 32 partitions still took
     // 15 rounds with it. The O(log diameter) distributed rounds below are
-    // the honest cost; real near-dup components have small diameters.)
+    // the honest cost; real near-dup components have small diameters.
+    // Small pair sets never reach this path at all — clusterLabels folds
+    // them in one task below the LocalFoldMaxEdges gate.)
     val edges = pairs.select($"doc_a", $"doc_b")
       .union(pairs.select($"doc_b", $"doc_a"))
       .toDF("src", "dst").cache()
@@ -562,10 +648,7 @@ object DedupQueries {
       .info(s"clusterLabels converged in $rounds rounds; " +
         s"frontier=${lastClusterFrontier.get().mkString(",")}")
     edges.unpersist()
-    // isolated nodes re-enter with their own id as the label
-    docs.select($"doc_id").join(labels, Seq("doc_id"), "left")
-      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
-      .orderBy($"doc_id")
+    labels
   }
 
   /** Exact-jaccard verified pair set — shared by the quadratic baseline and

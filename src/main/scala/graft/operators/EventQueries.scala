@@ -221,7 +221,10 @@ object EventQueries {
             .as("dst"))
         val edges = hop.filter($"dst".isNotNull)
           .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
-        pageRank(ev.select($"k").distinct(), edges, iters = 10)
+        // both the node set and every edge endpoint come from the same
+        // ev.k domain, so the size-gated single-task fold is sound here
+        pageRank(ev.select($"k").distinct(), edges, iters = 10,
+            localFoldMaxEdges = DedupQueries.LocalFoldMaxEdges)
           .select($"k", $"r".as("rank_micro"))
           .orderBy($"k")
       },
@@ -1269,7 +1272,12 @@ object EventQueries {
     * round's shuffle is proportional to the frontier's out-edges, not the
     * graph. The per-round count() is the demand-driven convergence check
     * (same discipline as d08 / hics); localCheckpoint truncates the
-    * accumulating union lineage.
+    * accumulating union lineage. Below the
+    * [[graft.operators.DedupQueries.LocalFoldMaxEdges]] gate the whole
+    * traversal instead folds in ONE executor task (levels are a pure
+    * function of (edges, source), so the two paths agree by construction;
+    * LocalFoldSpec asserts it) — pass a negative gate to force the
+    * distributed rounds.
     *
     * Example (run verbatim by DocExamplesSpec):
     * {{{
@@ -1280,7 +1288,8 @@ object EventQueries {
     *   Seq((1L, 0L), (2L, 1L), (3L, 2L), (9L, -1L))  // -1 = unreachable
     * }}}
     */
-  def bfsLevels(nodes: DataFrame, edges: DataFrame, source: Long): DataFrame = {
+  def bfsLevels(nodes: DataFrame, edges: DataFrame, source: Long,
+      localFoldMaxEdges: Long = DedupQueries.LocalFoldMaxEdges): DataFrame = {
     val s = nodes.sparkSession
     import s.implicits._
     val src = nodes.filter($"k" === source)
@@ -1289,13 +1298,59 @@ object EventQueries {
     var frontier = levels
     var depth = 0L
     var more = frontier.limit(1).count() > 0
+    // Size-gated single-task fold (the DedupQueries.LocalFoldMaxEdges
+    // contract): levels are a pure function of (edges, source), so when the
+    // edge set fits one task, the whole BFS runs as one in-memory pass —
+    // no per-depth frontier jobs. The seed probe above already decided
+    // source membership; the tail join below is shared by both paths.
+    // Edge count rides the checkpoint as an Observation (no extra action).
+    // Above the gate the checkpointed edge frame still pays off: the
+    // distributed loop joins the frontier against it EVERY depth, so one
+    // materialization replaces a per-depth recompute of the edge derivation.
+    var loopEdges = edges
+    if (more && localFoldMaxEdges >= 0L) {
+      val eObs = new org.apache.spark.sql.Observation()
+      val e = edges.select($"src", $"dst")
+        .observe(eObs, count(lit(1)).as("n")).localCheckpoint()
+      val nEdges = eObs.get.getOrElse("n", null) match {
+        case n: java.lang.Long => n.longValue()
+        case _ => 0L
+      }
+      if (nEdges <= localFoldMaxEdges) {
+        val lv = e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+          val adj = scala.collection.mutable.LongMap.empty[scala.collection.mutable.ArrayBuffer[Long]]
+          it.foreach { case (a, b) =>
+            adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty[Long]) += b
+          }
+          val lvl = scala.collection.mutable.LongMap.empty[Long]
+          lvl.update(source, 0L)
+          var q = List(source)
+          var d = 0L
+          while (q.nonEmpty) {
+            d += 1
+            val nextQ = scala.collection.mutable.ArrayBuffer.empty[Long]
+            q.foreach { u =>
+              adj.get(u).foreach(_.foreach { v =>
+                if (!lvl.contains(v)) { lvl.update(v, d); nextQ += v }
+              })
+            }
+            q = nextQ.toList
+          }
+          lvl.iterator
+        }.toDF("node", "lvl")
+        return nodes.select($"k".as("node"))
+          .join(lv, Seq("node"), "left")
+          .select($"node", coalesce($"lvl", lit(-1L)).as("lvl"))
+      }
+      loopEdges = e
+    }
     while (more) {
       depth += 1
       // frontier-emptiness rides the checkpoint job as an Observation
       // side-metric (the clusterLabels discipline): one job per round for
       // the frontier, none for the emptiness probe
       val obs = new org.apache.spark.sql.Observation()
-      val next = frontier.join(edges, frontier("node") === edges("src"))
+      val next = frontier.join(loopEdges, frontier("node") === loopEdges("src"))
         .select($"dst".as("node")).distinct()
         .join(levels, Seq("node"), "left_anti")
         .select($"node", lit(depth).as("lvl"))
@@ -1343,7 +1398,63 @@ object EventQueries {
     *   .as[(Long, Long)].collect().toSeq == Seq((1L, 150000L), (2L, 1000000L))
     * }}}
     */
-  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
+      localFoldMaxEdges: Long = -1L): DataFrame = {
+    val s = nodes.sparkSession
+    import s.implicits._
+    // Size-gated single-task fold, OPT-IN ONLY (default off, unlike
+    // clusterLabels/bfsLevels): the fold seeds every edge endpoint at the
+    // initial rank, which equals the distributed iteration only when every
+    // endpoint is in `nodes` — callers that construct both from the same
+    // key domain (q48: nodes = distinct k, edges ⊆ k×k) pass the gate
+    // explicitly; general callers keep the distributed loop. Edge count
+    // rides the checkpoint as an Observation (no extra count action), and
+    // the fold replays the exact integer recurrence ((r*w) div ow per edge,
+    // then 150000 + (85*c) div 100) so results are bit-identical
+    // (LocalFoldSpec asserts it against the distributed loop).
+    if (localFoldMaxEdges >= 0L && iters > 0) {
+      val eObs = new org.apache.spark.sql.Observation()
+      val e = edges.select($"src", $"dst", $"w")
+        .observe(eObs, count(lit(1)).as("n")).localCheckpoint()
+      val nEdges = eObs.get.getOrElse("n", null) match {
+        case n: java.lang.Long => n.longValue()
+        case _ => 0L
+      }
+      if (nEdges <= localFoldMaxEdges) {
+        val ranks = e.as[(Long, Long, Long)].coalesce(1).mapPartitions { it =>
+          val es = it.toArray
+          val ow = scala.collection.mutable.LongMap.empty[Long]
+          es.foreach { case (src, _, w) => ow.update(src, ow.getOrElse(src, 0L) + w) }
+          val r = scala.collection.mutable.LongMap.empty[Long]
+          es.foreach { case (src, dst, _) =>
+            r.update(src, 1000000L); r.update(dst, 1000000L)
+          }
+          val ks = r.keys.toArray
+          var i = 0
+          while (i < iters) {
+            val c = scala.collection.mutable.LongMap.empty[Long]
+            es.foreach { case (src, dst, w) =>
+              c.update(dst, c.getOrElse(dst, 0L) + (r(src) * w) / ow(src))
+            }
+            ks.foreach(k => r.update(k, 150000L + 85L * c.getOrElse(k, 0L) / 100L))
+            i += 1
+          }
+          ks.iterator.map(k => (k, r(k)))
+        }.toDF("k", "r")
+        // nodes outside the edge set receive zero contributions every
+        // round: their rank is the bare teleport term after iteration 1
+        // and stays there — the same closed form the distributed loop's
+        // zero-row union produces
+        return nodes.select($"k").join(ranks, Seq("k"), "left")
+          .select($"k", coalesce($"r", lit(150000L)).as("r"))
+      }
+      return pageRankLoop(nodes, e, iters)
+    }
+    pageRankLoop(nodes, edges, iters)
+  }
+
+  /** The distributed fixed-point loop of [[pageRank]]. */
+  private def pageRankLoop(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val s = nodes.sparkSession
     import s.implicits._
     val outw = edges.groupBy($"src").agg(sum($"w").as("ow"))

@@ -1788,11 +1788,13 @@ object SimilarityQueries {
       tables: Int = DedupQueries.lshTableCount,
       planesPerTable: Int = DedupQueries.AutoPlanes,
       dim: Int = DedupQueries.embDim,
-      k: Int = 5): DataFrame = {
+      k: Int = 5,
+      localFoldMaxEdges: Long = DedupQueries.LocalFoldMaxEdges): DataFrame = {
     import s.implicits._
     val labels = DedupQueries.clusterLabels(
       embeddings.select($"vec_id".as("doc_id")),
-      mutualKnnPairs(s, embeddings, tables, planesPerTable, dim, k))
+      mutualKnnPairs(s, embeddings, tables, planesPerTable, dim, k),
+      localFoldMaxEdges = localFoldMaxEdges)
     labels.select($"doc_id".as("vec_id"), $"cluster_id").orderBy($"vec_id")
   }
 

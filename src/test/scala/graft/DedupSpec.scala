@@ -138,7 +138,8 @@ class DedupSpec extends SparkSpec {
     // 39 rounds; pointer jumping reaches distance ~2^r after r rounds
     val docs = (0L until 40L).toDF("doc_id")
     val chain = (0L until 39L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = DedupQueries.clusterLabels(docs, chain, maxRounds = 8)
+    val labels = DedupQueries.clusterLabels(docs, chain, maxRounds = 8,
+        localFoldMaxEdges = -1L) // the distributed loop is the test subject
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size === 40)
     assert(labels.values.forall(_ === 0L), s"all nodes must join cluster 0: $labels")
@@ -149,7 +150,8 @@ class DedupSpec extends SparkSpec {
     val docs = (0L until 10L).toDF("doc_id")
     val chain = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalArgumentException] {
-      DedupQueries.clusterLabels(docs, chain, maxRounds = 1).collect()
+      DedupQueries.clusterLabels(docs, chain, maxRounds = 1,
+        localFoldMaxEdges = -1L).collect() // round cap is a distributed-loop contract
     }
     assert(e.getMessage.contains("did not converge"))
   }
@@ -162,11 +164,13 @@ class DedupSpec extends SparkSpec {
     // single edge settles in round 1 (cap=2 must accept it)
     val docs = (0L until 4L).toDF("doc_id")
     val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
-    val isolated = DedupQueries.clusterLabels(docs, noPairs, maxRounds = 1)
+    val isolated = DedupQueries.clusterLabels(docs, noPairs, maxRounds = 1,
+        localFoldMaxEdges = -1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(isolated === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
     val onePair = Seq((0L, 1L)).toDF("doc_a", "doc_b")
-    val labels = DedupQueries.clusterLabels(docs, onePair, maxRounds = 2)
+    val labels = DedupQueries.clusterLabels(docs, onePair, maxRounds = 2,
+        localFoldMaxEdges = -1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels === Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L))
   }

@@ -844,6 +844,9 @@ class DocExamplesSpec extends SparkSpec {
       "numBands", "embDim", "lshTableCount", "lshPlanesPerTableCount", // constant accessors
       "AutoPlanes",     // sentinel constant; behavior exemplified by the
                         // autoPlanesPerTable doc example + ScaleSpec
+      "LocalFoldMaxEdges", // size-gate constant; behavior (local fold ==
+                        // distributed rounds on either side of the gate)
+                        // exercised by LocalFoldSpec
       "lastClusterFrontier", // private[graft] telemetry holder (per-round
                         // frontier of the last clusterLabels call); gated
                         // by ObservationJobsSpec, not an operator

@@ -53,7 +53,8 @@ class ObservationJobsSpec extends SparkSpec {
     val chain = (0L until 39L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     var labels: Array[(Long, Long)] = null
     val (actions, jobs) = trace {
-      labels = DedupQueries.clusterLabels(docs, chain, maxRounds = 8)
+      labels = DedupQueries.clusterLabels(docs, chain, maxRounds = 8,
+          localFoldMaxEdges = -1L) // the distributed loop is the test subject
         .as[(Long, Long)].collect()
     }
     assert(labels.forall(_._2 == 0L) && labels.length == 40)
@@ -81,8 +82,8 @@ class ObservationJobsSpec extends SparkSpec {
     val edges = (0L until 32L).map(i => (i, i + 1)).toDF("src", "dst")
     var lvls: Array[(Long, Long)] = null
     val (actions, jobs) = trace {
-      lvls = EventQueries.bfsLevels(nodes, edges, 0L)
-        .as[(Long, Long)].collect()
+      lvls = EventQueries.bfsLevels(nodes, edges, 0L, localFoldMaxEdges = -1L)
+        .as[(Long, Long)].collect() // the distributed loop is the test subject
     }
     assert(lvls.length == 33 && lvls.map(_._2).max == 32L)
     info(s"bfsLevels(32-chain): $jobs jobs, actions = ${actions.groupBy(identity).view.mapValues(_.size).toMap}")

@@ -96,8 +96,8 @@ class Scale100Spec extends SparkSpec {
       val ids = docs.select($"doc_id")
       val edges = ids.filter($"doc_id" % 8 =!= 7)
         .select($"doc_id".as("doc_a"), ($"doc_id" + 1).as("doc_b"))
-      val k = DedupQueries.clusterLabels(docs, edges)
-        .select($"cluster_id").distinct().count()
+      val k = DedupQueries.clusterLabels(docs, edges, localFoldMaxEdges = -1L)
+        .select($"cluster_id").distinct().count() // distributed rounds are the subject
       frontiers(k) = DedupQueries.lastClusterFrontier.get()
       k
     }
@@ -131,7 +131,8 @@ class Scale100Spec extends SparkSpec {
     val frontiers = scala.collection.mutable.Map[Long, Seq[Long]]()
     def run(df: DataFrame): Long = {
       val labels = graft.operators.SimilarityQueries
-        .semanticClusters(spark, df, tables = 8, planesPerTable = 40)
+        .semanticClusters(spark, df, tables = 8, planesPerTable = 40,
+          localFoldMaxEdges = -1L) // distributed round telemetry is the subject
       val n = labels.count()
       val k = labels.select($"cluster_id").distinct().count()
       val packed = n * 1000000L + k // pack both invariants into one asserted number

@@ -254,8 +254,8 @@ class ScaleSpec extends SparkSpec {
       val ids = docs.select($"doc_id")
       val edges = ids.filter($"doc_id" % 8 =!= 7)
         .select($"doc_id".as("doc_a"), ($"doc_id" + 1).as("doc_b"))
-      DedupQueries.clusterLabels(docs, edges)
-        .select($"cluster_id").distinct().count()
+      DedupQueries.clusterLabels(docs, edges, localFoldMaxEdges = -1L)
+        .select($"cluster_id").distinct().count() // distributed rounds are the subject
     }
     assertTrend("d08", run, graph(40000), graph(400000))
   }

@@ -367,10 +367,20 @@ object DedupQueries {
     * set. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
     import cand.sparkSession.implicits._
+    // shingle arrays are DISTINCT by construction (shinglesOf), so
+    // |a ∪ b| = |a| + |b| − |a ∩ b|: one array_intersect pass (codegen
+    // subexpression elimination shares the two references) replaces
+    // jaccardMilli's intersect + union — the union's hash-set build was
+    // half the verify stage's per-pair CPU. Same value bit for bit on
+    // distinct inputs (DedupSpec's exact-pair gates and every d03/d13
+    // oracle cover it).
+    val inter = size(array_intersect($"sh_a", $"sh_b"))
+    val jm = floor(inter * lit(1000.0) / (size($"sh_a") + size($"sh_b") - inter))
+      .cast("long")
     cand
       .join(sh.select($"doc_id".as("rep_a"), $"sh".as("sh_a")), Seq("rep_a"))
       .join(sh.select($"doc_id".as("rep_b"), $"sh".as("sh_b")), Seq("rep_b"))
-      .select($"rep_a", $"rep_b", TextFns.jaccardMilli($"sh_a", $"sh_b").as("j_milli"))
+      .select($"rep_a", $"rep_b", jm.as("j_milli"))
       .filter($"j_milli" >= 800)
   }
 
@@ -1013,13 +1023,17 @@ object DedupQueries {
         val tagged = labels
           .withColumn("split", when(bucket < 90L, "train").otherwise("heldout"))
           .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+        // the zero-straddle proof rides the SAME plan as a 1-row broadcast
+        // scalar (a standalone count action here used to run the whole
+        // label pipeline twice per invocation)
         val straddle = tagged.groupBy($"cluster_id")
           .agg(countDistinct($"split").as("sides"))
-          .filter($"sides" > 1).count() // proof, not plan: clusters hash whole
+          .filter($"sides" > 1)
+          .agg(count(lit(1)).as("straddle_clusters"))
         tagged.groupBy($"lang")
           .agg(sum(($"split" === "train").cast("long")).as("n_train"),
             sum(($"split" === "heldout").cast("long")).as("n_heldout"))
-          .withColumn("straddle_clusters", lit(straddle))
+          .crossJoin(broadcast(straddle))
           .orderBy($"lang")
       },
       oracle = Some(s"""
@@ -1338,10 +1352,11 @@ object DedupQueries {
     // The number that justifies the dedup pipeline to whoever pays for
     // training compute: per language, how many tokens the near-dup
     // keep-canonical pass actually removes. Composes d08's transitive
-    // cluster labels with t03's token counts: one labels join, a
-    // cluster-partitioned min window (groups bounded by dup multiplicity)
-    // to mark the kept member, one per-lang aggregate. The oracle replays
-    // the full recursive-closure labeling plus the same token sums.
+    // cluster labels with t03's token counts: one labels join, a plain
+    // doc_id == cluster_id comparison to mark the kept member (the label
+    // IS the cluster minimum by clusterLabels' contract — no window
+    // needed), one per-lang aggregate. The oracle replays the full
+    // recursive-closure labeling plus the same token sums.
     QueryDef(
       "d16_dedup_savings",
       (s, d) => {
@@ -1351,9 +1366,12 @@ object DedupQueries {
           minhashNearDupPairs(s, docs).select($"doc_a", $"doc_b"))
         val toks = docs.select($"doc_id", $"lang",
           size(TextFns.tokens($"text")).cast("long").as("nt"))
-        val wc = org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
+        // the kept member is the cluster minimum, and clusterLabels LABELS
+        // each cluster with its minimum doc_id — so keep is a plain column
+        // comparison; the cluster-partitioned min window this used to run
+        // (one full shuffle + sort of the corpus) recomputed the invariant
         toks.join(labels, Seq("doc_id"))
-          .withColumn("keep", min($"doc_id").over(wc) === $"doc_id")
+          .withColumn("keep", $"doc_id" === $"cluster_id")
           .groupBy($"lang")
           .agg(count(lit(1)).as("n_docs"),
             sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),

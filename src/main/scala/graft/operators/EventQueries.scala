@@ -265,9 +265,13 @@ object EventQueries {
         val hop = ev.select($"k".as("src"),
           lead($"k", 1).over(Window.partitionBy($"user_id").orderBy($"event_id"))
             .as("dst"))
-        val und = hop.filter($"dst".isNotNull && $"src" =!= $"dst")
-          .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
-          .distinct()
+        // persist the distinct edge set: triangleCounts references it four
+        // times (degree union x2, orientation, closing join) and each
+        // reference otherwise re-derives the events scan + lead window
+        val und = OpCache.persistRotating("q54.und",
+          hop.filter($"dst".isNotNull && $"src" =!= $"dst")
+            .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+            .distinct())
         triangleCounts(und).orderBy($"node")
       },
       oracle = Some(s"""
@@ -1236,8 +1240,11 @@ object EventQueries {
   def triangleCounts(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val deg = edges.select($"u".as("n")).unionAll(edges.select($"v".as("n")))
-      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    // deg is referenced three times (both orientation joins + the final
+    // degree report); persisting it keeps the degree aggregation single-run
+    val deg = OpCache.persistRotating("q54.deg",
+      edges.select($"u".as("n")).unionAll(edges.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg")))
     // total orientation order: (degree, id); ord struct compares lexically
     val withOrd = edges
       .join(deg.select($"n".as("u"), struct($"deg", $"n").as("uo")), "u")

@@ -2108,9 +2108,12 @@ object ExtraRelationalQueries {
         val cents = floor($"l_extendedprice" * 100).cast("long")
         val med = percentileDiscTwoLevel(li, $"l_returnflag", cents, Seq(0.5))
           .select($"st", $"c".as("med_c"))
-        val dev = li.select($"l_returnflag".as("st"), cents.as("c"))
-          .join(broadcast(med), Seq("st"))
-          .withColumn("ad", abs($"c" - $"med_c"))
+        // dev feeds BOTH the MAD percentile pass and the final outlier
+        // aggregate — persist it so the lineitem scan + median join run once
+        val dev = OpCache.persistRotating("q92.dev",
+          li.select($"l_returnflag".as("st"), cents.as("c"))
+            .join(broadcast(med), Seq("st"))
+            .withColumn("ad", abs($"c" - $"med_c")))
         val mad = percentileDiscTwoLevel(dev, $"st", $"ad", Seq(0.5))
           .select($"st", $"c".as("mad_c"))
         dev.join(broadcast(mad), Seq("st"))

@@ -41,7 +41,11 @@ class PlanLintSpec extends SparkSpec {
     // 12-cell quintile-boundary row) onto the customer profile — the
     // same stats-broadcast pattern; PlanQualitySpec gates that no window
     // ever sorts the customer-sized aggregate
-    "q103_rfm_value_segments")
+    "q103_rfm_value_segments",
+    // t26's zero-straddle proof is a 1-row broadcast scalar crossed onto
+    // the per-lang report (it used to be a standalone driver count that
+    // ran the label pipeline twice) — the stats-broadcast pattern again
+    "t26_cluster_split")
 
   for (q <- SparkEntry.allDefs.filter(_.benchmark)) {
     test(s"${q.name}: no cartesian product, no stray nested-loop join, no mid-plan collect") {

@@ -25,30 +25,32 @@ object Bench {
     // per-pid dir we delete explicitly before halting keeps the exit path
     // hook-free AND litter-free.
     val localDir = s"/tmp/graft-bench-local-${ProcessHandle.current().pid()}"
-    val spark = SparkSession.builder()
+    val spark = SessionConf.common(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // Cached/checkpointed frames otherwise keep the raw
-      // spark.sql.shuffle.partitions width forever: every per-iteration scan
-      // of a small cached support table (pagerank's edge weights, the
-      // closure family's edge/label frames, OpCache slots) then pays one
-      // task per configured shuffle partition regardless of size. Letting
-      // AQE re-plan the cached plan's output partitioning sizes those scans
-      // by bytes — the same size-adaptive rule the rest of the plan already
-      // follows, at ANY scale (guide §2: derive partitioning from input
-      // size, not a constant). Measured on the iterative family at sf0.1:
-      // q48 9.9->3.9 s (884->47 tasks), d19 9.4->4.5 s, s11 7.4->4.2 s,
-      // q54 4.3->2.4 s; no query regressed outside noise.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", cpus))
       .config("spark.local.dir", localDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: session init, codegen JIT, parquet footers
     Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
+    // Constant-work host-drift control: a fixed CPU-bound job over
+    // generated data — independent of SF, the query set, and any code in
+    // graft.operators — timed with the same warmup + min-of-2 protocol.
+    // Round-over-round PERF comparisons can divide by this number to
+    // separate host drift (the round-9 suite ran on a host whose DuckDB
+    // control slowed 7.7% same-day) from real plan changes. Reported as
+    // its own JSON field, never inside "queries".
+    def controlOnce(): Double = {
+      import org.apache.spark.sql.functions.{bit_xor, xxhash64, col}
+      val t0 = System.nanoTime()
+      spark.range(0L, 256L << 20, 1L, 64)
+        .select(xxhash64(col("id")).as("h"))
+        .agg(bit_xor(col("h"))) // xor never overflows (sum of 256M hashes would, under ANSI)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    controlOnce() // untimed warmup
+    val controlSec = Seq.fill(2)(controlOnce()).min
     // A query that throws must never be reported as a timing: round 3's 13
     // events-dead queries "benched" at their ~0.065 s fail-fast exception
     // time inside a green rc=0 run. Failures propagate → entry dropped from
@@ -121,7 +123,7 @@ object Bench {
       }
     }
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$closure}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","control_sec":$controlSec%.3f,"queries":$qs,"sf":"$sfDir"$closure}"""
     // Driver stdout-capture protocol: the round harness keeps only the LAST
     // ~2000 chars of stdout and sbt appends a "[success] ..." line after
     // main returns, so a single ~6 KB JSON line is never reconstructable
@@ -143,7 +145,7 @@ object Bench {
     val compactBudget = 1700
     // same schema as the full line ("queries" map), holding the slowest
     // subset that fits; "full" points at the complete artifact
-    val head = f""""metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"full":"bench/bench_last.json","queries":"""
+    val head = f""""metric":"total","value":$total%.3f,"unit":"sec","control_sec":$controlSec%.3f,"sf":"$sfDir","n_queries":${results.size},"full":"bench/bench_last.json","queries":"""
     val slow = new StringBuilder
     results.sortBy(-_._2).foreach { case (k, v) =>
       val entry = (if (slow.isEmpty) "" else ",") + "\"" + k + f"""\":$v%.3f"""

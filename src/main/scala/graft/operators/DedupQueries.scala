@@ -51,8 +51,12 @@ object DedupQueries {
     * graph takes the distributed path, while the many real pipelines whose
     * mined pair set is small skip tens of scheduler round-trips per query.
     * Tests that exercise the distributed loop itself pass a negative gate
-    * to force it. */
-  val LocalFoldMaxEdges: Long = 4L << 20
+    * to force it; `SPARK_GRAFT_LOCAL_FOLD_MAX_EDGES=-1` forces it
+    * process-wide (the round-10 scale probe measures the distributed
+    * rounds' real cost this way — below-gate bench numbers otherwise only
+    * ever exercise the fold). Unset, the default is unchanged. */
+  val LocalFoldMaxEdges: Long = sys.env.get("SPARK_GRAFT_LOCAL_FOLD_MAX_EDGES")
+    .map(_.trim.toLong).getOrElse(4L << 20)
 
   /** The K-tuning contract, executable. Random (non-neighbor) pairs collide
     * in a K-bit bucket with probability ~L/2^K, so candidates grow as
@@ -330,7 +334,17 @@ object DedupQueries {
     *   .as[(Long, Long)].collect().toSeq == Seq((1L, 2L))
     * }}}
     */
-  def minhashNearDupPairs(s: SparkSession, docs: DataFrame): DataFrame = {
+  def minhashNearDupPairs(s: SparkSession, docs: DataFrame): DataFrame =
+    minhashNearDupPairsUnordered(s, docs).orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[minhashNearDupPairs]] without the final global sort — the form every
+    * SET consumer (cluster labeling, overlap matrices, pair-set joins)
+    * should read: the sort is part of d03's DECLARED output contract, not
+    * of the pair set, and each labeling query that consumed the ordered
+    * frame paid a full range-exchange + sort of the pair table it then
+    * immediately hash-shuffled again (guide §2.4: an orderBy used only for
+    * deterministic output). */
+  private[graft] def minhashNearDupPairsUnordered(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val groups = exactDupGroups(docs)
     val sh = cached(shinglesOf(s, groups.select($"rep".as("doc_id"), $"text")))
@@ -340,6 +354,26 @@ object DedupQueries {
       .filter($"rep_a" < $"rep_b")
       .select($"rep_a", $"rep_b").distinct()
     expandRepPairs(groups, verifyJaccard(cand, sh))
+  }
+
+  /** [[minhashNearDupPairsUnordered]] for a caller that GUARANTEES one row
+    * per distinct normalized text (the streaming-ingest canon table: one
+    * canonical doc per content key, where content_key = md5 of the
+    * normalized text). Exact-dup groups are then singletons by
+    * construction, so the md5-collapse shuffle is skipped and the group
+    * re-expansion is the identity rename — the rest (sketch, band join,
+    * exact verify) is the d03 kernel unchanged. Gated by the t38 oracle,
+    * which replays the full composition including this contract. */
+  private[graft] def minhashNearDupPairsPreCollapsed(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val sh = cached(shinglesOf(s, docs.select($"doc_id", $"text")))
+    val bands = cached(bandRowsTyped(s, sh))
+    val cand = bands.select($"band", $"bh", $"doc_id".as("rep_a"))
+      .join(bands.select($"band", $"bh", $"doc_id".as("rep_b")), Seq("band", "bh"))
+      .filter($"rep_a" < $"rep_b")
+      .select($"rep_a", $"rep_b").distinct()
+    verifyJaccard(cand, sh)
+      .select($"rep_a".as("doc_a"), $"rep_b".as("doc_b"), $"j_milli")
   }
 
   /** Exact-duplicate collapse shared by every pair-mining pipeline: one row
@@ -401,7 +435,6 @@ object DedupQueries {
       .flatMap(ids => ids.combinations(2).map(p => (p(0), p(1), 1000L)))
       .toDF("doc_a", "doc_b", "j_milli")
     cross.unionByName(within)
-      .orderBy($"doc_a", $"doc_b")
   }
 
   /** EXACT Jaccard similarity join at scale via prefix filtering — the
@@ -460,17 +493,25 @@ object DedupQueries {
       .select($"doc_id", xxhash64($"tok").as("h")).distinct())
     val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val dfreq = toks.groupBy($"h").agg(count(lit(1)).as("df"))
-    // prefix length p = n − ceil(0.8·n) + 1, with ceil(4n/5) = (4n+4) div 5
-    val prefix = toks.join(dfreq, Seq("h")).join(sizes, Seq("doc_id"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"df", $"h")))
-      .filter($"r" <= $"n" - expr("(n * 4 + 4) div 5") + 1)
-      .select($"h", $"doc_id", $"n")
+    // prefix length p = n − ceil(0.8·n) + 1, with ceil(4n/5) = (4n+4) div 5.
+    // BOTH sides of the candidate self-join below read this frame —
+    // unpersisted, each side re-runs the df aggregation, the size
+    // aggregation, their joins and the per-doc ranking window from the
+    // cached toks (the round-9 63-Exchange plan); the rotating slot halves
+    // that pipeline to one computation, and the frame is small (O(prefix
+    // tokens), 8-byte hashes — far below the shingle table already cached).
+    val prefix = OpCache.persistRotating("prefixFilter.prefix",
+      toks.join(dfreq, Seq("h")).join(sizes, Seq("doc_id"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"df", $"h")))
+        .filter($"r" <= $"n" - expr("(n * 4 + 4) div 5") + 1)
+        .select($"h", $"doc_id", $"n"))
     val cand = prefix.select($"h", $"doc_id".as("rep_a"), $"n".as("na"))
       .join(prefix.select($"h", $"doc_id".as("rep_b"), $"n".as("nb")), Seq("h"))
       .filter($"rep_a" < $"rep_b" && $"nb" * 5 >= $"na" * 4 && $"na" * 5 >= $"nb" * 4)
       .select($"rep_a", $"rep_b").distinct()
     expandRepPairs(groups, verifyJaccard(cand, sh))
+      .orderBy($"doc_a", $"doc_b") // d13's declared output contract
   }
 
   /** Connected-components cluster labels over an arbitrary near-dup pair
@@ -773,7 +814,7 @@ object DedupQueries {
         import s.implicits._
         val docs = Tables.documents(s, d)
         val src = docs.select($"doc_id", $"source")
-        minhashNearDupPairs(s, docs)
+        minhashNearDupPairsUnordered(s, docs)
           .join(src.select($"doc_id".as("doc_a"), $"source".as("s1")), Seq("doc_a"))
           .join(src.select($"doc_id".as("doc_b"), $"source".as("s2")), Seq("doc_b"))
           .select(least($"s1", $"s2").as("source_a"),
@@ -850,7 +891,7 @@ object DedupQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-        clusterLabels(docs, minhashNearDupPairs(s, docs).select($"doc_a", $"doc_b"))
+        clusterLabels(docs, minhashNearDupPairsUnordered(s, docs).select($"doc_a", $"doc_b"))
       },
       oracle = Some(s"""
         WITH RECURSIVE pairs AS (${PairSqlNoOrder}),
@@ -888,7 +929,7 @@ object DedupQueries {
         val members = docs.select($"doc_id", tier.as("tier"),
           size(TextFns.tokens($"text")).cast("long").as("n_toks"))
         val labels = clusterLabels(docs,
-          minhashNearDupPairs(s, docs).select($"doc_a", $"doc_b"))
+          minhashNearDupPairsUnordered(s, docs).select($"doc_a", $"doc_b"))
         members.join(labels, Seq("doc_id"))
           .groupBy($"cluster_id")
           .agg(max($"tier").as("gtier"),
@@ -954,7 +995,7 @@ object DedupQueries {
         import s.implicits._
         val docs = Tables.documents(s, d)
         val labels = clusterLabels(docs,
-          minhashNearDupPairs(s, docs).select($"doc_a", $"doc_b"))
+          minhashNearDupPairsUnordered(s, docs).select($"doc_a", $"doc_b"))
         val t = TextFns.tokens($"text")
         val scored = docs.select($"doc_id", $"n_chars",
           floor(size(array_distinct(t)) * lit(1000.0) / size(t)).cast("long").as("score"))
@@ -1017,7 +1058,7 @@ object DedupQueries {
         import s.implicits._
         val docs = Tables.documents(s, d)
         val labels = clusterLabels(docs,
-          minhashNearDupPairs(s, docs).select($"doc_a", $"doc_b"))
+          minhashNearDupPairsUnordered(s, docs).select($"doc_a", $"doc_b"))
         val bucket = pmod(graft.functions.TextFns.polyHash(
           concat(lit("csplit:"), $"cluster_id".cast("string"))), lit(100L))
         val tagged = labels
@@ -1204,7 +1245,7 @@ object DedupQueries {
       "d09_dedup_agreement",
       (s, d) => {
         import s.implicits._
-        val lex = minhashNearDupPairs(s, Tables.documents(s, d))
+        val lex = minhashNearDupPairsUnordered(s, Tables.documents(s, d))
           .select($"doc_a", $"doc_b", lit(1).as("l"))
         val sem = embeddingLshPairs(s, Tables.embeddings(s, d))
           .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"), lit(1).as("m"))
@@ -1242,7 +1283,7 @@ object DedupQueries {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
-        val lex = minhashNearDupPairs(s, docs).select($"doc_a", $"doc_b")
+        val lex = minhashNearDupPairsUnordered(s, docs).select($"doc_a", $"doc_b")
         val sem = embeddingLshPairs(s, Tables.embeddings(s, d))
           .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
         val labels = clusterLabels(docs, lex.unionByName(sem).distinct())
@@ -1363,7 +1404,7 @@ object DedupQueries {
         import s.implicits._
         val docs = Tables.documents(s, d)
         val labels = clusterLabels(docs,
-          minhashNearDupPairs(s, docs).select($"doc_a", $"doc_b"))
+          minhashNearDupPairsUnordered(s, docs).select($"doc_a", $"doc_b"))
         val toks = docs.select($"doc_id", $"lang",
           size(TextFns.tokens($"text")).cast("long").as("nt"))
         // the kept member is the cluster minimum, and clusterLabels LABELS

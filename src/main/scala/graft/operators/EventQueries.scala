@@ -1242,7 +1242,10 @@ object EventQueries {
     import s.implicits._
     // deg is referenced three times (both orientation joins + the final
     // degree report); persisting it keeps the degree aggregation single-run
-    val deg = OpCache.persistRotating("q54.deg",
+    // slot named after the OPERATOR, not one caller: any query invoking
+    // triangleCounts rotates this slot, so the name must say whose cache
+    // it is (the round-9 advisory)
+    val deg = OpCache.persistRotating("triangleCounts.deg",
       edges.select($"u".as("n")).unionAll(edges.select($"v".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("deg")))
     // total orientation order: (degree, id); ord struct compares lexically
@@ -1322,6 +1325,15 @@ object EventQueries {
       val nEdges = eObs.get.getOrElse("n", null) match {
         case n: java.lang.Long => n.longValue()
         case _ => 0L
+      }
+      if (nEdges == 0L) {
+        // An empty edge frame materializes as 0 partitions, so the
+        // coalesce(1) fold closure below would never run and a PRESENT
+        // source would come back -1 (the round-9 advisory). With no edges
+        // the answer is closed-form: the source (already proven present by
+        // the seed probe) is at level 0, everything else unreachable.
+        return nodes.select($"k".as("node"),
+          when($"k" === source, lit(0L)).otherwise(lit(-1L)).as("lvl"))
       }
       if (nEdges <= localFoldMaxEdges) {
         val lv = e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
@@ -1441,7 +1453,11 @@ object EventQueries {
           while (i < iters) {
             val c = scala.collection.mutable.LongMap.empty[Long]
             es.foreach { case (src, dst, w) =>
-              c.update(dst, c.getOrElse(dst, 0L) + (r(src) * w) / ow(src))
+              // ow(src) == 0 must SKIP the contribution, not throw: the
+              // distributed loop's SQL `div` yields null on zero weight
+              // sums and its sum() skips nulls (the round-9 advisory)
+              val o = ow(src)
+              if (o != 0L) c.update(dst, c.getOrElse(dst, 0L) + (r(src) * w) / o)
             }
             ks.foreach(k => r.update(k, 150000L + 85L * c.getOrElse(k, 0L) / 100L))
             i += 1
@@ -1473,8 +1489,15 @@ object EventQueries {
     val zeros = nodes.select($"k", lit(0L).as("c")).cache()
     var r = zeros.select($"k", lit(1000000L).as("r"))
     for (i <- 1 to iters) {
+      // ow == 0 (a source whose weights sum to zero) contributes NOTHING:
+      // the explicit guard pins that semantics on both ANSI (where a bare
+      // div would throw DIVIDE_BY_ZERO) and non-ANSI (null, skipped by
+      // sum) sessions, and matches the single-task fold's skip — the
+      // round-9 advisory's divergence, closed from both sides. No real
+      // caller can hit it (q48's weights are positive counts).
       r = r.join(ew, r("k") === ew("src"))
-        .select($"dst".as("k"), expr("(r * w) div ow").as("c"))
+        .select($"dst".as("k"),
+          expr("case when ow = 0 then null else (r * w) div ow end").as("c"))
         .unionAll(zeros)
         .groupBy($"k").agg(sum($"c").as("c"))
         .select($"k", (lit(150000L) + expr("(85 * c) div 100")).as("r"))

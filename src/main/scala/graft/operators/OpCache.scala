@@ -39,7 +39,19 @@ private[graft] object OpCache {
     val key = s"${System.identityHashCode(df.sparkSession).toHexString}:$slot"
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     Option(slots.put(key, p)).foreach { prev =>
-      if (prev ne p) {
+      // Unpersist the previous generation ONLY when it is a semantically
+      // different plan. CacheManager keys entries by sameResult — two
+      // invocations over the same input path produce canonically EQUAL
+      // plans (InMemoryFileIndex compares rootPaths), so persist() above
+      // re-registered the SAME entry and unpersisting `prev` would evict
+      // the frame just cached: every same-plan slot was silently dead in
+      // any run that re-invoked its operator (the bench's warmup + timed
+      // protocol re-invokes every query). When the plans match there is
+      // nothing extra to drop — the slot still holds exactly one entry.
+      val samePlan = scala.util.Try(
+        prev.queryExecution.analyzed.sameResult(p.queryExecution.analyzed))
+        .getOrElse(false)
+      if ((prev ne p) && !samePlan) {
         log.info(s"rotating cache slot '$slot': unpersisting the previous generation")
         // a stopped owning session must not fail the new invocation
         scala.util.Try(prev.unpersist(blocking = false))

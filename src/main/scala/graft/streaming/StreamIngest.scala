@@ -148,8 +148,21 @@ object StreamIngest {
   def ingestBatch(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     val canon = foldCanon(None, docs)
-    val admitted = canon.filter(TextQueries.admissionGate)
-    val idPairs = DedupQueries.minhashNearDupPairs(
+    // The admitted canon table feeds FIVE consumers (the pair miner's doc
+    // frame, the ck mapping's two join sides, the survivor reps, and the
+    // packer) — unpersisted, each one re-runs the tokenize/lang-score
+    // feature pass plus the content-key aggregation from the raw scan
+    // (round-9 before-plan: ~10 documents scans, 54 Exchanges). One
+    // rotating-slot persist collapses them to a single computation; the
+    // per-batch streaming twin already materializes the same frame via
+    // localCheckpoint, so the two paths stay structurally aligned.
+    val admitted = graft.operators.OpCache.persistRotating("t38.admitted",
+      canon.filter(TextQueries.admissionGate))
+    // Unordered pair set (the ck joins + distinct below don't need d03's
+    // declared output sort), via the pre-collapsed miner: admitted holds
+    // ONE canonical row per content key (md5 of normalized text), so the
+    // miner's exact-dup collapse shuffle would be a per-row no-op.
+    val idPairs = DedupQueries.minhashNearDupPairsPreCollapsed(
       s, admitted.select(col("doc_id"), col("text")))
     val ck = admitted.select(col("doc_id"), col("content_key"))
     val pairs = idPairs
@@ -158,7 +171,7 @@ object StreamIngest {
       .select(least(col("k1"), col("k2")).as("ck_a"),
         greatest(col("k1"), col("k2")).as("ck_b"))
       .distinct()
-    packedOf(canon, pairs)
+    packedOfAdmitted(admitted, pairs)
   }
 
   final class IngestState(s: SparkSession, stateDir: Option[String] = None) {

@@ -850,6 +850,14 @@ class DocExamplesSpec extends SparkSpec {
       "lastClusterFrontier", // private[graft] telemetry holder (per-round
                         // frontier of the last clusterLabels call); gated
                         // by ObservationJobsSpec, not an operator
+      "minhashNearDupPairsUnordered", // private[graft] sort-free form of the
+                        // documented minhashNearDupPairs (same pair set,
+                        // minus d03's declared output order); gated by every
+                        // cluster-family oracle (d08/d12/d16/t26/t46/d18)
+      "minhashNearDupPairsPreCollapsed", // private[graft] d03 kernel for
+                        // callers that guarantee one row per normalized
+                        // text (streaming-ingest canon); gated by the t38
+                        // oracle + StreamingSpec equivalence
       "d06OracleSql"),  // oracle-SQL constant consumed by the s12 oracle
     "SimilarityQueries" -> Set(
       "IvfK", "KmK", "PqK", "PqM", "PqSubDim", // private[graft] codebook constants

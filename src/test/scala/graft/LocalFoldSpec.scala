@@ -75,6 +75,34 @@ class LocalFoldSpec extends SparkSpec {
     }
   }
 
+  test("bfsLevels: present source with ZERO edges is level 0 on both paths") {
+    // the round-9 advisory: an empty edge frame coalesces to 0 partitions,
+    // so the fold closure never ran and a present source came back -1
+    val nodes = (0L until 5L).toDF("k")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    Seq(DedupQueries.LocalFoldMaxEdges, -1L).foreach { gate =>
+      val got = EventQueries.bfsLevels(nodes, edges, source = 2L, localFoldMaxEdges = gate)
+        .as[(Long, Long)].collect().toMap
+      assert(got(2L) === 0L, s"gate=$gate: present source must be level 0: $got")
+      assert((got - 2L).values.forall(_ == -1L), s"gate=$gate: $got")
+    }
+  }
+
+  test("pageRank: zero-weight-sum sources skip their contributions on both paths") {
+    // the round-9 advisory: the fold used bare Scala division, which threw
+    // on ow(src) == 0 where the distributed SQL div yields null (skipped)
+    val nodes = (0L until 4L).toDF("k")
+    val edges = Seq((0L, 1L, 3L), (0L, 2L, -3L), (1L, 2L, 2L)).toDF("src", "dst", "w")
+    Seq(2, 5).foreach { iters =>
+      val local = EventQueries.pageRank(nodes, edges, iters,
+        localFoldMaxEdges = DedupQueries.LocalFoldMaxEdges)
+        .orderBy($"k").as[(Long, Long)].collect().toSeq
+      val dist = EventQueries.pageRank(nodes, edges, iters)
+        .orderBy($"k").as[(Long, Long)].collect().toSeq
+      assert(local === dist, s"iters=$iters: zero-weight-sum fold diverged")
+    }
+  }
+
   test("pageRank: opt-in local fold == distributed loop (endpoints within nodes)") {
     val r = lcg(23L)
     val edgeSeq = scrambledPairs(200, 50, seed = 23L)
